@@ -1,0 +1,108 @@
+"""Text-analysis expression builders (training-data pipeline surface).
+
+All pure Column expressions over ``pyspark.sql.functions`` — JVM-side,
+codegen-friendly, no UDFs — so they run at full scan speed on 100 TB
+of documents. Each has an exact DuckDB-SQL equivalent for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: BPE-ish token pattern: letter runs, digit runs, or single non-space symbol.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny marker-word sets for the language-ID heuristic.
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|a|is)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|la|et|les|est)\b",
+    "es": r"\b(el|los|y|una|es)\b",
+}
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase, collapse whitespace runs, trim — canonical form."""
+    return F.trim(F.regexp_replace(F.lower(_c(c)), r"\s+", " "))
+
+
+def word_count(c: Column | str) -> Column:
+    """Whitespace token count (empty string → 0)."""
+    t = F.trim(_c(c))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast(
+        T.LongType()
+    )
+
+
+def token_count(c: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    """BPE-ish token count via regex extraction."""
+    return F.size(F.regexp_extract_all(_c(c), F.lit(pattern), F.lit(0))).cast(
+        T.LongType()
+    )
+
+
+def char_count(c: Column | str) -> Column:
+    return F.length(_c(c)).cast(T.LongType())
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    col = _c(c)
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.round(punct / F.greatest(F.length(col), F.lit(1)), 4)
+
+
+def stopword_ratio(c: Column | str, markers: str = LANG_MARKERS["en"]) -> Column:
+    """Marker-word occurrences per word — cheap fluency signal."""
+    col = _c(c)
+    return F.round(
+        F.regexp_count(col, F.lit(markers)) / F.greatest(word_count(col), F.lit(1)), 4
+    )
+
+
+def quality_score(c: Column | str) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards normal-length
+    docs with low punctuation noise and some stopword fluency.
+    Mirrors the shape of public quality filters (length + symbol-ratio
+    + stopword checks); exact formula is ours and oracle-replicated.
+    """
+    col = _c(c)
+    wc = word_count(col)
+    len_score = F.least(wc / F.lit(100.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5)
+    stop_score = F.least(stopword_ratio(col) * 10, F.lit(1.0))
+    return F.round((len_score + punct_pen + stop_score) / 3, 4)
+
+
+def lang_id(c: Column | str) -> Column:
+    """N-gram/marker language-ID heuristic (deterministic, SQL-expressible).
+
+    CJK codepoints → zh; else the marker set with the highest hit
+    count wins (ties resolved in fixed en>de>fr>es order); no hits → und.
+    """
+    col = _c(c)
+    counts = {k: F.regexp_count(col, F.lit(v)) for k, v in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    expr = F.when(F.regexp_count(col, F.lit(r"[一-鿿]")) > 0, F.lit("zh"))
+    for k in ("en", "de", "fr", "es"):  # fixed priority order for ties
+        expr = expr.when((counts[k] > 0) & (counts[k] == best), F.lit(k))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint_md5(c: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (exact-dup key)."""
+    return F.md5(normalize_text(_c(c)))
+
+
+def rolling_hash64(c: Column | str) -> Column:
+    """64-bit content fingerprint via xxhash64 of normalized text.
+
+    Cheaper than md5 (no hex string); engine-specific → rows-only checks.
+    """
+    return F.xxhash64(normalize_text(_c(c)))

@@ -1,0 +1,95 @@
+"""Validation predicate builders (reference P3-P6, ``dags/main.py:185-228``).
+
+All predicates are Column expressions evaluated JVM-side; invalid rows
+are *dropped not repaired*, exactly like the reference (filter at
+``dags/main.py:228``). ``split_valid_invalid`` gives both halves of
+the filter with one cached scan so the valid/invalid accounting the
+reference logs (``dags/main.py:241-247``) costs one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geoestate_etl_spark.functions.cleaning import (
+    strip_to_decimal,
+    strip_to_digits,
+    strip_to_signed_decimal,
+)
+
+#: Format regexes used by the reference (dags/main.py:202-214).
+YEAR_4DIGIT = r"^[0-9]{4}$"
+DECIMAL_NUMBER = r"^[0-9]+(\.[0-9]+)?$"
+INTEGER_NUMBER = r"^[0-9]+$"
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def not_blank(c: Column | str) -> Column:
+    """P4: not-null AND not blank after trim (dags/main.py:185-194)."""
+    col = _as_col(c)
+    return col.isNotNull() & (F.trim(col) != "")
+
+
+def castable(c: Column | str, dtype: T.DataType) -> Column:
+    """P5: castability probe — Spark cast-fail yields null (main.py:196-216)."""
+    return _as_col(c).cast(dtype).isNotNull()
+
+
+def matches_format(c: Column | str, pattern: str) -> Column:
+    """P6: regex format check via ``rlike`` (dags/main.py:202-214)."""
+    return _as_col(c).rlike(pattern)
+
+
+def houses_valid_predicate(df: DataFrame) -> Column:
+    """P3: the reference's conjunctive row filter (dags/main.py:218-228).
+
+    Seven predicate groups AND-ed: required text fields non-blank;
+    house_id int-castable; lat/lon double-castable (after signed-decimal
+    strip); year 4-digit; square decimal-format + double-castable;
+    population and communal_service_id integer-format + int-castable.
+    Column cleaning is applied inline so the predicate works on the raw
+    (all-string) frame.
+    """
+    from geoestate_etl_spark.schema import HOUSES_TEXT_REQUIRED
+
+    year = strip_to_digits("maintenance_year")
+    square = strip_to_decimal("square")
+    population = strip_to_digits("population")
+    csid = strip_to_digits("communal_service_id")
+    lat = strip_to_signed_decimal("latitude")
+    lon = strip_to_signed_decimal("longitude")
+
+    pred = F.lit(True)
+    for c in HOUSES_TEXT_REQUIRED:
+        pred = pred & not_blank(c)
+    pred = (
+        pred
+        & castable("house_id", T.IntegerType())
+        & castable(lat, T.DoubleType())
+        & castable(lon, T.DoubleType())
+        & matches_format(year, YEAR_4DIGIT)
+        & matches_format(square, DECIMAL_NUMBER)
+        & castable(square, T.DoubleType())
+        & matches_format(population, INTEGER_NUMBER)
+        & castable(population, T.IntegerType())
+        & matches_format(csid, INTEGER_NUMBER)
+        & castable(csid, T.IntegerType())
+    )
+    return pred
+
+
+def split_valid_invalid(
+    df: DataFrame, predicate: Column
+) -> tuple[DataFrame, DataFrame]:
+    """Split into (valid, invalid) halves of one predicate.
+
+    Caller should ``persist()`` ``df`` if both halves are acted on —
+    mirrors the reference's persist-count-write pattern
+    (``dags/main.py:228,249``) without forcing materialization here.
+    """
+    return df.filter(predicate), df.filter(~predicate)

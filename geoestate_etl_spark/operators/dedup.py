@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-disciplined for 100 TB:
+
+- exact: hash-groupBy on a fingerprint — one shuffle, deterministic
+  keeper (min id), never ``dropDuplicates`` on a subset (keeper there
+  is partition-order-dependent).
+- MinHash + LSH: shingle → minhash signature → band → bucket
+  equi-join. The self-join is on (band_id, band_hash) buckets, so
+  candidate generation is linear-ish in data size, NOT a crossJoin.
+  Signatures are built with ``xxhash64`` over salted shingles — pure
+  built-ins, no UDF, deterministic across runs/cluster sizes.
+- SimHash: per-token hash sign-sums → 32-bit fingerprint; near-dups
+  bucket by rotated bit-blocks (hamming-distance LSH).
+- n-gram Jaccard: exact pair similarity, computed only on LSH
+  candidates (array_intersect/array_union on shingle sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geoestate_etl_spark.functions.text import fingerprint_md5, normalize_text
+
+# --- exact ------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup by content fingerprint: one row per distinct
+    normalized text, deterministic keeper = min id, with copy count."""
+    return (
+        df.withColumn("fp", fingerprint_md5(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def dedup_by_key(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Keyed dedup: deterministic keeper per key group (min id)."""
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+# --- shingles + minhash -----------------------------------------------------
+
+
+def shingles(c: Column | str, k: int = 3) -> Column:
+    """k-word shingle set of the normalized text (distinct, sorted).
+
+    Built with higher-order functions: split → sliding windows via
+    transform over an index sequence → array_distinct.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return F.array_sort(F.array_distinct(sh))
+
+
+def minhash_signature(shingle_col: Column | str, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed j, min over shingles of
+    xxhash64(j ‖ shingle). Deterministic; array<long> of length
+    ``num_hashes``."""
+    col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+
+    # factory, NOT a default-arg closure: PySpark dispatches higher-order
+    # lambdas on arity, so an extra bound parameter would be fed a column
+    def salted_hash(j: int):
+        return lambda s: F.xxhash64(F.concat(F.lit(f"{j}|"), s))
+
+    mins = [
+        F.array_min(F.transform(col, salted_hash(j))) for j in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH banding + exact Jaccard rescore.
+
+    Plan shape (scale-critical): docs → (shingles, signature) once;
+    explode ``bands`` band-hashes per doc; self-equi-join on
+    (band, band_hash) buckets; dedupe candidate pairs; rescore with
+    exact Jaccard on the shingle sets; filter by threshold.
+    No crossJoin anywhere — the join key is the LSH bucket.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("sh")
+    ).withColumn("sig", minhash_signature("sh", num_hashes))
+
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.lit(b),
+                    *[
+                        F.col("sig").getItem(b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.withColumn("band_hash", F.explode(band_arr)).select(
+        "id", "sh", "band_hash"
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.withColumn(
+            "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4)
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- simhash ----------------------------------------------------------------
+
+
+def simhash32(c: Column | str) -> Column:
+    """32-bit SimHash of the whitespace tokens.
+
+    bit b = sign of Σ_tokens (2·((xxhash64(tok)>>b)&1) − 1). Pure
+    higher-order aggregation — per-bit sums fold over the token array.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    toks = F.split(normalize_text(col), " ")
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    # factory, NOT a default-arg closure (see minhash_signature note)
+    def bit_merge(b: int):
+        return lambda acc, x: acc + (
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    out = F.lit(0).cast(T.LongType())
+    for b in range(32):
+        bit_sum = F.aggregate(h, F.lit(0).cast(T.LongType()), bit_merge(b))
+        out = out + F.when(bit_sum > 0, F.lit(1 << b).cast(T.LongType())).otherwise(
+            F.lit(0).cast(T.LongType())
+        )
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    LSH on 4 byte-blocks of the 32-bit hash (pigeonhole: distance ≤ 6
+    with 4 blocks guarantees ≥1 identical 8-bit block when errors
+    spread, candidate recall is high for small distances); candidates
+    equi-join on (block_id, block_value), then exact popcount rescore.
+    """
+    base = df.select(F.col(id_col).alias("id"), simhash32(text_col).alias("sh"))
+    blocks = F.array(
+        *[
+            F.concat_ws(
+                ":", F.lit(i), F.shiftright("sh", i * 8).bitwiseAND(F.lit(0xFF))
+            )
+            for i in range(4)
+        ]
+    )
+    banded = base.withColumn("blk", F.explode(blocks))
+    left, right = banded.alias("l"), banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- ``brute_force_topk`` — exact cosine top-k against a probe vector.
+  The probe is a literal in the plan (broadcast by definition); the
+  scan is embarrassingly parallel; top-k is TakeOrderedAndProject
+  (per-partition heaps, no global sort). This is the 100 TB baseline:
+  one pass, no shuffle beyond k rows per partition to the driver.
+- ``lsh_topk`` — random-hyperplane LSH bucketing: probe only the
+  matching bucket plus hamming-1 neighbors (multi-probe). Cuts the
+  scanned fraction to ~(1+P)/2^P of rows at the cost of recall; the
+  bucketed table can be written partitioned by bucket for true
+  partition pruning at scale.
+
+Hyperplanes are deterministic (seeded LCG, not ``random``) so plans
+are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.functions.vectors import cosine, hyperplane_bits
+
+
+def make_hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in {-1,+1}^dim.
+
+    A fixed-parameter LCG (numerical-recipes constants) keyed by
+    (seed, plane, coord) — no RNG state, same planes everywhere.
+    """
+    planes = []
+    for j in range(num_planes):
+        row = []
+        x = (seed * 6364136223846793005 + j * 1442695040888963407) % (1 << 64)
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1.0 if (x >> 63) else -1.0)
+        planes.append(row)
+    return planes
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k vs a literal probe vector.
+
+    Scores are rounded to ``scale`` dp and tie-broken by id so the
+    result set is stable across engines/partitionings.
+    """
+    probe_col = F.array(*[F.lit(float(v)) for v in probe])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), probe_col), scale).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def bucketize(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the LSH bucket key (hyperplane sign bits) to each row.
+
+    At scale: persist this partitioned by ``bucket`` so probes prune
+    partitions instead of scanning.
+    """
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+
+
+def _hamming1_buckets(bucket: str) -> list[str]:
+    flips = [bucket]
+    for i in range(len(bucket)):
+        flips.append(bucket[:i] + ("0" if bucket[i] == "1" else "1") + bucket[i + 1 :])
+    return flips
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: scan only the probe's LSH bucket and
+    its hamming-1 neighbors (multi-probe), then exact rescore."""
+    dim = len(probe)
+    planes = make_hyperplanes(num_planes, dim)
+    bucketed = bucketize(embeddings, planes, id_col, vec_col)
+
+    # compute the probe's bucket driver-side with the same formula
+    probe_bits = "".join(
+        "1" if sum(p[i] * probe[i] for i in range(dim)) >= 0 else "0" for p in planes
+    )
+    candidates = bucketed.filter(F.col("bucket").isin(_hamming1_buckets(probe_bits)))
+
+    probe_col = F.array(*[F.lit(float(v)) for v in probe])
+    scored = candidates.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), probe_col), scale).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    num_planes: int = 12,
+    dim: int = 64,
+    cosine_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs: LSH-bucket equi-self-join (no
+    crossJoin) + exact cosine rescore ≥ threshold."""
+    planes = make_hyperplanes(num_planes, dim)
+    b = bucketize(embeddings, planes, id_col, vec_col)
+    left, right = b.alias("l"), b.alias("r")
+    cands = left.join(
+        right,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    return cands.filter(F.col("cos_sim") >= cosine_threshold)

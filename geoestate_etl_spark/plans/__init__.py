@@ -1,0 +1,3 @@
+from geoestate_etl_spark.plans.registry import QuerySpec, all_queries
+
+__all__ = ["QuerySpec", "all_queries"]

@@ -1,0 +1,214 @@
+"""Extension queries: text analysis, dedup, similarity, multimodal.
+
+Exact/deterministic ops carry DuckDB oracles; sketch/LSH ops are
+rows-only (their unit tests pin semantics on constructed fixtures
+instead — see tests/test_dedup.py, tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.functions import text as TX
+from geoestate_etl_spark.operators import dedup as DD
+from geoestate_etl_spark.operators import multimodal as MM
+from geoestate_etl_spark.operators import similarity as SIM
+from geoestate_etl_spark.plans.registry import QuerySpec
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.char_count("text").alias("n_chars_calc"),
+        TX.word_count("text").alias("n_words"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.stopword_ratio("text").alias("stop_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id("text").alias("pred_lang"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint_md5("text").alias("fp"))
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.dedup_exact(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.dedup_by_key(_t(spark, sf_dir, "documents"), ["lang", "source"], "doc_id")
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        jaccard_threshold=0.2,
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_near_dups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --- similarity -------------------------------------------------------------
+
+
+def _probe(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, _probe(spark, sf_dir), k=10)
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, _probe(spark, sf_dir), k=10)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), cosine_threshold=0.8
+    )
+
+
+# --- multimodal (stub decode; real Spark plumbing) --------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.attach_fake_media(docs, "doc_id", "text")
+    return MM.decode_media(media)
+
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens,
+       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+             / greatest(length(text), 1), 4) AS punct_ratio
+FROM documents
+"""
+
+_STOP_RE = r"\b(the|and|of|a|is)\b"
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS wc,
+         len(regexp_extract_all(text, '{_STOP_RE}')) AS stops,
+         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / greatest(length(text), 1), 4) AS pr
+  FROM documents
+)
+SELECT doc_id,
+       round(stops / greatest(wc, 1), 4) AS stop_ratio,
+       round((least(wc / 100.0, 1.0)
+              + greatest(0.0, 1.0 - pr * 5)
+              + least(round(stops / greatest(wc, 1), 4) * 10, 1.0)) / 3, 4) AS quality
+FROM base
+"""
+
+_LANG_SQL = """
+WITH c AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '\\b(the|and|of|a|is)\\b')) AS c_en,
+         len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) AS c_de,
+         len(regexp_extract_all(text, '\\b(le|la|et|les|est)\\b')) AS c_fr,
+         len(regexp_extract_all(text, '\\b(el|los|y|una|es)\\b')) AS c_es,
+         len(regexp_extract_all(text, '[一-鿿]')) AS c_zh
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN c_zh > 0 THEN 'zh'
+            WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+            WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+            WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+            WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+            ELSE 'und' END AS pred_lang
+FROM c
+"""
+
+SPECS = [
+    QuerySpec("text_stats", q_text_stats, _TEXT_STATS_SQL, "ext-text-stats"),
+    QuerySpec("quality_score", q_quality_score, _QUALITY_SQL, "ext-text-quality"),
+    QuerySpec("lang_id", q_lang_id, _LANG_SQL, "ext-lang-id"),
+    QuerySpec(
+        "fingerprint",
+        q_fingerprint,
+        f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+        "ext-fingerprint",
+    ),
+    QuerySpec(
+        "dedup_exact",
+        q_dedup_exact,
+        f"SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keeper_id, "
+        "count(*) AS n_copies FROM documents GROUP BY fp",
+        "ext-dedup-exact",
+    ),
+    QuerySpec(
+        "dedup_by_key",
+        q_dedup_by_key,
+        "SELECT lang, source, min(doc_id) AS keeper_id, count(*) AS n_copies "
+        "FROM documents GROUP BY lang, source",
+        "ext-dedup-key",
+    ),
+    QuerySpec("minhash_near_dups", q_minhash_near_dups, None, "ext-dedup-minhash-lsh"),
+    QuerySpec("simhash_near_dups", q_simhash_near_dups, None, "ext-dedup-simhash"),
+    QuerySpec(
+        "similarity_bruteforce",
+        q_similarity_bruteforce,
+        "WITH probe AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p "
+        "FROM embeddings WHERE vec_id = 0), "
+        "scored AS (SELECT vec_id, round(list_cosine_similarity("
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)), (SELECT p FROM probe)"
+        "), 4) AS cos_sim FROM embeddings) "
+        "SELECT vec_id, cos_sim FROM scored "
+        "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10",
+        "ext-similarity-exact",
+    ),
+    QuerySpec("similarity_lsh", q_similarity_lsh, None, "ext-similarity-lsh"),
+    QuerySpec("embedding_near_dups", q_embedding_near_dups, None, "ext-dedup-embedding"),
+    QuerySpec("multimodal_meta", q_multimodal_meta, None, "ext-multimodal"),
+]

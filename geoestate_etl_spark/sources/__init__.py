@@ -1,0 +1,15 @@
+from geoestate_etl_spark.sources.csv_source import read_dirty_csv
+from geoestate_etl_spark.sources.parquet_io import (
+    load_tables,
+    read_parquet,
+    write_parquet,
+    write_sorted_table,
+)
+
+__all__ = [
+    "read_dirty_csv",
+    "read_parquet",
+    "write_parquet",
+    "write_sorted_table",
+    "load_tables",
+]
