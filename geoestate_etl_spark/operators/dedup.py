@@ -70,16 +70,23 @@ def minhash_signature(shingle_col: Column | str, num_hashes: int = 16) -> Column
     xxhash64(j ‖ shingle). Deterministic; array<long> of length
     ``num_hashes``."""
     col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    max_long = F.lit(0x7FFFFFFFFFFFFFFF).cast(T.LongType())
 
-    # factory, NOT a default-arg closure: PySpark dispatches higher-order
-    # lambdas on arity, so an extra bound parameter would be fed a column
-    def salted_hash(j: int):
-        return lambda s: F.xxhash64(F.concat(F.lit(f"{j}|"), s))
+    # ONE fold over the shingle array: the accumulator is the running
+    # per-seed minimum vector, merged with zip_with(least). Seed family
+    # via the Broder two-hash trick g_j = h1 + j*h2 (64-bit wrapping) —
+    # 2 string hashes per shingle instead of num_hashes salted concats.
+    # masked to 62/31 bits so h1 + j*h2 can't overflow a long (ANSI mode
+    # throws on wrap); entropy loss is irrelevant for min-wise hashing
+    def merge(acc, s):
+        h1 = F.xxhash64(s).bitwiseAND(F.lit(0x3FFFFFFFFFFFFFFF))
+        h2 = F.xxhash64(s, F.lit(1)).bitwiseAND(F.lit(0x7FFFFFFF))
+        salted = F.array(
+            *[h1 + F.lit(j).cast(T.LongType()) * h2 for j in range(num_hashes)]
+        )
+        return F.zip_with(acc, salted, lambda a, c: F.least(a, c))
 
-    mins = [
-        F.array_min(F.transform(col, salted_hash(j))) for j in range(num_hashes)
-    ]
-    return F.array(*mins)
+    return F.aggregate(col, F.array_repeat(max_long, num_hashes), merge)
 
 
 def minhash_near_dups(
@@ -103,6 +110,11 @@ def minhash_near_dups(
     base = df.select(
         F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("sh")
     ).withColumn("sig", minhash_signature("sh", num_hashes))
+    # the shingle/signature stage feeds three plan branches (banding +
+    # both sides of the pair rejoin); persist so the expensive
+    # normalize→shingle→hash scan runs once, mirroring the
+    # materialize-signatures-then-join shape a production pipeline uses
+    base = base.persist()
 
     band_arr = F.array(
         *[
@@ -119,26 +131,28 @@ def minhash_near_dups(
             for b in range(bands)
         ]
     )
+    # band the ids WITHOUT the shingle arrays: the exploded (4x) rows and
+    # the self-join shuffle then move only (id, band_hash) pairs — wide
+    # array payloads rejoin once per side, keyed by id, after dedupe
     banded = base.withColumn("band_hash", F.explode(band_arr)).select(
-        "id", "sh", "band_hash"
+        "id", "band_hash"
     )
-
     left = banded.alias("l")
     right = banded.alias("r")
-    cands = (
+    pairs = (
         left.join(
             right,
             (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    sets = base.select("id", "sh")
+    cands = pairs.join(
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -163,30 +177,44 @@ def simhash32(c: Column | str) -> Column:
     col = F.col(c) if isinstance(c, str) else c
     toks = F.split(normalize_text(col), " ")
     h = F.transform(toks, lambda t: F.xxhash64(t))
-    # factory, NOT a default-arg closure (see minhash_signature note)
-    def bit_merge(b: int):
-        return lambda acc, x: acc + (
-            F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1
-        )
 
-    out = F.lit(0).cast(T.LongType())
-    for b in range(32):
-        bit_sum = F.aggregate(h, F.lit(0).cast(T.LongType()), bit_merge(b))
-        out = out + F.when(bit_sum > 0, F.lit(1 << b).cast(T.LongType())).otherwise(
-            F.lit(0).cast(T.LongType())
+    zero = F.lit(0).cast(T.LongType())
+
+    # ONE fold over the token hashes: accumulator = vector of 32 signed
+    # bit-sums, each token contributes ±1 per bit (literal-unrolled
+    # shifts keep everything JVM-side; a fold-per-bit re-walks the
+    # tokens 32 times).
+    def merge(acc, x):
+        contrib = F.array(
+            *[
+                (F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1).cast(T.LongType())
+                for b in range(32)
+            ]
         )
-    return out
+        return F.zip_with(acc, contrib, lambda a, v: a + v)
+
+    # pack in the aggregate's finish fn: `acc` is a bound variable there,
+    # so the fold runs once no matter how many bits reference it
+    def pack(acc):
+        out = zero
+        for b in range(32):
+            out = out + F.when(
+                acc.getItem(b) > 0, F.lit(1 << b).cast(T.LongType())
+            ).otherwise(zero)
+        return out
+
+    return F.aggregate(h, F.array_repeat(zero, 32), merge, pack)
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 6
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
-    LSH on 4 byte-blocks of the 32-bit hash (pigeonhole: distance ≤ 6
-    with 4 blocks guarantees ≥1 identical 8-bit block when errors
-    spread, candidate recall is high for small distances); candidates
-    equi-join on (block_id, block_value), then exact popcount rescore.
+    LSH on 4 byte-blocks of the 32-bit hash; by pigeonhole, distance
+    ≤ 3 guarantees at least one identical 8-bit block, so candidate
+    recall is exact. Candidates equi-join on (block_id, block_value),
+    then exact popcount rescore — never an all-pairs comparison.
     """
     base = df.select(F.col(id_col).alias("id"), simhash32(text_col).alias("sh"))
     blocks = F.array(
