@@ -41,8 +41,14 @@ def castable(c: Column | str, dtype: T.DataType) -> Column:
 
 
 def matches_format(c: Column | str, pattern: str) -> Column:
-    """P6: regex format check via ``rlike`` (dags/main.py:202-214)."""
-    return _as_col(c).rlike(pattern)
+    """P6: regex format check via ``rlike`` (dags/main.py:202-214).
+
+    Null-safe: ``rlike`` on NULL yields NULL, which would silently drop
+    the row from BOTH halves of a valid/invalid split (NULL and its
+    negation both fail a filter). Coalesce to false so "no value" is
+    deterministically invalid.
+    """
+    return F.coalesce(_as_col(c).rlike(pattern), F.lit(False))
 
 
 def houses_valid_predicate(df: DataFrame) -> Column:
@@ -91,5 +97,10 @@ def split_valid_invalid(
     Caller should ``persist()`` ``df`` if both halves are acted on —
     mirrors the reference's persist-count-write pattern
     (``dags/main.py:228,249``) without forcing materialization here.
+
+    The predicate is coalesced to false so the two halves always
+    partition the input exactly (a NULL-evaluating predicate would
+    exclude its row from both).
     """
-    return df.filter(predicate), df.filter(~predicate)
+    safe = F.coalesce(predicate, F.lit(False))
+    return df.filter(safe), df.filter(~safe)

@@ -1,0 +1,146 @@
+"""The reference DAG, re-expressed as one Spark lineage.
+
+The reference runs 11 Airflow tasks, each with its own short-lived
+SparkSession, handing state between tasks as parquet files on a shared
+volume (``dags/main.py:506-581``; SURVEY §2.11/§3.1). Here the same
+semantics are pure ``DataFrame → DataFrame`` stage functions composed
+in one session — lineage replaces the parquet handoffs, Catalyst sees
+the whole plan, and checkpoints are *optional* sink calls rather than
+mandatory task boundaries.
+
+Stage map (reference task → here):
+
+==========================  =======================================
+load_csv (main.py:148-168)   ``sources.read_dirty_csv``
+validate  (:171-257)         ``validated`` (split + counts + renumber)
+cast      (:260-285)         ``operators.transforms.cast_houses``
+year_stats (:289-310)        ``year_stats``
+top_regions_cities (:313-340)``top_regions`` / ``top_localities``
+min_max_square (:343-358)    ``min_max_square``
+decade_histogram (:361-377)  ``decade_histogram``
+ClickHouse DDL+load (:381+)  ``sources.write_sorted_table``
+top-25 SQL (:481-502)        ``top25_by_square``
+==========================  =======================================
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.functions.validation import (
+    houses_valid_predicate,
+    split_valid_invalid,
+)
+from geoestate_etl_spark.operators.aggregates import (
+    global_mean,
+    global_median,
+    group_count,
+    group_min_max,
+    histogram_by_bucket,
+)
+from geoestate_etl_spark.operators.topk import filtered_top_k, top_k_by_count
+from geoestate_etl_spark.operators.transforms import cast_houses, decade_of
+from geoestate_etl_spark.operators.windows import renumber_global, renumber_scalable
+from geoestate_etl_spark.schema import HOUSES_RAW_SCHEMA
+from geoestate_etl_spark.sources.csv_source import read_dirty_csv
+from geoestate_etl_spark.sources.parquet_io import write_sorted_table
+
+
+@dataclass
+class PipelineResult:
+    clean: DataFrame  # canonical typed houses table (post renumber+cast)
+    n_valid: int
+    n_invalid: int
+    year_stats: DataFrame  # avg + median maintenance year
+    top_regions: DataFrame
+    top_localities: DataFrame
+    min_max_square: DataFrame
+    decade_histogram: DataFrame
+    top25_by_square: DataFrame
+
+
+def load_stage(spark: SparkSession, csv_path: str, encoding: str = "UTF-16") -> DataFrame:
+    """load_csv: dirty CSV → all-string raw frame (S1)."""
+    return read_dirty_csv(spark, csv_path, schema=HOUSES_RAW_SCHEMA, encoding=encoding)
+
+
+def validate_stage(raw: DataFrame, scalable: bool = True) -> tuple[DataFrame, int, int]:
+    """validate: split on the conjunctive predicate, count both halves,
+    renumber ``house_id`` densely over the valid rows (P3-P6 + W1).
+
+    ``persist`` mirrors the reference (main.py:228,249): the raw frame
+    feeds both halves' counts and the downstream cast.
+    """
+    raw = raw.persist()
+    valid, invalid = split_valid_invalid(raw, houses_valid_predicate(raw))
+    n_valid, n_invalid = valid.count(), invalid.count()
+    renumber = renumber_scalable if scalable else renumber_global
+    renumbered = renumber(
+        valid.withColumn("house_id", F.col("house_id").cast("int")), "house_id", "new_id"
+    )
+    out = renumbered.withColumn(
+        "house_id", F.col("new_id").cast("string")
+    ).drop("new_id")
+    return out, n_valid, n_invalid
+
+
+def analytics_stage(clean: DataFrame) -> dict[str, DataFrame]:
+    """The reference's four analytics queries (A1-A5, T1-T2) on the
+    typed table, all in-plan (no driver-side math — quirk Q3 repaired
+    by F.round)."""
+    year_num = clean.select(F.year("maintenance_year").alias("y"))
+    year_stats = global_mean(year_num, "y", "avg_year", 2).crossJoin(
+        global_median(year_num, "y", "median_year")
+    )
+    return {
+        "year_stats": year_stats,
+        "top_regions": top_k_by_count(clean, ["region"], 10),
+        "top_localities": top_k_by_count(clean, ["locality_name"], 10),
+        "min_max_square": group_min_max(
+            clean, ["region"], "square", "max_square", "min_square"
+        ).orderBy("region"),
+        "decade_histogram": histogram_by_bucket(
+            clean, decade_of("maintenance_year"), "decade", "cnt"
+        ).orderBy("decade"),
+    }
+
+
+def top25_stage(clean: DataFrame, min_square: float = 60.0) -> DataFrame:
+    """The serving-layer SQL top-k (T3, main.py:489-495) as DataFrame ops."""
+    return filtered_top_k(
+        clean,
+        F.col("square") > min_square,
+        [F.desc("square"), F.asc("house_id")],
+        25,
+        projection=["house_id", "square", "maintenance_year", "region"],
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    csv_path: str,
+    serving_path: str | None = None,
+    encoding: str = "UTF-16",
+    scalable_renumber: bool = True,
+) -> PipelineResult:
+    """Full reference-equivalent pipeline in one lineage."""
+    raw = load_stage(spark, csv_path, encoding)
+    validated, n_valid, n_invalid = validate_stage(raw, scalable=scalable_renumber)
+    clean = cast_houses(validated).persist()
+
+    analytics = analytics_stage(clean)
+    if serving_path is not None:
+        # replaces collect()+batched INSERT (S7): partition-parallel,
+        # clustered by the MergeTree sort key
+        write_sorted_table(clean, serving_path, "house_id")
+
+    return PipelineResult(
+        clean=clean,
+        n_valid=n_valid,
+        n_invalid=n_invalid,
+        top25_by_square=top25_stage(clean),
+        **analytics,
+    )
