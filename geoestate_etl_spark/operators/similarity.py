@@ -81,11 +81,19 @@ def bucketize(
     )
 
 
-def _hamming1_buckets(bucket: str) -> list[str]:
-    flips = [bucket]
-    for i in range(len(bucket)):
-        flips.append(bucket[:i] + ("0" if bucket[i] == "1" else "1") + bucket[i + 1 :])
-    return flips
+def _probe_buckets(bucket: str, radius: int) -> list[str]:
+    """All bucket keys within hamming distance ``radius`` of ``bucket``."""
+    from itertools import combinations
+
+    out = []
+    n = len(bucket)
+    for r in range(radius + 1):
+        for idxs in combinations(range(n), r):
+            b = list(bucket)
+            for i in idxs:
+                b[i] = "0" if b[i] == "1" else "1"
+            out.append("".join(b))
+    return out
 
 
 def lsh_topk(
@@ -96,9 +104,16 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 4,
+    probe_radius: int = 2,
 ) -> DataFrame:
     """Approximate cosine top-k: scan only the probe's LSH bucket and
-    its hamming-1 neighbors (multi-probe), then exact rescore."""
+    its hamming≤radius neighbors (multi-probe), then exact rescore.
+
+    With P planes and radius r the scanned fraction is
+    ~C(P,≤r)/2^P of rows (P=8, r=2 → 37/256 ≈ 14%); raise the radius
+    for recall, lower it for speed. Scores/ordering are exact on the
+    scanned candidates.
+    """
     dim = len(probe)
     planes = make_hyperplanes(num_planes, dim)
     bucketed = bucketize(embeddings, planes, id_col, vec_col)
@@ -107,7 +122,9 @@ def lsh_topk(
     probe_bits = "".join(
         "1" if sum(p[i] * probe[i] for i in range(dim)) >= 0 else "0" for p in planes
     )
-    candidates = bucketed.filter(F.col("bucket").isin(_hamming1_buckets(probe_bits)))
+    candidates = bucketed.filter(
+        F.col("bucket").isin(_probe_buckets(probe_bits, probe_radius))
+    )
 
     probe_col = F.array(*[F.lit(float(v)) for v in probe])
     scored = candidates.select(

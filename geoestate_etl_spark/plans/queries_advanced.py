@@ -1,0 +1,176 @@
+"""Advanced relational surface: as-of join, range join, pivot, cube,
+distinct counts, SQL-API entry point.
+
+The as-of join oracle uses DuckDB's native ASOF JOIN — strong evidence
+the union+window formulation implements the standard semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geoestate_etl_spark.operators.asof import asof_join, range_join_bucketed
+from geoestate_etl_spark.plans.registry import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        from geoestate_etl_spark.sources.parquet_io import load_events
+
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the user's latest purchase at-or-before it."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))  # unique per (key, ts)
+    )
+    left = ev.select("user_id", "ts", "event_id")
+    out = asof_join(left, purchases, "user_id", "ts", ["purchase_id"])
+    return out.select("event_id", "user_id", "purchase_id")
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined into fixed price bands via the bucketed range join."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(i, float(i * 50_000), float((i + 1) * 50_000)) for i in range(10)],
+        T.StructType(
+            [
+                T.StructField("band_id", T.IntegerType(), False),
+                T.StructField("lo", T.DoubleType(), False),
+                T.StructField("hi", T.DoubleType(), False),
+            ]
+        ),
+    )
+    joined = range_join_bucketed(
+        orders.select("o_orderkey", "o_totalprice"), bands, "o_totalprice", "lo", "hi", 50_000.0
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("band_total"))
+        .orderBy("band_id")
+    )
+
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer counts pivoted nation × market segment (explicit value
+    list → stable output schema)."""
+    cust = _t(spark, sf_dir, "customer")
+    out = (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .orderBy("c_nationkey")
+    )
+    # pivot yields nullable counts; coalesce to 0 like the SQL oracle
+    return out.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in SEGMENTS],
+    )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch — engine-specific estimate, rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+
+
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S8 capability: raw SQL through spark.sql over registered views
+    (replaces the reference's external ClickHouse SQL path)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS cnt,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders_v
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "asof_last_purchase",
+        q_asof_last_purchase,
+        "WITH purchases AS ("
+        "  SELECT user_id, ts, max(event_id) AS purchase_id FROM events "
+        "  WHERE event_type = 'purchase' GROUP BY user_id, ts) "
+        "SELECT e.event_id, e.user_id, p.purchase_id "
+        "FROM events e ASOF LEFT JOIN purchases p "
+        "ON e.user_id = p.user_id AND p.ts <= e.ts",
+        "asof-join",
+    ),
+    QuerySpec(
+        "range_join_bands",
+        q_range_join_bands,
+        "WITH bands AS (SELECT i AS band_id, i * 50000.0 AS lo, "
+        "(i + 1) * 50000.0 AS hi FROM range(10) t(i)) "
+        "SELECT band_id, count(*) AS cnt, round(sum(o_totalprice), 2) AS band_total "
+        "FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi "
+        "GROUP BY band_id ORDER BY band_id",
+        "range-join",
+    ),
+    QuerySpec(
+        "pivot_segments",
+        q_pivot_segments,
+        "SELECT c_nationkey, "
+        + ", ".join(
+            f"count(*) FILTER (c_mktsegment = '{s}') AS {s}" for s in SEGMENTS
+        )
+        + " FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
+        "pivot",
+    ),
+    QuerySpec(
+        "cube_orders",
+        q_cube_orders,
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, "
+        "round(sum(o_totalprice), 2) AS total FROM orders "
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+        "cube",
+    ),
+    QuerySpec(
+        "distinct_counts",
+        q_distinct_counts,
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag",
+        "distinct-agg",
+    ),
+    QuerySpec("approx_distinct", q_approx_distinct, None, "approx-distinct"),
+    QuerySpec(
+        "sql_api",
+        q_sql_api,
+        "SELECT o_orderstatus, count(*) AS cnt, round(avg(o_totalprice), 2) "
+        "AS avg_price FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        "S8-sql-api",
+    ),
+]

@@ -31,6 +31,7 @@ class QuerySpec:
 def all_queries() -> dict[str, QuerySpec]:
     """Merge every domain module's specs (name → spec, unique names)."""
     from geoestate_etl_spark.plans import (
+        queries_advanced,
         queries_core,
         queries_events,
         queries_ext,
@@ -38,7 +39,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (queries_core, queries_join, queries_events, queries_ext):
+    for mod in (queries_core, queries_join, queries_events, queries_ext, queries_advanced):
         for spec in mod.SPECS:
             if spec.name in out:
                 raise ValueError(f"duplicate query name: {spec.name}")

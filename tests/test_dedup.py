@@ -1,0 +1,71 @@
+"""Dedup-operator semantics on constructed fixtures (the synthetic
+documents table has no true dups, so these pin behavior with known
+planted duplicates)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.operators.dedup import (
+    dedup_by_key,
+    dedup_exact,
+    minhash_near_dups,
+    shingles,
+    simhash32,
+    simhash_near_dups,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+OTHER = "completely different words about database engines and columnar storage"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, "  THE   quick brown fox jumps over the lazy dog again and again today "),
+        # ^ normalizes to BASE (case+whitespace) -> exact dup after normalize
+        (4, NEAR),  # near dup of 1 (one word differs)
+        (5, OTHER),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_finds_normalized_dups(docs):
+    out = {r.keeper_id: r.n_copies for r in dedup_exact(docs, "text", "doc_id").collect()}
+    assert out[1] == 3  # docs 1,2,3 share a fingerprint; keeper = min id
+    assert out[4] == 1 and out[5] == 1
+
+
+def test_dedup_by_key_deterministic_keeper(spark):
+    df = spark.createDataFrame(
+        [(10, "a"), (7, "a"), (99, "b")], ["id", "k"]
+    )
+    out = {r.k: (r.keeper_id, r.n_copies) for r in dedup_by_key(df, ["k"], "id").collect()}
+    assert out == {"a": (7, 2), "b": (99, 1)}
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dups(docs, "text", "doc_id", jaccard_threshold=0.3).collect()
+    }
+    assert (1, 4) in pairs or (1, 2) in pairs  # near/exact dups surface
+    assert pairs.get((1, 2)) == 1.0  # exact dup -> jaccard 1
+    assert all(not (a == 5 or b == 5) for a, b in pairs)  # OTHER matches nothing
+
+
+def test_simhash_exact_dup_distance_zero(docs, spark):
+    out = {r.doc_id: r.sh for r in docs.select("doc_id", simhash32("text").alias("sh")).collect()}
+    assert out[1] == out[2] == out[3]  # identical normalized text -> same hash
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(docs, "text", "doc_id").collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], ["id", "text"])
+    out = df.select(shingles("text", 3).alias("sh")).collect()[0].sh
+    assert out == ["one two"]  # shorter than k -> single whole-doc shingle

@@ -1,0 +1,53 @@
+"""Structured Streaming demo path: the batch-verified tumbling plan,
+run as a real readStream (file source -> memory sink) and checked
+against the batch result on the same rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.sources.parquet_io import load_events
+from geoestate_etl_spark.streaming.event_windows import (
+    stream_tumbling_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, tmp_path_factory):
+    # re-materialize with a us timestamp so readStream sees a plain schema
+    p = str(tmp_path_factory.mktemp("stream") / "events")
+    load_events(spark, SF_SMOKE).write.parquet(p)
+    return p
+
+
+def test_stream_matches_batch(spark, events_batch):
+    batch_df = spark.read.parquet(events_batch)
+    expected = {
+        (r.window_start, r.event_type): r.cnt
+        for r in tumbling_counts(batch_df, "1 hour").select(
+            "window_start", "event_type", "cnt"
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch_df.schema).parquet(events_batch)
+    )
+    q = (
+        stream_tumbling_counts(stream, "1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): r.cnt
+            for r in spark.sql("SELECT * FROM stream_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
