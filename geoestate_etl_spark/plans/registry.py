@@ -35,11 +35,19 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_core,
         queries_events,
         queries_ext,
+        queries_geo,
         queries_join,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (queries_core, queries_join, queries_events, queries_ext, queries_advanced):
+    for mod in (
+        queries_core,
+        queries_join,
+        queries_events,
+        queries_ext,
+        queries_advanced,
+        queries_geo,
+    ):
         for spec in mod.SPECS:
             if spec.name in out:
                 raise ValueError(f"duplicate query name: {spec.name}")
