@@ -1,0 +1,41 @@
+"""The pandas_udf escape hatch must agree with the built-in Column
+implementations — the safety story for migrating a metric to Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.functions.text import quality_score, token_count
+from geoestate_etl_spark.functions.udfs import py_quality_score, py_token_count
+from tests.conftest import SF_ORACLE
+
+
+def test_pandas_udf_agrees_with_builtin(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(200)
+    out = docs.select(
+        quality_score("text").alias("q_builtin"),
+        py_quality_score("text").alias("q_py"),
+        token_count("text").alias("t_builtin"),
+        py_token_count("text").alias("t_py"),
+    ).collect()
+    for r in out:
+        assert r.q_builtin == r.q_py
+        assert r.t_builtin == r.t_py
+
+
+def test_managed_table_roundtrip(spark, tmp_path):
+    """S5/S6: managed-table DDL + overwrite semantics via the catalog
+    (replaces ClickHouse CREATE TABLE / truncate-before-load)."""
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "tbl")
+    df.write.mode("overwrite").option("path", path).saveAsTable("t_serving")
+    try:
+        assert spark.table("t_serving").count() == 100
+        # truncate-before-load == overwrite
+        spark.range(7).withColumn("v", F.col("id")).write.mode("overwrite").option(
+            "path", path
+        ).saveAsTable("t_serving")
+        assert spark.table("t_serving").count() == 7
+        assert spark.sql("SELECT count(*) AS c FROM t_serving").collect()[0].c == 7
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_serving")
