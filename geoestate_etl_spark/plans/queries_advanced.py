@@ -102,6 +102,39 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
 
 
+def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — identical output to a direct
+    groupBy count, skew-proof shuffle distribution."""
+    from geoestate_etl_spark.operators.skew import salted_group_count
+
+    return salted_group_count(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], salt_buckets=16
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical wide-agg OLAP
+    pattern (2 keys, 8 aggregates, one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The S8 capability: raw SQL through spark.sql over registered views
     (replaces the reference's external ClickHouse SQL path)."""
@@ -166,6 +199,29 @@ SPECS = [
         "distinct-agg",
     ),
     QuerySpec("approx_distinct", q_approx_distinct, None, "approx-distinct"),
+    QuerySpec(
+        "salted_counts",
+        q_salted_counts,
+        "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+        "skew-salted-agg",
+    ),
+    QuerySpec(
+        "tpch_q1",
+        q_tpch_q1,
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(l_quantity) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "round(avg(l_quantity), 4) AS avg_qty, "
+        "round(avg(l_extendedprice), 2) AS avg_price, "
+        "round(avg(l_discount), 4) AS avg_disc, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus",
+        "tpch-q1-wide-agg",
+    ),
     QuerySpec(
         "sql_api",
         q_sql_api,
