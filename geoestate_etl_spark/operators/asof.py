@@ -102,7 +102,10 @@ def range_join_bucketed(
             )
         ),
     )
-    joined = pb.join(ib, "_bucket").filter(
+    # interval tables are small by construction — broadcast them so the
+    # points side never shuffles (at any scale), instead of leaving the
+    # build-side choice to size stats
+    joined = pb.join(F.broadcast(ib), "_bucket").filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     )
     return joined.drop("_bucket")
