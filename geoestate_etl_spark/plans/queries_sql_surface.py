@@ -1,0 +1,184 @@
+"""Scalar/structural SQL surface: string & null functions, conditional
+aggregation, window frames, unpivot, array explode, scalar subqueries.
+
+These widen the "a reference user could run every query they run
+today" guarantee beyond the reference's literal call list (SURVEY
+§2.8 notes its scalar surface is tiny); each is an oracled one-liner
+certifying a family of built-ins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geoestate_etl_spark.plans.registry import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.length("c_name").cast(T.LongType()).alias("ln"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("joined"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_head"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cst")).alias("repl"),
+    )
+
+
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_x"),
+        F.when(price > 200000, None).otherwise(price).alias("capped"),
+        F.isnull(F.when(price > 200000, None).otherwise(price)).alias("is_capped"),
+        F.nvl2(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit(1), F.lit(0)).alias("not_f"),
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("l_quantity") > 25
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.when(high, 1)).alias("n_high"),
+        F.count(F.when(~high, 1)).alias("n_low"),
+        F.round(F.sum(F.when(high, F.col("l_extendedprice")).otherwise(0.0)), 2).alias("high_value"),
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame: trailing 4-row moving average per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+    )
+    # money-as-integer-cents, all the way through: float rounding of a
+    # sliding average differs across engines at half-cent boundaries
+    # (Java BigDecimal shortest-repr vs raw-binary rounding), so the
+    # round-half-up happens in integer arithmetic: floor((2S+C)/(2C)).
+    cents = F.round(F.col("o_totalprice") * 100).cast(T.LongType())
+    s = F.sum(cents).over(w)
+    c = F.count(cents).over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor((2 * s + c) / (2 * c)).cast(T.LongType()).alias("ma4_cents"),
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt) of part measure columns."""
+    p = _t(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast(T.DoubleType()).alias("size"),
+        F.col("p_retailprice").alias("price"),
+    )
+    return wide.unpivot("p_partkey", ["size", "price"], "measure", "value")
+
+
+def q_explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: posexplode an embedding into (pos, value) rows."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("pos", F.col("pos").cast(T.LongType()))
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price (scalar subquery via SQL)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ss")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_ss
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_ss)
+        """
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "string_funcs",
+        q_string_funcs,
+        "SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo, "
+        "substring(c_name, 1, 8) AS sub, length(c_name) AS ln, "
+        "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, "
+        "c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS joined, "
+        "string_split(c_name, '#')[1] AS name_head, "
+        "replace(c_name, 'Customer', 'Cst') AS repl "
+        "FROM customer",
+        "fn-strings",
+    ),
+    QuerySpec(
+        "null_funcs",
+        q_null_funcs,
+        "SELECT o_orderkey, "
+        "coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x, "
+        "CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_totalprice END AS capped, "
+        "(CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_totalprice END) IS NULL AS is_capped, "
+        "CASE WHEN nullif(o_orderstatus, 'F') IS NOT NULL THEN 1 ELSE 0 END AS not_f "
+        "FROM orders",
+        "fn-nulls",
+    ),
+    QuerySpec(
+        "conditional_agg",
+        q_conditional_agg,
+        "SELECT l_linestatus, "
+        "count(*) FILTER (l_quantity > 25) AS n_high, "
+        "count(*) FILTER (NOT l_quantity > 25) AS n_low, "
+        "round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0.0 END), 2) AS high_value "
+        "FROM lineitem GROUP BY l_linestatus",
+        "agg-conditional",
+    ),
+    QuerySpec(
+        "moving_avg",
+        q_moving_avg,
+        "WITH c AS (SELECT o_orderkey, o_custkey, o_orderdate, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(floor((2 * sum(cents) OVER w + count(cents) OVER w) "
+        "/ (2 * count(cents) OVER w)) AS BIGINT) AS ma4_cents FROM c "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, "
+        "o_orderkey ASC ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
+        "window-frame",
+    ),
+    QuerySpec(
+        "unpivot",
+        q_unpivot,
+        "SELECT p_partkey, measure, value FROM ("
+        "SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS price "
+        "FROM part) UNPIVOT (value FOR measure IN (size, price))",
+        "unpivot-melt",
+    ),
+    QuerySpec(
+        "explode_embeddings",
+        q_explode_embeddings,
+        "SELECT vec_id, u.pos - 1 AS pos, u.val FROM embeddings, "
+        "LATERAL (SELECT UNNEST(embedding) AS val, "
+        "generate_subscripts(embedding, 1) AS pos) u WHERE vec_id < 10",
+        "array-explode",
+    ),
+    QuerySpec(
+        "scalar_subquery",
+        q_scalar_subquery,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
+        "scalar-subquery",
+    ),
+]

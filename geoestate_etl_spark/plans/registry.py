@@ -37,6 +37,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_ext,
         queries_geo,
         queries_join,
+        queries_sql_surface,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -47,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_ext,
         queries_advanced,
         queries_geo,
+        queries_sql_surface,
     ):
         for spec in mod.SPECS:
             if spec.name in out:
