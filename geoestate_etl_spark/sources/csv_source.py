@@ -20,6 +20,8 @@ def read_dirty_csv(
     schema: T.StructType | None = None,
     encoding: str = "UTF-16",
     infer: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str | None = None,
 ) -> DataFrame:
     """Read a messy CSV the way the reference does (S1).
 
@@ -28,13 +30,25 @@ def read_dirty_csv(
     fields). With ``schema`` given, every column is read as declared
     (normally all-string, cleaned later); with ``infer=True`` Spark
     scans to guess types (reference behavior — avoid at scale).
+
+    Malformed-record policy (the layer below the reference's row
+    validation): ``mode`` is PERMISSIVE (default; broken rows become
+    nulls, and land in ``corrupt_column`` when given so they can be
+    quarantined), DROPMALFORMED, or FAILFAST.
     """
     reader = (
         spark.read.option("header", "true")
         .option("multiLine", "true")
         .option("encoding", encoding)
         .option("escape", '"')
+        .option("mode", mode)
     )
+    if corrupt_column is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
+        if schema is not None:
+            schema = T.StructType(
+                [*schema.fields, T.StructField(corrupt_column, T.StringType())]
+            )
     if schema is not None:
         reader = reader.schema(schema)
     elif infer:

