@@ -36,8 +36,15 @@ def not_blank(c: Column | str) -> Column:
 
 
 def castable(c: Column | str, dtype: T.DataType) -> Column:
-    """P5: castability probe — Spark cast-fail yields null (main.py:196-216)."""
-    return _as_col(c).cast(dtype).isNotNull()
+    """P5: castability probe (main.py:196-216).
+
+    Uses ``try_cast``, not ``cast``: under Spark 4's default ANSI mode
+    a plain cast THROWS on malformed input, and whether a malformed
+    value ever reaches the cast depends on predicate evaluation order,
+    which Catalyst may change. ``try_cast`` is exactly the reference's
+    (Spark 3.5 non-ANSI) cast-fail→null semantics, order-independent.
+    """
+    return _as_col(c).try_cast(dtype).isNotNull()
 
 
 def matches_format(c: Column | str, pattern: str) -> Column:

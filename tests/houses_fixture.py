@@ -66,8 +66,8 @@ def generate(path: str, n_rows: int = 2000, seed: int = 42) -> HousesFixture:
         r = rng.random()
         if r < 0.12:
             defect = rng.choice(
-                ["year_empty", "year_junk", "square_dash", "coords_empty",
-                 "pop_empty", "region_empty", "locality_empty"]
+                ["year_empty", "year_junk", "square_dash", "square_multidot",
+                 "coords_empty", "pop_empty", "region_empty", "locality_empty"]
             )
         if defect == "year_empty":
             year_s = ""
@@ -75,6 +75,10 @@ def generate(path: str, n_rows: int = 2000, seed: int = 42) -> HousesFixture:
             year_s = rng.choice(["18xx", "—", "1 903 г", "none"])
         elif defect == "square_dash":
             square_s = "—"
+        elif defect == "square_multidot":
+            # quirk Q5: "1.2.3" survives the digit-strip but must fail the
+            # format/cast probes WITHOUT throwing (ANSI-cast regression)
+            square_s = "1.2.3"
         elif defect == "coords_empty":
             lat_s = lon_s = ""
         elif defect == "pop_empty":
