@@ -107,6 +107,9 @@ def minhash_near_dups(
     No crossJoin anywhere — the join key is the LSH bucket.
     """
     rows_per_band = num_hashes // bands
+    # the shingle/signature projection is the CPU-heavy stage; small or
+    # single-file inputs arrive as one partition, so spread it first
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     base = df.select(
         F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("sh")
     ).withColumn("sig", minhash_signature("sh", num_hashes))
@@ -216,6 +219,7 @@ def simhash_near_dups(
     recall is exact. Candidates equi-join on (block_id, block_value),
     then exact popcount rescore — never an all-pairs comparison.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     base = df.select(F.col(id_col).alias("id"), simhash32(text_col).alias("sh"))
     blocks = F.array(
         *[

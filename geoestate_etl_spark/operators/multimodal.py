@@ -80,6 +80,9 @@ def decode_media(df: DataFrame) -> DataFrame:
                 }
             )
 
+    # spread Arrow batches across cores — media tables often arrive as
+    # few large files, and decode is the CPU stage
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df.mapInPandas(_fake_decode, MEDIA_META_SCHEMA)
 
 
