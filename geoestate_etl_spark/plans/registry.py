@@ -38,6 +38,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_geo,
         queries_join,
         queries_sql_surface,
+        queries_stats,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -49,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_advanced,
         queries_geo,
         queries_sql_surface,
+        queries_stats,
     ):
         for spec in mod.SPECS:
             if spec.name in out:
