@@ -1,0 +1,101 @@
+"""Connected components over near-duplicate pairs: dedup *clustering*.
+
+Pair-finding (MinHash/SimHash/embedding LSH) yields edges; the
+real-world dedup step is grouping transitive duplicates into clusters
+and electing one canonical keeper per cluster. This is the engine's
+iterative-algorithm surface (genuinely not single-query SQL): the
+alternating small-star/large-star style label propagation —
+every node repeatedly adopts the minimum label in its neighborhood
+until a fixed point.
+
+Scale shape per iteration: one groupBy (min label per node) + one
+join (propagate along edges) — all shuffles on node id; converges in
+O(log n) iterations for real near-dup graphs (shallow components).
+``localCheckpoint`` truncates the growing lineage each iteration,
+which is what keeps 20-iteration plans compilable at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve (id_a, id_b) edges into (id, component) where component
+    is the minimum id reachable from ``id`` — deterministic labels.
+
+    Returns ONLY nodes that appear in at least one pair (singletons
+    are trivially their own component; callers union them in if
+    needed).
+    """
+    edges = (
+        pairs.select(
+            F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+        )
+        .union(
+            pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+
+    # start: every node labeled with the min of itself and its neighbors
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
+        .withColumnRenamed("src", "id")
+    )
+    labels = labels.select(
+        "id", F.least("id", "component").alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # propagate: each node adopts min(own label, neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_labels, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("n_comp", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+) -> DataFrame:
+    """Cluster summary from near-dup pairs: one row per component with
+    the canonical keeper (= component min id) and member count."""
+    cc = connected_components(pairs, left_col, right_col)
+    return cc.groupBy("component").agg(
+        F.min("id").alias("keeper_id"), F.count("*").alias("cluster_size")
+    )

@@ -112,6 +112,32 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup clustering (iterative connected components) ----------------------
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative label propagation, verified against a DuckDB
+    *recursive CTE* on a deterministic supplier–nation bipartite graph."""
+    from geoestate_etl_spark.operators.components import connected_components
+
+    supp = _t(spark, sf_dir, "supplier")
+    edges = supp.select(
+        F.col("s_suppkey").alias("id_a"),
+        (F.col("s_nationkey").cast("long") + 1_000_000).alias("id_b"),
+    )
+    return connected_components(edges)
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the MinHash pair graph (keeper + size)."""
+    from geoestate_etl_spark.operators.components import dedup_clusters
+
+    pairs = DD.minhash_near_dups(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", jaccard_threshold=0.2
+    )
+    return dedup_clusters(pairs)
+
+
 # --- multimodal (stub decode; real Spark plumbing) --------------------------
 
 
@@ -195,6 +221,17 @@ SPECS = [
         "ext-dedup-key",
     ),
     QuerySpec("minhash_near_dups", q_minhash_near_dups, None, "ext-dedup-minhash-lsh"),
+    QuerySpec(
+        "graph_components",
+        q_graph_components,
+        "WITH RECURSIVE e AS (SELECT s_suppkey AS src, s_nationkey + 1000000 AS dst "
+        "FROM supplier UNION SELECT s_nationkey + 1000000, s_suppkey FROM supplier), "
+        "r AS (SELECT src, dst FROM e UNION "
+        "SELECT r.src, e2.dst FROM r JOIN e e2 ON r.dst = e2.src) "
+        "SELECT src AS id, least(src, min(dst)) AS component FROM r GROUP BY src",
+        "iterative-connected-components",
+    ),
+    QuerySpec("dedup_components", q_dedup_components, None, "ext-dedup-clustering"),
     QuerySpec("simhash_near_dups", q_simhash_near_dups, None, "ext-dedup-simhash"),
     QuerySpec(
         "similarity_bruteforce",

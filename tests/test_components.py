@@ -1,0 +1,57 @@
+"""Connected-components semantics on known graphs, including a long
+chain (forces multiple propagation iterations) and the end-to-end
+minhash-pairs -> clusters path."""
+
+from __future__ import annotations
+
+import pytest
+
+from geoestate_etl_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+from geoestate_etl_spark.operators.dedup import minhash_near_dups
+
+
+def cc_map(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {r.id: r.component for r in connected_components(df).collect()}
+
+
+def test_two_components(spark):
+    got = cc_map(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges(spark):
+    # a 12-node chain needs several label-propagation rounds
+    edges = [(i, i + 1) for i in range(1, 12)]
+    got = cc_map(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 12
+
+
+def test_cycle_and_cross_edges(spark):
+    got = cc_map(spark, [(5, 6), (6, 7), (7, 5), (7, 2), (30, 31)])
+    assert got[5] == got[6] == got[7] == got[2] == 2
+    assert got[30] == got[31] == 30
+
+
+def test_dedup_clusters_from_minhash(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base + " extra"),
+            (7, "unrelated text about columnar storage engines and scans"),
+            (8, "unrelated text about columnar storage engines and scans"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_near_dups(docs, "text", "doc_id", jaccard_threshold=0.3)
+    clusters = {
+        r.keeper_id: r.cluster_size for r in dedup_clusters(pairs).collect()
+    }
+    assert clusters[1] == 3  # 1,2,3 transitively clustered
+    assert clusters[7] == 2  # 7,8 exact dups
