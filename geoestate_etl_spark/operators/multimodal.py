@@ -81,8 +81,11 @@ def decode_media(df: DataFrame) -> DataFrame:
             )
 
     # spread Arrow batches across cores — media tables often arrive as
-    # few large files, and decode is the CPU stage
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # few large files, and decode is the CPU stage. Capped fan-out: each
+    # partition spawns a Python worker, and worker spin-up dominates on
+    # small inputs (at real scale, input partitioning already exceeds this)
+    parallelism = min(df.sparkSession.sparkContext.defaultParallelism, 8)
+    df = df.repartition(parallelism)
     return df.mapInPandas(_fake_decode, MEDIA_META_SCHEMA)
 
 

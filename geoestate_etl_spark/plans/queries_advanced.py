@@ -41,15 +41,12 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders joined into fixed price bands via the bucketed range join."""
     orders = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
-        [(i, float(i * 50_000), float((i + 1) * 50_000)) for i in range(10)],
-        T.StructType(
-            [
-                T.StructField("band_id", T.IntegerType(), False),
-                T.StructField("lo", T.DoubleType(), False),
-                T.StructField("hi", T.DoubleType(), False),
-            ]
-        ),
+    # bands built JVM-side (spark.range): a Python createDataFrame here
+    # costs seconds of py4j/serialization warm-up for 10 rows
+    bands = spark.range(10).select(
+        F.col("id").cast(T.IntegerType()).alias("band_id"),
+        (F.col("id") * 50_000.0).alias("lo"),
+        ((F.col("id") + 1) * 50_000.0).alias("hi"),
     )
     joined = range_join_bucketed(
         orders.select("o_orderkey", "o_totalprice"), bands, "o_totalprice", "lo", "hi", 50_000.0
