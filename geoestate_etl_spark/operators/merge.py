@@ -1,0 +1,68 @@
+"""Upsert (MERGE INTO emulation) and SCD2 history tracking.
+
+Plain parquet has no transactional MERGE (that's Delta/Iceberg
+territory); the v1 pattern is read-modify-overwrite expressed
+relationally:
+
+- ``upsert``: target rows not matched by key survive (anti-join),
+  matched rows are replaced, new rows appended — one shuffle on the
+  key, then a union. Equivalent to
+  ``MERGE .. WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``.
+- ``scd2_apply``: slowly-changing-dimension type 2 — incoming changes
+  close the current version (valid_to = change ts) and open a new
+  open-ended version; history rows are immutable. All set logic, no
+  per-row code.
+
+At 100 TB both are bounded by one key-shuffle of each input; writing
+the result partitioned by key range / date keeps the overwrite
+surgical (dynamic partition overwrite) instead of full-table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE: update matched keys, insert unmatched. ``updates`` must
+    be unique per key (pre-aggregate if not); schemas must align."""
+    surviving = target.join(updates.select(*keys), on=keys, how="left_anti")
+    return surviving.unionByName(updates)
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    change_ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD2: ``history`` has (keys..., attrs..., valid_from, valid_to
+    [null = current]); ``changes`` has (keys..., attrs..., change_ts).
+
+    Current rows whose key appears in ``changes`` get closed at the
+    change timestamp; every change opens a new current row. Closed
+    history is untouched.
+    """
+    closed = history.filter(F.col(valid_to).isNotNull())
+    current = history.filter(F.col(valid_to).isNull())
+
+    change_keys = changes.select(
+        *keys, F.col(change_ts_col).alias("_new_from")
+    )
+    closing = (
+        current.join(change_keys, on=keys, how="inner")
+        .withColumn(valid_to, F.col("_new_from"))
+        .drop("_new_from")
+    )
+    untouched_current = current.join(change_keys.select(*keys), on=keys, how="left_anti")
+
+    opened = (
+        changes.withColumnRenamed(change_ts_col, valid_from)
+        .withColumn(valid_to, F.lit(None).cast(history.schema[valid_to].dataType))
+    )
+    return closed.unionByName(untouched_current).unionByName(closing).unionByName(
+        opened.select(*closed.columns)
+    )

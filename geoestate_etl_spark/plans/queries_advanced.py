@@ -132,6 +132,35 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE emulation: every 10th customer gets an account credit;
+    result = anti-join survivors + replacement rows."""
+    from geoestate_etl_spark.operators.merge import upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    return upsert(cust, updates, ["c_custkey"]).select("c_custkey", "c_acctbal")
+
+
+def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile/percent_rank/cume_dist per nation."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast(T.LongType()).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
 def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The S8 capability: raw SQL through spark.sql over registered views
     (replaces the reference's external ClickHouse SQL path)."""
@@ -218,6 +247,23 @@ SPECS = [
         "GROUP BY l_returnflag, l_linestatus "
         "ORDER BY l_returnflag, l_linestatus",
         "tpch-q1-wide-agg",
+    ),
+    QuerySpec(
+        "upsert_customers",
+        q_upsert_customers,
+        "SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 "
+        "THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal FROM customer",
+        "merge-upsert",
+    ),
+    QuerySpec(
+        "rank_distribution",
+        q_rank_distribution,
+        "SELECT c_custkey, c_nationkey, ntile(4) OVER w AS quartile, "
+        "round(percent_rank() OVER w, 6) AS pct_rank, "
+        "round(cume_dist() OVER w, 6) AS cdist FROM customer "
+        "WINDOW w AS (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal ASC, c_custkey ASC)",
+        "window-distribution",
     ),
     QuerySpec(
         "sql_api",
