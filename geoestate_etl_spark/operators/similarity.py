@@ -134,6 +134,99 @@ def lsh_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic Lloyd k-means, then assign
+    each vector to its nearest centroid cell.
+
+    Determinism: centroids initialize from the ``n_cells`` smallest
+    ids (no RNG); each Lloyd round is one broadcast-scored argmin pass
+    + one groupBy mean. Returns (assigned DataFrame with ``cell``,
+    centroids). At scale the assigned table is written partitioned by
+    ``cell`` — probes then read only ``n_probe`` partitions.
+    """
+    centroids = [
+        [float(x) for x in r[1]]
+        for r in embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    ]
+
+    def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+        # distance argmin over a broadcast literal array of centroids —
+        # k is small, so this is a map-only pass (no join, no shuffle)
+        best_cell = F.lit(0)
+        best_dist = None
+        for ci, cvec in enumerate(cents):
+            lit_c = F.array(*[F.lit(v) for v in cvec])
+            diff = F.zip_with(
+                F.col(vec_col), lit_c, lambda a, b: (a.cast("double") - b) ** 2
+            )
+            d = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+            if best_dist is None:
+                best_cell, best_dist = F.lit(ci), d
+            else:
+                best_cell = F.when(d < best_dist, F.lit(ci)).otherwise(best_cell)
+                best_dist = F.least(d, best_dist)
+        return df.withColumn("cell", best_cell)
+
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign(embeddings, centroids)
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col).getItem(i).cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new_cents = list(centroids)
+        for r in means:
+            new_cents[r["cell"]] = [float(r[f"m{i}"]) for i in range(dim)]
+        centroids = new_cents
+
+    return assign(embeddings, centroids), centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """ANN top-k via IVF: score only the ``n_probe`` cells whose
+    centroids are nearest the probe, exact cosine rescore inside them.
+    Scanned fraction ≈ n_probe/n_cells (vs 100% brute force)."""
+    assigned, centroids = ivf_build(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+
+    def sqdist(c: list[float]) -> float:
+        return sum((a - b) ** 2 for a, b in zip(c, probe))
+
+    probe_cells = sorted(range(len(centroids)), key=lambda ci: sqdist(centroids[ci]))[
+        :n_probe
+    ]
+    candidates = assigned.filter(F.col("cell").isin(probe_cells))
+    probe_col = F.array(*[F.lit(float(v)) for v in probe])
+    scored = candidates.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), probe_col), scale).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     num_planes: int = 12,

@@ -106,6 +106,11 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, _probe(spark, sf_dir), k=10)
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, _probe(spark, sf_dir), k=10, n_cells=16, n_probe=4)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dups(
         _t(spark, sf_dir, "embeddings"), cosine_threshold=0.8
@@ -246,6 +251,7 @@ SPECS = [
         "ext-similarity-exact",
     ),
     QuerySpec("similarity_lsh", q_similarity_lsh, None, "ext-similarity-lsh"),
+    QuerySpec("similarity_ivf", q_similarity_ivf, None, "ext-similarity-ivf"),
     QuerySpec("embedding_near_dups", q_embedding_near_dups, None, "ext-dedup-embedding"),
     QuerySpec("multimodal_meta", q_multimodal_meta, None, "ext-multimodal"),
 ]
