@@ -19,8 +19,12 @@ are reproducible across runs and cluster sizes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from geoestate_etl_spark.functions.vectors import cosine, hyperplane_bits
 
@@ -159,40 +163,44 @@ def ivf_build(
     ]
 
     def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
-        # distance argmin over a broadcast literal array of centroids —
-        # k is small, so this is a map-only pass (no join, no shuffle)
-        best_cell = F.lit(0)
-        best_dist = None
-        for ci, cvec in enumerate(cents):
-            lit_c = F.array(*[F.lit(v) for v in cvec])
-            diff = F.zip_with(
-                F.col(vec_col), lit_c, lambda a, b: (a.cast("double") - b) ** 2
-            )
-            d = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-            if best_dist is None:
-                best_cell, best_dist = F.lit(ci), d
-            else:
-                best_cell = F.when(d < best_dist, F.lit(ci)).otherwise(best_cell)
-                best_dist = F.least(d, best_dist)
-        return df.withColumn("cell", best_cell)
+        # nearest-centroid assignment as an Arrow-batched pandas_udf:
+        # a Column-expression argmin over k centroids compiles a huge
+        # codegen tree PER LLOYD ITERATION (centroid literals change),
+        # and that compile time dwarfs the math. numpy does the
+        # (n×dim)@(dim×k) scoring in one BLAS call per batch; the
+        # centroid matrix rides along in the closure (tiny, broadcast
+        # by pickling) — this is the sanctioned Python escape hatch.
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(cents, dtype=np.float64)
+        c_norms = (C**2).sum(axis=1)
+
+        @pandas_udf(T.IntegerType())
+        def cell_of(vecs: pd.Series) -> pd.Series:
+            X = np.stack(vecs.to_numpy()).astype(np.float64)
+            # argmin_c |x-c|^2 == argmin_c (|c|^2 - 2 x.c); |x|^2 constant
+            scores = c_norms[None, :] - 2.0 * (X @ C.T)
+            return pd.Series(scores.argmin(axis=1).astype("int32"))
+
+        return df.withColumn("cell", cell_of(F.col(vec_col)))
 
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = assign(embeddings, centroids)
+        # per-dimension means via posexplode: this plan is IDENTICAL
+        # every iteration (only the udf closure changes), so Spark's
+        # codegen cache reuses the compiled stage instead of
+        # recompiling a 64-column aggregate per Lloyd round
         means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.col(vec_col).getItem(i).cast("double")).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
             .collect()
         )
-        new_cents = list(centroids)
+        new_cents = [list(c) for c in centroids]
         for r in means:
-            new_cents[r["cell"]] = [float(r[f"m{i}"]) for i in range(dim)]
-        centroids = new_cents
+            new_cents[r["cell"]][r["pos"]] = float(r["m"])
+        centroids = [list(map(float, c)) for c in new_cents]
 
     return assign(embeddings, centroids), centroids
 
