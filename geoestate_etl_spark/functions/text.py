@@ -95,6 +95,15 @@ def lang_id(c: Column | str) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+def char_ngrams(c: Column | str, n: int = 3) -> Column:
+    """Distinct character n-gram set (sliding substrings) — the
+    character-level sibling of word shingles, for fuzzy matching that
+    survives tokenization differences."""
+    col = _c(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n))))
+
+
 def fingerprint_md5(c: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text (exact-dup key)."""
     return F.md5(normalize_text(_c(c)))

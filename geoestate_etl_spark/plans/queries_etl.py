@@ -1,0 +1,127 @@
+"""ETL-engine operational queries: column profiling, Z-order locality
+keys, exact grouped quantiles, incremental aggregate maintenance.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.functions.zorder import morton_key_2d
+from geoestate_etl_spark.operators.incremental import merge_count_sum
+from geoestate_etl_spark.operators.profiling import profile_columns
+from geoestate_etl_spark.plans.registry import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_columns(_t(spark, sf_dir, "documents"), ["doc_id", "lang", "n_chars"])
+
+
+def q_morton_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order keys over the synthetic customer coordinates — the
+    clustering key a 2D-local table layout sorts by."""
+    from geoestate_etl_spark.plans.queries_geo import _with_coords
+
+    cust = _with_coords(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
+    return cust.select(
+        "c_custkey",
+        morton_key_2d("lat", "lon", -70.0, 70.0, -170.0, 170.0, 16).alias("zkey"),
+    )
+
+
+def q_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.95).alias("price_p95"),
+    )
+
+
+def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing agg + new-batch partial merged == full recompute.
+
+    The split is by orderkey parity, so the merge covers every group
+    from both sides as well as one-sided groups.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    old = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    delta = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    merged = merge_count_sum(old, delta, ["o_orderpriority"], "cnt", "total")
+    return merged.select(
+        "o_orderpriority", "cnt", F.round("total", 2).alias("total")
+    )
+
+
+def _morton_sql() -> str:
+    """The identical bit-spreading arithmetic, rendered to SQL."""
+
+    def spread(expr: str) -> str:
+        x = f"({expr} & 65535)"
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            x = f"(({x} | ({x} << {shift})) & {mask})"
+        return x
+
+    qa = spread("CAST(floor((least(greatest(lat, -70.0), 70.0) - -70.0) / 140.0 * 65535) AS BIGINT)")
+    qb = spread("CAST(floor((least(greatest(lon, -170.0), 170.0) - -170.0) / 340.0 * 65535) AS BIGINT)")
+    return f"({qa} | ({qb} << 1))"
+
+
+SPECS = [
+    QuerySpec(
+        "profile_documents",
+        q_profile_documents,
+        "SELECT 'doc_id' AS \"column\", 'nulls' AS stat, CAST(count(*) FILTER (doc_id IS NULL) AS VARCHAR) AS value FROM documents "
+        "UNION ALL SELECT 'doc_id', 'distinct', CAST(count(DISTINCT doc_id) AS VARCHAR) FROM documents "
+        "UNION ALL SELECT 'doc_id', 'min', CAST(min(doc_id) AS VARCHAR) FROM documents "
+        "UNION ALL SELECT 'doc_id', 'max', CAST(max(doc_id) AS VARCHAR) FROM documents "
+        "UNION ALL SELECT 'lang', 'nulls', CAST(count(*) FILTER (lang IS NULL) AS VARCHAR) FROM documents "
+        "UNION ALL SELECT 'lang', 'distinct', CAST(count(DISTINCT lang) AS VARCHAR) FROM documents "
+        "UNION ALL SELECT 'lang', 'min', min(lang) FROM documents "
+        "UNION ALL SELECT 'lang', 'max', max(lang) FROM documents "
+        "UNION ALL SELECT 'n_chars', 'nulls', CAST(count(*) FILTER (n_chars IS NULL) AS VARCHAR) FROM documents "
+        "UNION ALL SELECT 'n_chars', 'distinct', CAST(count(DISTINCT n_chars) AS VARCHAR) FROM documents "
+        "UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS VARCHAR) FROM documents "
+        "UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS VARCHAR) FROM documents",
+        "etl-profiling",
+    ),
+    QuerySpec(
+        "morton_geo",
+        q_morton_geo,
+        "WITH c AS (SELECT c_custkey, "
+        "((c_custkey * 7919) % 14000) / 100.0 - 70.0 AS lat, "
+        "((c_custkey * 104729) % 34000) / 100.0 - 170.0 AS lon FROM customer) "
+        f"SELECT c_custkey, {_morton_sql()} AS zkey FROM c",
+        "zorder-morton",
+    ),
+    QuerySpec(
+        "quantiles_by_group",
+        q_quantiles_by_group,
+        "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, "
+        "quantile_cont(l_quantity, 0.9) AS p90, "
+        "quantile_cont(l_extendedprice, 0.95) AS price_p95 "
+        "FROM lineitem GROUP BY l_returnflag",
+        "agg-exact-quantiles",
+    ),
+    QuerySpec(
+        "incremental_counts",
+        q_incremental_counts,
+        "SELECT o_orderpriority, count(*) AS cnt, "
+        "round(sum(o_totalprice), 2) AS total FROM orders GROUP BY o_orderpriority",
+        "etl-incremental-agg",
+    ),
+]

@@ -117,6 +117,29 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 3-gram Jaccard between consecutive doc pairs —
+    set ops on the gram arrays, exact."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", TX.char_ngrams("text", 3).alias("g")
+    )
+    left = grams.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("g").alias("ga")
+    )
+    right = grams.select(
+        (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("g").alias("gb")
+    )
+    pairs = left.join(right, "id_a")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+    )
+
+
 # --- dedup clustering (iterative connected components) ----------------------
 
 
@@ -237,6 +260,26 @@ SPECS = [
         "iterative-connected-components",
     ),
     QuerySpec("dedup_components", q_dedup_components, None, "ext-dedup-clustering"),
+    QuerySpec(
+        "char_ngram_jaccard",
+        q_char_ngram_jaccard,
+        # grams via correlated generate_series; jaccard via equi-join
+        # set intersection: |A ∩ B| / (|A| + |B| - |A ∩ B|)
+        "WITH g AS ("
+        "  SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS gram "
+        "  FROM documents CROSS JOIN generate_series(1, 1000) t(i) "
+        "  WHERE i <= greatest(length(text) - 2, 1)"
+        "), d AS (SELECT DISTINCT doc_id, gram FROM g), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "  FROM d a JOIN d b ON a.gram = b.gram AND b.doc_id = a.doc_id + 1 "
+        "  WHERE a.doc_id % 2 = 0 GROUP BY a.doc_id, b.doc_id) "
+        "SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, "
+        "round(coalesce(p.i, 0) / greatest(sa.n + sb.n - coalesce(p.i, 0), 1), 4) "
+        "AS jaccard FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1 "
+        "LEFT JOIN inter p ON p.id_a = sa.doc_id WHERE sa.doc_id % 2 = 0",
+        "ext-char-ngram-jaccard",
+    ),
     QuerySpec("simhash_near_dups", q_simhash_near_dups, None, "ext-dedup-simhash"),
     QuerySpec(
         "similarity_bruteforce",

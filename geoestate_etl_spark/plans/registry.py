@@ -33,6 +33,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from geoestate_etl_spark.plans import (
         queries_advanced,
         queries_core,
+        queries_etl,
         queries_events,
         queries_ext,
         queries_geo,
@@ -51,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_geo,
         queries_sql_surface,
         queries_stats,
+        queries_etl,
     ):
         for spec in mod.SPECS:
             if spec.name in out:
