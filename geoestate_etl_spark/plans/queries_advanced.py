@@ -152,12 +152,23 @@ def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy(
         F.asc("c_acctbal"), F.asc("c_custkey")
     )
+    # percent_rank/cume_dist are k/n rationals that land EXACTLY on
+    # half-decimals (e.g. 41/640 = 0.0640625), where engines' float
+    # rounding disagrees — so round-half-up in integer arithmetic and
+    # emit micro-units (the moving_avg cents pattern, generalized)
+    n = F.count("*").over(Window.partitionBy("c_nationkey"))  # long
+    rnk = F.rank().over(w).cast(T.LongType())  # int32 would overflow below
+    M = 1_000_000
+    pct_micro = F.when(n == 1, F.lit(0).cast(T.LongType())).otherwise(
+        F.floor((2 * (rnk - 1) * M + (n - 1)) / (2 * (n - 1))).cast(T.LongType())
+    )
+    cd_micro = F.floor((2 * rnk * M + n) / (2 * n)).cast(T.LongType())
     return cust.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).cast(T.LongType()).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        pct_micro.alias("pct_rank_micro"),
+        cd_micro.alias("cdist_micro"),
     )
 
 
@@ -258,11 +269,16 @@ SPECS = [
     QuerySpec(
         "rank_distribution",
         q_rank_distribution,
-        "SELECT c_custkey, c_nationkey, ntile(4) OVER w AS quartile, "
-        "round(percent_rank() OVER w, 6) AS pct_rank, "
-        "round(cume_dist() OVER w, 6) AS cdist FROM customer "
+        "WITH r AS (SELECT c_custkey, c_nationkey, "
+        "ntile(4) OVER w AS quartile, rank() OVER w AS rnk, "
+        "count(*) OVER (PARTITION BY c_nationkey) AS n FROM customer "
         "WINDOW w AS (PARTITION BY c_nationkey "
-        "ORDER BY c_acctbal ASC, c_custkey ASC)",
+        "ORDER BY c_acctbal ASC, c_custkey ASC)) "
+        "SELECT c_custkey, c_nationkey, quartile, "
+        "CASE WHEN n = 1 THEN 0 ELSE CAST(floor((2 * (rnk - 1) * 1000000 + (n - 1)) "
+        "/ (2 * (n - 1))) AS BIGINT) END AS pct_rank_micro, "
+        "CAST(floor((2 * rnk * 1000000 + n) / (2 * n)) AS BIGINT) AS cdist_micro "
+        "FROM r",
         "window-distribution",
     ),
     QuerySpec(
