@@ -23,6 +23,39 @@ def events_batch(spark, tmp_path_factory):
     return p
 
 
+def test_session_window_stream_matches_batch(spark, events_batch):
+    from geoestate_etl_spark.streaming.event_windows import session_windows
+
+    batch_df = spark.read.parquet(events_batch)
+    expected = {
+        (r.user_id, r.session_start): r.n_events
+        for r in session_windows(batch_df, "5 minutes").collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_batch)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start): r.n_events
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_stream_matches_batch(spark, events_batch):
     batch_df = spark.read.parquet(events_batch)
     expected = {
