@@ -28,6 +28,38 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_houses_pipeline(spark, n_rows: int = 330_000) -> float:
+    """The reference's own e2e workload at its full-dataset scale
+    (~329k valid rows, README.md:95): dirty-CSV ingest → validate →
+    renumber → cast → all four analytics → sorted serving write →
+    top-25. One number for 'same pipeline, Spark-native'."""
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.houses_fixture import generate
+
+    from geoestate_etl_spark.plans.pipeline import run_pipeline
+
+    d = tempfile.mkdtemp(prefix="bench_houses_")
+    fx = generate(os.path.join(d, "houses.csv"), n_rows=n_rows, seed=42)
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, fx.path, serving_path=os.path.join(d, "serving"))
+    # force every analytics output (the reference's four queries + top25)
+    for df in (
+        res.year_stats,
+        res.top_regions,
+        res.top_localities,
+        res.min_max_square,
+        res.decade_histogram,
+        res.top25_by_square,
+    ):
+        df.collect()
+    elapsed = round(time.perf_counter() - t0, 3)
+    assert res.n_valid + res.n_invalid == n_rows
+    return elapsed
+
+
 def main() -> None:
     spark = get_spark("geoestate-bench")
     specs = all_queries()
@@ -42,6 +74,8 @@ def main() -> None:
         t0 = time.perf_counter()
         force(spec.fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["houses_pipeline_330k"] = bench_houses_pipeline(spark)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
