@@ -73,10 +73,24 @@ def validate_stage(raw: DataFrame, scalable: bool = True) -> tuple[DataFrame, in
 
     ``persist`` mirrors the reference (main.py:228,249): the raw frame
     feeds both halves' counts and the downstream cast.
+
+    multiLine CSV files are unsplittable (one task per file), so the
+    parsed frame arrives with file-count parallelism; repartition
+    before the regex-heavy validation so it runs on every core. (At
+    real scale the input is many files, and this is a cheap no-op-ish
+    rebalance.)
     """
-    raw = raw.persist()
-    valid, invalid = split_valid_invalid(raw, houses_valid_predicate(raw))
-    n_valid, n_invalid = valid.count(), invalid.count()
+    parallelism = raw.sparkSession.sparkContext.defaultParallelism
+    raw = raw.repartition(parallelism).persist()
+    pred = houses_valid_predicate(raw)
+    valid, invalid = split_valid_invalid(raw, pred)
+    # both counts in ONE pass (conditional aggregation) instead of two
+    # filter+count scans — the predicate is ~20 regex ops per row
+    counts = raw.agg(
+        F.sum(F.when(F.coalesce(pred, F.lit(False)), 1).otherwise(0)).alias("v"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    n_valid, n_invalid = int(counts.v or 0), int(counts.n) - int(counts.v or 0)
     renumber = renumber_scalable if scalable else renumber_global
     renumbered = renumber(
         valid.withColumn("house_id", F.col("house_id").cast("int")), "house_id", "new_id"
