@@ -100,6 +100,45 @@ def q_explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("pos", F.col("pos").cast(T.LongType()))
 
 
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between consecutive customer names — the fuzzy
+    string-matching primitive for entity resolution."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    left = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("na")
+    )
+    right = c.select(
+        (F.col("c_custkey") - 1).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("nb"),
+    )
+    return (
+        left.join(right, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("na", "nb").cast(T.LongType()).alias("edit_dist"),
+        )
+    )
+
+
+def q_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an explicit full-partition frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders above the global average price (scalar subquery via SQL)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ss")
@@ -173,6 +212,27 @@ SPECS = [
         "LATERAL (SELECT UNNEST(embedding) AS val, "
         "generate_subscripts(embedding, 1) AS pos) u WHERE vec_id < 10",
         "array-explode",
+    ),
+    QuerySpec(
+        "levenshtein_pairs",
+        q_levenshtein_pairs,
+        "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+        "levenshtein(a.c_name, b.c_name) AS edit_dist "
+        "FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 "
+        "WHERE a.c_custkey % 2 = 0",
+        "fn-levenshtein",
+    ),
+    QuerySpec(
+        "window_values",
+        q_window_values,
+        "SELECT o_orderkey, o_custkey, "
+        "first_value(o_orderkey) OVER w AS first_order, "
+        "last_value(o_orderkey) OVER w AS last_order, "
+        "nth_value(o_orderkey, 2) OVER w AS second_order FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+        "window-first-last-nth",
     ),
     QuerySpec(
         "scalar_subquery",
