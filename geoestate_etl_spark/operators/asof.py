@@ -38,6 +38,13 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    collisions = set(payload_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"payload_cols {sorted(collisions)} already exist on the left side "
+            "and would be silently overwritten by the carried right-side "
+            "values; rename them on one side first"
+        )
 
     l_tag = left.withColumn("_is_left", F.lit(1))
     for c in payload_cols:

@@ -85,8 +85,10 @@ def shingle_ids(c: Column | str, k: int = 3) -> Column:
     def combine(i: Column) -> Column:
         acc = F.lit(0).cast(T.LongType())
         for off in range(k):
+            # try_element_at: past-the-end indices (docs shorter than k
+            # words) yield NULL→0 instead of ANSI INVALID_ARRAY_INDEX
             term = F.coalesce(
-                F.element_at(wh, (i + off + 1).cast("int")), F.lit(0)
+                F.try_element_at(wh, (i + off + 1).cast("int")), F.lit(0)
             )
             acc = acc * 31 + term
         return acc
@@ -135,6 +137,12 @@ def minhash_near_dups(
     exact Jaccard on the shingle sets; filter by threshold.
     No crossJoin anywhere — the join key is the LSH bucket.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop signature rows and change the "
+            "similarity threshold curve"
+        )
     rows_per_band = num_hashes // bands
     # the shingle/signature projection is the CPU-heavy stage; small or
     # single-file inputs arrive as one partition, so spread it first
@@ -145,7 +153,12 @@ def minhash_near_dups(
     # the shingle/signature stage feeds three plan branches (banding +
     # both sides of the pair rejoin); persist so the expensive
     # normalize→shingle→hash scan runs once, mirroring the
-    # materialize-signatures-then-join shape a production pipeline uses
+    # materialize-signatures-then-join shape a production pipeline uses.
+    # Lifetime note: the cache lives until session end (default
+    # MEMORY_AND_DISK — Spark evicts/spills under pressure); a caller
+    # that owns the session can df.unpersist() the returned plan's
+    # cached ancestor, and a production pipeline writes signatures to a
+    # table instead of caching.
     base = base.persist()
 
     band_arr = F.array(

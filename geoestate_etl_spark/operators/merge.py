@@ -42,26 +42,37 @@ def scd2_apply(
     """SCD2: ``history`` has (keys..., attrs..., valid_from, valid_to
     [null = current]); ``changes`` has (keys..., attrs..., change_ts).
 
-    Current rows whose key appears in ``changes`` get closed at the
-    change timestamp; every change opens a new current row. Closed
-    history is untouched.
+    Handles any number of changes per key in one batch: versions are
+    chained — each change's ``valid_to`` is the key's next change
+    timestamp (window ``lead``), only the last stays open; the
+    previously-current row closes at the key's EARLIEST change. Closed
+    history is untouched, and the one-open-row-per-key invariant holds.
     """
+    from pyspark.sql import Window
+
     closed = history.filter(F.col(valid_to).isNotNull())
     current = history.filter(F.col(valid_to).isNull())
+    to_type = history.schema[valid_to].dataType
 
-    change_keys = changes.select(
-        *keys, F.col(change_ts_col).alias("_new_from")
+    w = Window.partitionBy(*keys).orderBy(F.col(change_ts_col).asc())
+    chained = changes.withColumn("_next_ts", F.lead(change_ts_col).over(w))
+
+    first_change = changes.groupBy(*keys).agg(
+        F.min(change_ts_col).alias("_new_from")
     )
     closing = (
-        current.join(change_keys, on=keys, how="inner")
+        current.join(first_change, on=keys, how="inner")
         .withColumn(valid_to, F.col("_new_from"))
         .drop("_new_from")
     )
-    untouched_current = current.join(change_keys.select(*keys), on=keys, how="left_anti")
+    untouched_current = current.join(
+        first_change.select(*keys), on=keys, how="left_anti"
+    )
 
     opened = (
-        changes.withColumnRenamed(change_ts_col, valid_from)
-        .withColumn(valid_to, F.lit(None).cast(history.schema[valid_to].dataType))
+        chained.withColumnRenamed(change_ts_col, valid_from)
+        .withColumn(valid_to, F.col("_next_ts").cast(to_type))
+        .drop("_next_ts")
     )
     return closed.unionByName(untouched_current).unionByName(closing).unionByName(
         opened.select(*closed.columns)

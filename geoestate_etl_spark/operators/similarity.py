@@ -238,13 +238,26 @@ def ivf_topk(
 def embedding_near_dups(
     embeddings: DataFrame,
     num_planes: int = 12,
-    dim: int = 64,
+    dim: int | None = None,
     cosine_threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH-bucket equi-self-join (no
-    crossJoin) + exact cosine rescore ≥ threshold."""
+    crossJoin) + exact cosine rescore ≥ threshold.
+
+    ``dim`` defaults to the actual vector dimension (probed from one
+    row): a mismatched dim makes every hyperplane dot NULL, which
+    collapses all rows into one bucket and turns the self-join into
+    the quadratic scan this operator exists to avoid.
+    """
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        if first is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos_sim double"
+            )
+        dim = len(first[0])
     planes = make_hyperplanes(num_planes, dim)
     b = bucketize(embeddings, planes, id_col, vec_col)
     left, right = b.alias("l"), b.alias("r")

@@ -29,7 +29,18 @@ def radius_join(
     scale: int = 3,
 ) -> DataFrame:
     """Pairs within ``radius_km``; distance attached, rounded to
-    ``scale`` dp (rounded in the oracle identically)."""
+    ``scale`` dp (rounded in the oracle identically).
+
+    Left and right coordinate column names must be distinct — after
+    the cell equi-join both sides' columns coexist, so shared names
+    would make every downstream reference ambiguous.
+    """
+    if {left_lat, left_lon} & {right_lat, right_lon}:
+        raise ValueError(
+            "left and right lat/lon column names must differ (got "
+            f"left=({left_lat},{left_lon}) right=({right_lat},{right_lon})); "
+            "rename one side before joining"
+        )
     l_cells = left.withColumn(
         "_cell", F.explode(neighbor_cells(left_lat, left_lon, cell_deg))
     )

@@ -175,10 +175,15 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_media(media)
 
 
+_WC_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
 _TEXT_STATS_SQL = f"""
 SELECT doc_id,
        length(text) AS n_chars_calc,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+       {_WC_SQL} AS n_words,
        len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens,
        round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
              / greatest(length(text), 1), 4) AS punct_ratio
@@ -190,7 +195,7 @@ _STOP_RE = r"\b(the|and|of|a|is)\b"
 _QUALITY_SQL = f"""
 WITH base AS (
   SELECT doc_id,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS wc,
+         {_WC_SQL} AS wc,
          len(regexp_extract_all(text, '{_STOP_RE}')) AS stops,
          round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                / greatest(length(text), 1), 4) AS pr

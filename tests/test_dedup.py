@@ -69,3 +69,23 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "one two")], ["id", "text"])
     out = df.select(shingles("text", 3).alias("sh")).collect()[0].sh
     assert out == ["one two"]  # shorter than k -> single whole-doc shingle
+
+
+def test_minhash_survives_short_and_empty_docs(spark):
+    """Docs shorter than k words must not crash the numeric shingle
+    path under ANSI mode (review finding: element_at OOB)."""
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "one two"), (4, BASE), (5, BASE)],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(df, "text", "doc_id", jaccard_threshold=0.9).collect()
+    }
+    assert (4, 5) in pairs  # the planted dup still surfaces
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    df = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_near_dups(df, "text", "doc_id", num_hashes=16, bands=5)

@@ -68,3 +68,25 @@ def test_scd2_apply(spark):
         out.filter(F.col("valid_to").isNull()).groupBy("id").count().collect()
     )
     assert all(r["count"] == 1 for r in open_counts)
+
+
+def test_scd2_two_changes_same_key_chain(spark):
+    """Two changes for one key in a single batch must chain versions,
+    not create two open rows (review finding)."""
+    history = spark.createDataFrame(
+        [(1, "cur", ts("2021-01-01"), None)], SCD_SCHEMA
+    )
+    changes = spark.createDataFrame(
+        [(1, "v2", ts("2022-01-01")), (1, "v3", ts("2023-01-01"))],
+        ["id", "attr", "change_ts"],
+    )
+    out = scd2_apply(history, changes, ["id"], "change_ts")
+    rows = sorted((r.attr, r.valid_from, r.valid_to) for r in out.collect())
+    assert rows == sorted(
+        [
+            ("cur", ts("2021-01-01"), ts("2022-01-01")),
+            ("v2", ts("2022-01-01"), ts("2023-01-01")),  # chained closure
+            ("v3", ts("2023-01-01"), None),  # single open row
+        ]
+    )
+    assert out.filter(F.col("valid_to").isNull()).count() == 1
