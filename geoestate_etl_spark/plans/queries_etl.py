@@ -67,6 +67,42 @@ def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: an hourly rollup
+    maintained incrementally — standing rollup over old events merged
+    with a partial over the new batch, no history rescan. Result must
+    equal the full recompute (the oracle)."""
+    from geoestate_etl_spark.sources.parquet_io import load_events
+    from geoestate_etl_spark.streaming.event_windows import tumbling_counts
+
+    ev = load_events(spark, sf_dir)
+    # split the stream at a timestamp: everything before is the
+    # standing rollup, after is the newly-arrived batch
+    cutoff = "2024-01-20"
+    standing = tumbling_counts(ev.filter(F.col("ts") < cutoff), "1 hour")
+    fresh = tumbling_counts(ev.filter(F.col("ts") >= cutoff), "1 hour")
+    merged = (
+        standing.unionByName(fresh)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )
+    return merged
+
+
+def q_cms_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch estimates for the order priorities (engine-
+    specific hashing → rows-only; properties pinned in test_sketches)."""
+    from geoestate_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = orders.select("o_orderpriority").distinct()
+    sketch = cms_build(orders, "o_orderpriority", depth=4, width=256)
+    return cms_estimate(sketch, keys, "o_orderpriority", depth=4, width=256)
+
+
 def _morton_sql() -> str:
     """The identical bit-spreading arithmetic, rendered to SQL."""
 
@@ -117,6 +153,28 @@ SPECS = [
         "FROM lineitem GROUP BY l_returnflag",
         "agg-exact-quantiles",
     ),
+    QuerySpec(
+        "continuous_aggregate",
+        q_continuous_aggregate,
+        # oracle: the full recompute the incremental path must equal.
+        # sum_value chunks are rounded to 2dp before the outer sum, so
+        # the oracle mirrors the two-level rounding exactly
+        "WITH parts AS ("
+        "  SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "         count(*) AS cnt, round(sum(value), 2) AS sv "
+        "  FROM events WHERE ts < TIMESTAMP '2024-01-20' "
+        "  GROUP BY window_start, event_type "
+        "  UNION ALL "
+        "  SELECT date_trunc('hour', ts), event_type, count(*), "
+        "         round(sum(value), 2) "
+        "  FROM events WHERE ts >= TIMESTAMP '2024-01-20' "
+        "  GROUP BY 1, 2) "
+        "SELECT window_start, event_type, sum(cnt) AS cnt, "
+        "round(sum(sv), 2) AS sum_value FROM parts "
+        "GROUP BY window_start, event_type",
+        "etl-continuous-aggregate",
+    ),
+    QuerySpec("cms_top_keys", q_cms_top_keys, None, "sketch-count-min"),
     QuerySpec(
         "incremental_counts",
         q_incremental_counts,

@@ -1,0 +1,41 @@
+"""Count-min sketch properties: never underestimates, exact for heavy
+keys when width comfortably exceeds cardinality, deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.operators.sketches import cms_build, cms_estimate
+from tests.conftest import SF_ORACLE
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    truth = {
+        r.o_orderpriority: r.cnt
+        for r in orders.groupBy("o_orderpriority").agg(F.count("*").alias("cnt")).collect()
+    }
+    keys = orders.select("o_orderpriority").distinct()
+    sketch = cms_build(orders, "o_orderpriority", depth=4, width=256)
+    est = {
+        r.o_orderpriority: r.est
+        for r in cms_estimate(sketch, keys, "o_orderpriority", depth=4, width=256).collect()
+    }
+    assert set(est) == set(truth)
+    for k, true_cnt in truth.items():
+        assert est[k] >= true_cnt  # CMS never underestimates
+    # 5 distinct keys in 256 buckets x 4 depths: no collision survives min
+    assert est == truth
+
+
+def test_cms_sketch_size_is_bounded(spark):
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    sketch = cms_build(li, "l_partkey", depth=4, width=64)
+    assert sketch.count() <= 4 * 64  # d*w rows regardless of input size
+
+
+def test_cms_deterministic(spark):
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    a = sorted(map(tuple, cms_build(orders, "o_orderstatus", 3, 32).collect()))
+    b = sorted(map(tuple, cms_build(orders, "o_orderstatus", 3, 32).collect()))
+    assert a == b
