@@ -117,6 +117,42 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: tokenize → explode → per-(doc,term) TF, per-term DF,
+    idf = ln((N+1)/(df+1)); top-3 terms per doc (first 50 docs).
+
+    One explode + two hash aggregations + a broadcast-joinable term
+    table — the canonical scale shape for corpus statistics.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, one job — the corpus size
+    terms = docs.select(
+        "doc_id", F.explode(F.split(TX.normalize_text("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1)), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.filter(F.col("doc_id") < 50)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 3-gram Jaccard between consecutive doc pairs —
     set ops on the gram arrays, exact."""
@@ -265,6 +301,26 @@ SPECS = [
         "iterative-connected-components",
     ),
     QuerySpec("dedup_components", q_dedup_components, None, "ext-dedup-clustering"),
+    QuerySpec(
+        "tfidf_top_terms",
+        q_tfidf_top_terms,
+        "WITH terms AS ("
+        "  SELECT doc_id, unnest(regexp_split_to_array("
+        f"    {_NORM_SQL}, ' ')) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms "
+        "  GROUP BY doc_id, term), "
+        "df_ AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms "
+        "  GROUP BY term), "
+        "n AS (SELECT count(*) AS n_docs FROM documents), "
+        "scored AS (SELECT doc_id, tf.term, "
+        "  round(tf * ln((n_docs + 1.0) / (df + 1)), 4) AS tfidf "
+        "  FROM tf JOIN df_ ON tf.term = df_.term CROSS JOIN n), "
+        "ranked AS (SELECT doc_id, term, tfidf, row_number() OVER ("
+        "  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn "
+        "  FROM scored WHERE doc_id < 50) "
+        "SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3",
+        "ext-tfidf",
+    ),
     QuerySpec(
         "char_ngram_jaccard",
         q_char_ngram_jaccard,
