@@ -121,8 +121,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: tokenize → explode → per-(doc,term) TF, per-term DF,
     idf = ln((N+1)/(df+1)); top-3 terms per doc (first 50 docs).
 
-    One explode + two hash aggregations + a broadcast-joinable term
-    table — the canonical scale shape for corpus statistics.
+    One explode + two chained hash aggregations — the canonical scale
+    shape for corpus statistics. DF derives from TF (one row per
+    (doc, term) already) instead of a second explode+distinct, and the
+    term join is left to AQE: vocabulary is unbounded, so a forced
+    broadcast would OOM on a real corpus.
     """
     from pyspark.sql import Window
 
@@ -132,10 +135,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(TX.normalize_text("text"), " ")).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
-    scored = tf.join(F.broadcast(df_), "term").select(
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").select(
         "doc_id",
         "term",
         F.round(
