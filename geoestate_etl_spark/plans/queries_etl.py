@@ -67,6 +67,26 @@ def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_houses_slice_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature query on the reference's OWN sample
+    CSV (full pipeline: dirty UTF-16 ingest → validate → renumber →
+    cast → top-25 by square). Rows-only: DuckDB cannot parse UTF-16
+    CSVs, and tests/test_reference_slice.py pins the golden values.
+
+    ``sf_dir`` is unused — the input is the fixed reference sample.
+    """
+    import os
+
+    from geoestate_etl_spark.plans.pipeline import run_pipeline
+
+    slice_path = "/root/reference/data/russian_houses_slice.csv"
+    if not os.path.exists(slice_path):  # environment without the reference
+        return spark.createDataFrame(
+            [], "house_id int, square double, maintenance_year date, region string"
+        )
+    return run_pipeline(spark, slice_path).top25_by_square
+
+
 def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: an hourly rollup
     maintained incrementally — standing rollup over old events merged
@@ -175,6 +195,7 @@ SPECS = [
         "etl-continuous-aggregate",
     ),
     QuerySpec("cms_top_keys", q_cms_top_keys, None, "sketch-count-min"),
+    QuerySpec("houses_slice_top25", q_houses_slice_top25, None, "reference-e2e-parity"),
     QuerySpec(
         "incremental_counts",
         q_incremental_counts,

@@ -56,6 +56,40 @@ def test_session_window_stream_matches_batch(spark, events_batch):
     assert got == expected
 
 
+def test_stream_static_join(spark, events_batch):
+    """Streaming fact joined to a static dimension (enrichment-at-
+    ingest): the stream side micro-batches, the dim broadcasts."""
+    batch_df = spark.read.parquet(events_batch)
+    users = batch_df.select("user_id").distinct().withColumn(
+        "segment", (F.col("user_id") % 3).cast("string")
+    )
+    expected = (
+        batch_df.join(users, "user_id")
+        .groupBy("segment")
+        .count()
+        .collect()
+    )
+    expected = {r.segment: r["count"] for r in expected}
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_batch)
+    joined = stream.join(users, "user_id").groupBy("segment").count()
+    q = (
+        joined.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.segment: r["count"]
+            for r in spark.sql("SELECT * FROM enrich_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_stream_matches_batch(spark, events_batch):
     batch_df = spark.read.parquet(events_batch)
     expected = {
