@@ -1,0 +1,68 @@
+"""PageRank: the second iterative-algorithm surface (with
+components.py), for ranking within document/link graphs — e.g.
+prioritizing canonical documents inside near-duplicate clusters.
+
+Per iteration: one join (edges ⋈ ranks) + one aggregation (contribs
+per dst) + a scalar dangling-mass aggregate — all keyed shuffles, no
+driver data beyond two scalars. ``localCheckpoint`` truncates lineage
+per iteration (same discipline as connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Ranks over a directed graph given as (src, dst) edge rows.
+
+    Returns (id, pr) for every node appearing as a source or target.
+    Dangling-node mass is redistributed uniformly each iteration, so
+    ranks sum to 1 (within FP) at every step.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
+
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("id", src), src)
+            .join(out_deg, src)
+            .select(F.col(dst).alias("id"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # mass of nodes with no outgoing edges, redistributed uniformly
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed(src, "id"), "id", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+
+    nodes.unpersist()
+    return ranks

@@ -193,6 +193,20 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier→nation graph (iterative; rows-only —
+    semantics pinned against a numpy reference in test_pagerank)."""
+    from geoestate_etl_spark.operators.pagerank import pagerank
+
+    supp = _t(spark, sf_dir, "supplier")
+    edges = supp.select(
+        F.col("s_suppkey").alias("src"),
+        (F.col("s_nationkey").cast("long") + 1_000_000).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=6)
+    return ranks.select("id", F.round("pr", 6).alias("pr"))
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over the MinHash pair graph (keeper + size)."""
     from geoestate_etl_spark.operators.components import dedup_clusters
@@ -302,6 +316,7 @@ SPECS = [
         "iterative-connected-components",
     ),
     QuerySpec("dedup_components", q_dedup_components, None, "ext-dedup-clustering"),
+    QuerySpec("pagerank_suppliers", q_pagerank_suppliers, None, "iterative-pagerank"),
     QuerySpec(
         "tfidf_top_terms",
         q_tfidf_top_terms,
