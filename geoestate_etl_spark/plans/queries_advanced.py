@@ -144,6 +144,33 @@ def q_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert(cust, updates, ["c_custkey"]).select("c_custkey", "c_acctbal")
 
 
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each order attached to the customer's
+    order-count "version" active at its date. The versioned dim is
+    built from orders themselves (valid_from = nth order date,
+    valid_to = next order date), so the whole thing is deterministic
+    and SQL-expressible for the oracle."""
+    from pyspark.sql import Window
+
+    from geoestate_etl_spark.operators.temporal import temporal_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    dim = orders.select(
+        F.col("o_custkey").alias("c_key"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.row_number().over(w).cast(T.LongType()).alias("n_orders_so_far"),
+    )
+    facts = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("c_key"), "o_orderdate"
+    )
+    out = temporal_join(facts, dim, "c_key", "o_orderdate")
+    return out.select("o_orderkey", "c_key", "n_orders_so_far")
+
+
 def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows: ntile/percent_rank/cume_dist per nation."""
     from pyspark.sql import Window
@@ -265,6 +292,20 @@ SPECS = [
         "SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 "
         "THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal FROM customer",
         "merge-upsert",
+    ),
+    QuerySpec(
+        "temporal_join",
+        q_temporal_join,
+        "WITH f AS (SELECT o_orderkey, o_custkey AS c_key, o_orderdate FROM orders), "
+        "dim AS (SELECT o_custkey AS c_key, o_orderdate AS valid_from, "
+        "lead(o_orderdate) OVER w AS valid_to, row_number() OVER w AS n_orders_so_far "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC)) "
+        "SELECT f.o_orderkey, f.c_key, d.n_orders_so_far FROM f "
+        "LEFT JOIN dim d ON d.c_key = f.c_key "
+        "AND d.valid_from <= f.o_orderdate "
+        "AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)",
+        "temporal-point-in-time-join",
     ),
     QuerySpec(
         "rank_distribution",
