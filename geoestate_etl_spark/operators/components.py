@@ -8,11 +8,13 @@ alternating small-star/large-star style label propagation —
 every node repeatedly adopts the minimum label in its neighborhood
 until a fixed point.
 
-Scale shape per iteration: one groupBy (min label per node) + one
-join (propagate along edges) — all shuffles on node id; converges in
-O(log n) iterations for real near-dup graphs (shallow components).
-``localCheckpoint`` truncates the growing lineage each iteration,
-which is what keeps 20-iteration plans compilable at scale.
+Scale shape per iteration: one groupBy (min label per node) + two
+joins (propagate along edges, then pointer-jump) — all shuffles on
+node id. The pointer-jump makes convergence O(log diameter), so the
+default 20 iterations cover components with diameters up to ~2^20 —
+plain one-hop propagation would need O(diameter) rounds and silently
+under-merge long chains. ``localCheckpoint`` truncates the growing
+lineage each iteration, which keeps deep iterative plans compilable.
 """
 
 from __future__ import annotations
@@ -63,12 +65,25 @@ def connected_components(
             .agg(F.min("component").alias("n_comp"))
             .withColumnRenamed("src", "id")
         )
+        propagated = labels.join(neighbor_labels, "id", "left").select(
+            "id",
+            F.least("component", F.coalesce("n_comp", "component")).alias(
+                "component"
+            ),
+        )
+        # pointer-jump (path halving): also adopt the label OF my label.
+        # Neighbor propagation alone moves labels one hop per round
+        # (O(diameter) rounds — a long chain would not converge within
+        # max_iter); combined with jumping, convergence is O(log n).
+        parents = propagated.select(
+            F.col("id").alias("component"), F.col("component").alias("parent")
+        )
         new_labels = (
-            labels.join(neighbor_labels, "id", "left")
+            propagated.join(parents, "component", "left")
             .select(
                 "id",
                 F.least(
-                    "component", F.coalesce("n_comp", "component")
+                    "component", F.coalesce("parent", "component")
                 ).alias("component"),
             )
             .localCheckpoint()

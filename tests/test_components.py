@@ -31,6 +31,15 @@ def test_long_chain_converges(spark):
     assert len(got) == 12
 
 
+def test_long_chain_pointer_jumping(spark):
+    # 400-node chain: one-hop propagation needs ~400 rounds; with
+    # pointer jumping the default 20 suffice (O(log n))
+    edges = [(i, i + 1) for i in range(400)]
+    got = cc_map(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 401
+
+
 def test_cycle_and_cross_edges(spark):
     got = cc_map(spark, [(5, 6), (6, 7), (7, 5), (7, 2), (30, 31)])
     assert got[5] == got[6] == got[7] == got[2] == 2
