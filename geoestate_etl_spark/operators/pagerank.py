@@ -27,6 +27,10 @@ def pagerank(
     Dangling-node mass is redistributed uniformly each iteration, so
     ranks sum to 1 (within FP) at every step.
     """
+    # edges and the loop-invariant out-degree table feed every
+    # iteration twice (contrib join + dangling anti-join) — persist
+    # both so the source scan and degree shuffle run once
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
@@ -34,7 +38,11 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
-    out_deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    if n == 0:  # empty graph (e.g. a pair-finder found nothing)
+        edges.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], "id long, pr double")
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("deg")).persist()
 
     ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
 
@@ -64,5 +72,7 @@ def pagerank(
             .localCheckpoint()
         )
 
+    edges.unpersist()
+    out_deg.unpersist()
     nodes.unpersist()
     return ranks

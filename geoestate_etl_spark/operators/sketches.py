@@ -26,32 +26,57 @@ def _bucket(key_col, depth: int, width: int):
 def cms_build(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:
-    """Build the sketch: (depth, bucket, cnt) — d·w rows total."""
-    rows = [
-        df.select(
-            F.lit(d).alias("depth"),
-            _bucket(F.col(key_col), d, width).alias("bucket"),
+    """Build the sketch: (depth, bucket, cnt) — d·w rows total.
+
+    ONE pass over the input: each row explodes into its d
+    (depth, bucket) coordinates (a union of d projections would
+    re-scan the source d times).
+    """
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    _bucket(F.col(key_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
         )
-        for d in range(depth)
-    ]
-    unioned = rows[0]
-    for r in rows[1:]:
-        unioned = unioned.unionByName(r)
-    return unioned.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))
+    )
+    return (
+        df.select(coords.alias("c"))
+        .select("c.depth", "c.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def cms_estimate(
     sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:
     """Point-estimate each key in ``keys``: min over depths of the
-    key's bucket counter. ``keys`` is small (broadcast)."""
-    probes = None
-    for d in range(depth):
-        p = keys.select(
-            F.col(key_col),
-            F.lit(d).alias("depth"),
-            _bucket(F.col(key_col), d, width).alias("bucket"),
+    key's bucket counter. ``keys`` is small (broadcast).
+
+    LEFT join from the probes: a probe landing in an empty bucket
+    means a counter of 0, and the minimum must see it — an inner join
+    would drop unseen keys entirely (or worse, overestimate them from
+    only their colliding depths).
+    """
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    _bucket(F.col(key_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
         )
-        probes = p if probes is None else probes.unionByName(p)
-    joined = sketch.join(F.broadcast(probes), ["depth", "bucket"])
-    return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))
+    )
+    probes = keys.select(F.col(key_col), coords.alias("c")).select(
+        key_col, "c.depth", "c.bucket"
+    )
+    joined = F.broadcast(probes).join(sketch, ["depth", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("est")
+    )

@@ -36,8 +36,15 @@ def temporal_join(
     ``how='left'``, facts before the key's first version (or with no
     key match) keep NULL dimension columns.
     """
-    interval = (F.col(valid_from) <= F.col(fact_ts)) & (
-        F.col(valid_to).isNull() | (F.col(fact_ts) < F.col(valid_to))
+    shared = (set(facts.columns) & set(dim.columns)) - {key}
+    if shared:
+        raise ValueError(
+            f"facts and dim share non-key columns {sorted(shared)}; the "
+            "interval predicate and output would be ambiguous — rename "
+            "them on one side first"
+        )
+    interval = (dim[valid_from] <= facts[fact_ts]) & (
+        dim[valid_to].isNull() | (facts[fact_ts] < dim[valid_to])
     )
     return facts.join(dim, on=[facts[key] == dim[key], interval], how=how).drop(
         dim[key]

@@ -39,6 +39,22 @@ def test_embedding_near_dups_derives_dim(spark):
     assert (1, 2) in pairs and not any(3 in p for p in pairs)
 
 
+def test_temporal_join_rejects_shared_columns(spark):
+    from geoestate_etl_spark.operators.temporal import temporal_join
+
+    facts = spark.createDataFrame([(1, 5, 0)], ["k", "ts", "valid_from"])
+    dim = spark.createDataFrame([(1, 0, 10, "x")], ["k", "valid_from", "valid_to", "attr"])
+    with pytest.raises(ValueError, match="share non-key columns"):
+        temporal_join(facts, dim, "k", "ts")
+
+
+def test_pagerank_empty_edges(spark):
+    from geoestate_etl_spark.operators.pagerank import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0
+
+
 def test_embedding_near_dups_empty_input(spark):
     from pyspark.sql import types as T
 

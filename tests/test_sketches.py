@@ -34,6 +34,16 @@ def test_cms_sketch_size_is_bounded(spark):
     assert sketch.count() <= 4 * 64  # d*w rows regardless of input size
 
 
+def test_cms_absent_key_estimates_zero(spark):
+    """An unseen key must estimate 0 (empty bucket at some depth),
+    not vanish or inherit colliding buckets' counts (review finding)."""
+    df = spark.createDataFrame([("a",)] * 10 + [("b",)] * 5, ["k"])
+    keys = spark.createDataFrame([("a",), ("zzz_absent",)], ["k"])
+    sketch = cms_build(df, "k", depth=4, width=64)
+    est = {r.k: r.est for r in cms_estimate(sketch, keys, "k", 4, 64).collect()}
+    assert est == {"a": 10, "zzz_absent": 0}
+
+
 def test_cms_deterministic(spark):
     orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
     a = sorted(map(tuple, cms_build(orders, "o_orderstatus", 3, 32).collect()))
