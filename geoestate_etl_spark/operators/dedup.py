@@ -73,14 +73,17 @@ def shingle_ids(c: Column | str, k: int = 3) -> Column:
     intersect/union for Jaccard) run on longs instead of strings.
 
     Masks keep every intermediate within signed-64 range (ANSI mode
-    throws on overflow): word hashes 31 bits, so the k-term polynomial
-    combine stays < 2^41 for k=3.
+    throws on overflow): word hashes 31 bits, and the accumulator is
+    re-masked to 57 bits after every combine step, so ``acc*31 + term``
+    stays < 2^63 for ANY k (the mask is the identity for k <= 6, so
+    small-k results are unchanged).
     """
     col = F.col(c) if isinstance(c, str) else c
     words = F.split(normalize_text(col), " ")
     wh = F.transform(words, lambda w: F.xxhash64(w).bitwiseAND(F.lit(0x7FFFFFFF)))
     n = F.size(wh)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    acc_mask = F.lit(0x01FFFFFFFFFFFFFF).cast(T.LongType())  # 57 bits
 
     def combine(i: Column) -> Column:
         acc = F.lit(0).cast(T.LongType())
@@ -90,7 +93,7 @@ def shingle_ids(c: Column | str, k: int = 3) -> Column:
             term = F.coalesce(
                 F.try_element_at(wh, (i + off + 1).cast("int")), F.lit(0)
             )
-            acc = acc * 31 + term
+            acc = (acc * 31 + term).bitwiseAND(acc_mask)
         return acc
 
     return F.array_distinct(F.transform(idx, combine))

@@ -47,6 +47,16 @@ def scd2_apply(
     timestamp (window ``lead``), only the last stays open; the
     previously-current row closes at the key's EARLIEST change. Closed
     history is untouched, and the one-open-row-per-key invariant holds.
+
+    Batches are assumed to arrive in order: a change older than the
+    current version's ``valid_from`` is a LATE arrival. The close is
+    clamped with ``greatest(valid_from, earliest change)`` so a late
+    batch can never produce an inverted interval
+    (``valid_to < valid_from``) on the closing row — the current
+    version closes as a zero-length interval instead, and the late
+    change takes over from its own timestamp. Rewriting already-closed
+    history for late data is out of scope (that's a full temporal
+    merge; see ``operators/temporal.py`` for the read-side handling).
     """
     from pyspark.sql import Window
 
@@ -62,7 +72,7 @@ def scd2_apply(
     )
     closing = (
         current.join(first_change, on=keys, how="inner")
-        .withColumn(valid_to, F.col("_new_from"))
+        .withColumn(valid_to, F.greatest(F.col(valid_from), F.col("_new_from")))
         .drop("_new_from")
     )
     untouched_current = current.join(

@@ -61,6 +61,11 @@ def cms_estimate(
     means a counter of 0, and the minimum must see it — an inner join
     would drop unseen keys entirely (or worse, overestimate them from
     only their colliding depths).
+
+    The SKETCH side carries the broadcast hint: it is bounded at d·w
+    rows by construction, and Spark cannot build-side-broadcast the
+    preserved (left) side of a left-outer join — hinting the probes
+    would be silently ignored and fall back to a shuffle.
     """
     coords = F.explode(
         F.array(
@@ -76,7 +81,7 @@ def cms_estimate(
     probes = keys.select(F.col(key_col), coords.alias("c")).select(
         key_col, "c.depth", "c.bucket"
     )
-    joined = F.broadcast(probes).join(sketch, ["depth", "bucket"], "left")
+    joined = probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).alias("est")
     )

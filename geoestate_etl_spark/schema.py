@@ -42,8 +42,18 @@ HOUSES_RAW_SCHEMA = T.StructType(
 
 HOUSES_COLUMNS = [f.name for f in HOUSES_SCHEMA.fields]
 
-#: Text columns that must be non-null and non-blank (dags/main.py:185-194).
-HOUSES_TEXT_REQUIRED = ["region", "locality_name", "address", "full_address", "description"]
+#: Text columns that must be non-null and non-blank (dags/main.py:189-194).
+#: Exactly the reference's ``valid_text_fields`` set — note it does NOT
+#: require ``full_address`` (a derived display column), and it DOES
+#: include ``communal_service_id`` (whose not-blank check is subsumed by
+#: the later integer-format predicate but kept for fidelity).
+HOUSES_TEXT_REQUIRED = [
+    "region",
+    "address",
+    "description",
+    "locality_name",
+    "communal_service_id",
+]
 
 # --- driver testdata star schema (FIXTURES.md §A) ---
 

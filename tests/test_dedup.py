@@ -89,3 +89,18 @@ def test_minhash_rejects_indivisible_bands(spark):
     df = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
     with pytest.raises(ValueError, match="divisible"):
         minhash_near_dups(df, "text", "doc_id", num_hashes=16, bands=5)
+
+
+def test_shingle_ids_large_k_no_ansi_overflow(spark):
+    """k >= 8 used to overflow the signed-64 polynomial combine and
+    throw under ANSI mode (advice finding); the per-step 57-bit mask
+    keeps any k safe."""
+    from geoestate_etl_spark.operators.dedup import shingle_ids
+
+    text = " ".join(f"word{i}" for i in range(40))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = df.select(shingle_ids("text", k=12).alias("sh")).collect()[0].sh
+    assert len(out) > 0 and all(isinstance(x, int) for x in out)
+    # still deterministic
+    again = df.select(shingle_ids("text", k=12).alias("sh")).collect()[0].sh
+    assert out == again

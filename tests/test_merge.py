@@ -90,3 +90,24 @@ def test_scd2_two_changes_same_key_chain(spark):
         ]
     )
     assert out.filter(F.col("valid_to").isNull()).count() == 1
+
+
+def test_scd2_late_change_never_inverts_interval(spark):
+    """A change older than the current version's valid_from (late
+    arrival) must not produce valid_to < valid_from on the closing row
+    (advice finding): the close clamps to greatest(valid_from, change)."""
+    history = spark.createDataFrame(
+        [(1, "cur", ts("2022-01-01"), None)], SCD_SCHEMA
+    )
+    changes = spark.createDataFrame(
+        [(1, "late", ts("2021-06-01"))], ["id", "attr", "change_ts"]
+    )
+    out = scd2_apply(history, changes, ["id"], "change_ts")
+    rows = {(r.attr): (r.valid_from, r.valid_to) for r in out.collect()}
+    # clamped: zero-length close, not an inverted interval
+    assert rows["cur"] == (ts("2022-01-01"), ts("2022-01-01"))
+    assert rows["late"] == (ts("2021-06-01"), None)
+    inverted = out.filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") < F.col("valid_from"))
+    )
+    assert inverted.count() == 0

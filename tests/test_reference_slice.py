@@ -32,7 +32,10 @@ def result(spark):
 def test_slice_counts(result):
     # 7,120 data rows (BASELINE.md); 5,333 survive the reference's
     # validation semantics (pinned from this engine's first run — the
-    # reference publishes per-defect rates, not the joint count)
+    # reference publishes per-defect rates, not the joint count).
+    # Verified stable under the EXACT reference text-required set
+    # (dags/main.py:189-194 — no full_address): the slice has no row
+    # whose validity hinges on full_address.
     assert result.n_valid + result.n_invalid == 7120
     assert result.n_valid == 5333
 

@@ -49,3 +49,16 @@ def test_cms_deterministic(spark):
     a = sorted(map(tuple, cms_build(orders, "o_orderstatus", 3, 32).collect()))
     b = sorted(map(tuple, cms_build(orders, "o_orderstatus", 3, 32).collect()))
     assert a == b
+
+
+def test_cms_probe_join_broadcasts_sketch_side(spark):
+    """The broadcast hint must land on the sketch (build) side: Spark
+    ignores a broadcast hint on the preserved side of a left join
+    (advice finding), which would silently shuffle."""
+    from geoestate_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(f"k{i % 7}",) for i in range(100)], ["key"])
+    keys = spark.createDataFrame([("k0",), ("k3",)], ["key"])
+    est = cms_estimate(cms_build(df, "key"), keys, "key")
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
