@@ -205,20 +205,24 @@ def ivf_build(
     return assign(embeddings, centroids), centroids
 
 
-def ivf_topk(
-    embeddings: DataFrame,
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: list[list[float]],
     probe: list[float],
     k: int = 10,
-    n_cells: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 4,
 ) -> DataFrame:
-    """ANN top-k via IVF: score only the ``n_probe`` cells whose
-    centroids are nearest the probe, exact cosine rescore inside them.
-    Scanned fraction ≈ n_probe/n_cells (vs 100% brute force)."""
-    assigned, centroids = ivf_build(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+    """Probe an ALREADY-BUILT IVF index: score only the ``n_probe``
+    cells whose centroids are nearest the probe, exact cosine rescore
+    inside them. Scanned fraction ≈ n_probe/n_cells.
+
+    When ``assigned`` is read from a ``cell``-partitioned parquet
+    table (see :func:`ivf_write_index`), the ``isin`` filter becomes
+    true partition pruning — the scan touches only n_probe directories.
+    """
 
     def sqdist(c: list[float]) -> float:
         return sum((a - b) ** 2 for a, b in zip(c, probe))
@@ -233,6 +237,71 @@ def ivf_topk(
         F.round(cosine(F.col(vec_col), probe_col), scale).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """ANN top-k via IVF, building the index inline.
+
+    Convenience path for one-shot use and tests; a serving deployment
+    builds ONCE with :func:`ivf_write_index` and answers every query
+    with :func:`ivf_probe` against the materialized index — rebuilding
+    the quantizer per probe query is the scale anti-pattern this split
+    exists to avoid.
+    """
+    assigned, centroids = ivf_build(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+    return ivf_probe(
+        assigned, centroids, probe, k, n_probe, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """BUILD step: train the quantizer, materialize the cell-assigned
+    table partitioned by ``cell`` (probe-time partition pruning), and
+    persist the centroids next to it. Returns the centroids.
+
+    Layout: ``<path>/assigned/cell=<i>/...parquet`` +
+    ``<path>/centroids.json``. Rebuild is a full overwrite — the index
+    is a derived artifact, never the source of truth.
+    """
+    import json
+    import os
+
+    assigned, centroids = ivf_build(
+        embeddings, n_cells, iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(path, "assigned")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_read_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a materialized IVF index written by :func:`ivf_write_index`."""
+    import json
+    import os
+
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)
+    return assigned, centroids
 
 
 def embedding_near_dups(
