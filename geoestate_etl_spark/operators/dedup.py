@@ -46,6 +46,43 @@ def dedup_by_key(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     )
 
 
+# --- LSH hot-bucket guard ---------------------------------------------------
+
+
+def hot_buckets(banded: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Buckets whose occupancy exceeds ``cap`` — the audit side-output
+    of :func:`cap_hot_buckets`. Columns: key_cols + ``n_members``."""
+    return (
+        banded.groupBy(*key_cols)
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > cap)
+    )
+
+
+def cap_hot_buckets(
+    banded: DataFrame, key_cols: list[str], cap: int | None
+) -> DataFrame:
+    """Drop every row of buckets with more than ``cap`` members before
+    a bucket self-join.
+
+    An LSH bucket self-join is quadratic IN THE BUCKET: one band hash
+    shared by boilerplate-heavy documents (cookie banners, licence
+    headers — common at corpus scale) turns that bucket into a
+    b²-pair blowup. Production near-dup pipelines skip such buckets
+    entirely and log them; callers audit the drops with
+    :func:`hot_buckets` (same inputs, same cap). A bucket that hot
+    carries no similarity signal anyway — its members collide on
+    boilerplate, not content.
+
+    At most N/cap buckets can exceed the cap, so the anti-join's build
+    side is bounded and broadcast.
+    """
+    if cap is None:
+        return banded
+    hot = hot_buckets(banded, key_cols, cap).select(*key_cols)
+    return banded.join(F.broadcast(hot), key_cols, "left_anti")
+
+
 # --- shingles + minhash -----------------------------------------------------
 
 
@@ -131,6 +168,7 @@ def minhash_near_dups(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH banding + exact Jaccard rescore.
 
@@ -139,6 +177,12 @@ def minhash_near_dups(
     (band, band_hash) buckets; dedupe candidate pairs; rescore with
     exact Jaccard on the shingle sets; filter by threshold.
     No crossJoin anywhere — the join key is the LSH bucket.
+
+    ``max_bucket_size`` guards the self-join against hot buckets
+    (boilerplate collisions → quadratic pair blowup): buckets above
+    the cap are skipped entirely (see :func:`cap_hot_buckets`);
+    audit the skips with ``hot_buckets(banded, ["band_hash"], cap)``.
+    ``None`` disables the guard.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -185,6 +229,7 @@ def minhash_near_dups(
     banded = base.withColumn("band_hash", F.explode(band_arr)).select(
         "id", "band_hash"
     )
+    banded = cap_hot_buckets(banded, ["band_hash"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -255,7 +300,11 @@ def simhash32(c: Column | str) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -263,6 +312,12 @@ def simhash_near_dups(
     ≤ 3 guarantees at least one identical 8-bit block, so candidate
     recall is exact. Candidates equi-join on (block_id, block_value),
     then exact popcount rescore — never an all-pairs comparison.
+
+    ``max_bucket_size`` caps block-bucket occupancy like the MinHash
+    path (see :func:`cap_hot_buckets`); the exact-recall pigeonhole
+    guarantee holds for every pair whose shared blocks all stay under
+    the cap. Default is looser than MinHash's because an 8-bit block
+    has only 256 values — benign buckets run bigger.
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     base = df.select(F.col(id_col).alias("id"), simhash32(text_col).alias("sh"))
@@ -275,6 +330,7 @@ def simhash_near_dups(
         ]
     )
     banded = base.withColumn("blk", F.explode(blocks))
+    banded = cap_hot_buckets(banded, ["blk"], max_bucket_size)
     left, right = banded.alias("l"), banded.alias("r")
     cands = (
         left.join(

@@ -304,16 +304,40 @@ def ivf_read_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     return assigned, centroids
 
 
+def planes_for_size(n_rows: int, target_occupancy: int = 16) -> int:
+    """Hyperplane count scaled to input size: enough buckets that the
+    EXPECTED bucket occupancy is ~``target_occupancy``, so the
+    intra-bucket self-join stays linear-ish as data grows (a fixed
+    plane count makes it quadratic — round-1 verdict finding).
+    Clamped to [8, 28]: ≥8 keeps recall meaningful on tiny inputs,
+    ≤28 bounds the bucket-key space.
+    """
+    import math
+
+    if n_rows <= target_occupancy:
+        return 8
+    return max(8, min(28, math.ceil(math.log2(n_rows / target_occupancy))))
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
-    num_planes: int = 12,
+    num_planes: int | None = None,
     dim: int | None = None,
     cosine_threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH-bucket equi-self-join (no
     crossJoin) + exact cosine rescore ≥ threshold.
+
+    ``num_planes`` defaults to :func:`planes_for_size` of the input
+    row count — bucket count tracks N so occupancy (and thus the
+    self-join cost per bucket) stays roughly constant as data scales.
+    ``max_bucket_size`` additionally hard-caps any single bucket
+    (dense clusters, e.g. zero vectors or templated embeddings):
+    over-cap buckets are skipped like the text-LSH paths
+    (``operators.dedup.cap_hot_buckets``).
 
     ``dim`` defaults to the actual vector dimension (probed from one
     row): a mismatched dim makes every hyperplane dot NULL, which
@@ -327,8 +351,14 @@ def embedding_near_dups(
                 [], "id_a long, id_b long, cos_sim double"
             )
         dim = len(first[0])
+    if num_planes is None:
+        num_planes = planes_for_size(embeddings.count())
     planes = make_hyperplanes(num_planes, dim)
     b = bucketize(embeddings, planes, id_col, vec_col)
+    if max_bucket_size is not None:
+        from geoestate_etl_spark.operators.dedup import cap_hot_buckets
+
+        b = cap_hot_buckets(b, ["bucket"], max_bucket_size)
     left, right = b.alias("l"), b.alias("r")
     cands = left.join(
         right,

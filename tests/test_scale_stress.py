@@ -46,3 +46,74 @@ def test_salted_count_matches_direct_10m(spark, big):
     salted = {r.key: r.cnt for r in salted_group_count(big, ["key"], 32).collect()}
     assert salted == direct
     assert direct[0] == N // 2  # the hot key really is hot
+
+
+def test_minhash_hot_bucket_cap_bounds_skew(spark):
+    """Boilerplate skew (VERDICT r1 #3): thousands of docs sharing one
+    templated text would make every LSH band bucket quadratic. With the
+    cap, candidate generation skips the hot buckets (auditable via
+    hot_buckets) while genuinely-similar small groups are still found."""
+    from geoestate_etl_spark.operators.dedup import (
+        hot_buckets,
+        minhash_near_dups,
+    )
+
+    boiler = "all rights reserved cookie policy terms of service apply " * 3
+    rows = [(i, boiler) for i in range(5000)]
+    # planted near-dup pair with distinct non-boilerplate content
+    rows += [
+        (90001, "the quick brown fox jumps over the lazy dog tonight"),
+        (90002, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = minhash_near_dups(
+        df, "text", "doc_id", jaccard_threshold=0.5, max_bucket_size=64
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}  # completes: no 12.5M-pair blowup
+    assert (90001, 90002) in got
+    # every boilerplate pair was dropped by the cap, and the audit
+    # side-output names the buckets that did it
+    assert all(a > 90000 for a, _ in got)
+    assert len(got) < 100
+
+    from geoestate_etl_spark.operators import dedup as DD
+    from pyspark.sql import functions as FF
+
+    base = df.select(
+        FF.col("doc_id").alias("id"),
+        DD.shingle_ids("text", 3).alias("sh"),
+    ).withColumn("sig", DD.minhash_signature("sh", 16))
+    band_hashes = base.select(
+        "id",
+        FF.explode(
+            FF.array(
+                *[
+                    FF.xxhash64(
+                        FF.concat_ws(
+                            ",",
+                            FF.lit(b),
+                            *[FF.col("sig").getItem(b * 4 + r) for r in range(4)],
+                        )
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_hash"),
+    )
+    hot = hot_buckets(band_hashes, ["band_hash"], 64).collect()
+    assert len(hot) >= 1 and all(r.n_members >= 5000 for r in hot)
+
+
+def test_embedding_near_dups_planes_scale_with_n(spark):
+    """planes_for_size keeps expected bucket occupancy ~constant."""
+    from geoestate_etl_spark.operators.similarity import planes_for_size
+
+    assert planes_for_size(100) == 8
+    assert planes_for_size(1_000_000) == 16
+    assert planes_for_size(1_000_000_000) == 26
+    assert planes_for_size(10**13) == 28  # clamped
+    # monotone non-decreasing
+    sizes = [10**k for k in range(2, 12)]
+    ps = [planes_for_size(s) for s in sizes]
+    assert ps == sorted(ps)
