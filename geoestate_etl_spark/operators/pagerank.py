@@ -3,9 +3,11 @@ components.py), for ranking within document/link graphs — e.g.
 prioritizing canonical documents inside near-duplicate clusters.
 
 Per iteration: one join (edges ⋈ ranks) + one aggregation (contribs
-per dst) + a scalar dangling-mass aggregate — all keyed shuffles, no
-driver data beyond two scalars. ``localCheckpoint`` truncates lineage
-per iteration (same discipline as connected_components).
+per dst) + a 1-row dangling-mass aggregate broadcast back into the
+rank update — all keyed shuffles, ZERO driver round-trips inside the
+loop. ``localCheckpoint`` truncates lineage per iteration (same
+discipline as connected_components) and, being eager, is the
+iteration's single job.
 """
 
 from __future__ import annotations
@@ -54,19 +56,24 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
-        # mass of nodes with no outgoing edges, redistributed uniformly
-        dangling = (
-            ranks.join(out_deg.withColumnRenamed(src, "id"), "id", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
+        # mass of nodes with no outgoing edges, redistributed uniformly.
+        # Stays IN-PLAN as a 1-row aggregate broadcast into the rank
+        # update — a driver-side collect here would add a full extra
+        # Spark job + driver sync per iteration (round-1 verdict #4);
+        # this way the eager localCheckpoint below is the iteration's
+        # single job.
+        dangling = ranks.join(
+            out_deg.withColumnRenamed(src, "id"), "id", "left_anti"
+        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
         ranks = (
             nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("dm") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("pr"),
             )
             .localCheckpoint()
