@@ -2,13 +2,20 @@
 
 Media are opaque ``binary`` columns + a typed metadata struct. The
 Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
-signatures, partition sizing — is real and tested; the actual
-codec work (image decode, resample, frame extraction) is STUBBED:
-the decode libraries are not in this container, so ``decode_media``
-computes deterministic fake features from the raw bytes, and
-``decode_media_real`` raises ``NotImplementedError`` where a codec
-would be called. Swapping the stub for PIL/ffmpeg keeps every
-signature and the whole plan shape unchanged.
+signatures, partition sizing — is real and tested.
+
+Two decode tiers:
+
+- ``decode_media_real`` — REAL container-header decoding, pure
+  Python/stdlib: PNG (IHDR), BMP (DIB), GIF (logical screen), WAV
+  (RIFF fmt/data chunks). True dimensions / channels / sample rate /
+  frame counts from actual bytes — no codec library needed for
+  container metadata, so this path is fully live in this container.
+- ``decode_media`` — deterministic pseudo-metadata stub kept for
+  plumbing tests and as the documented seam where PIXEL-level work
+  (decompression, resampling, frame extraction) would plug in; that
+  part genuinely needs PIL/ffmpeg, which are absent here, and is
+  marked by ``pixel_decode_unavailable``.
 
 Scale notes: binary payloads make rows wide — keep
 ``spark.sql.files.maxPartitionBytes`` moderate and use
@@ -89,12 +96,252 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_fake_decode, MEDIA_META_SCHEMA)
 
 
+#: Metadata produced by the REAL container-header decoder.
+MEDIA_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+#: PNG color type → channel count (PNG spec, IHDR color byte).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff_media(b: bytes) -> dict:
+    """Parse REAL container headers with stdlib only.
+
+    Formats: PNG (8-byte signature + IHDR), BMP (BITMAPINFOHEADER),
+    GIF87a/89a (logical screen descriptor), WAV (RIFF/WAVE fmt +
+    data chunks). Unknown/truncated payloads → format='unknown' with
+    null fields, never an exception (corrupt rows are data, not
+    crashes, at corpus scale).
+    """
+    import struct
+
+    out = {
+        "format": "unknown",
+        "width": None,
+        "height": None,
+        "n_channels": None,
+        "sample_rate": None,
+        "n_frames": None,
+    }
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR" and len(b) >= 26:
+            w, h = struct.unpack(">II", b[16:24])
+            color_type = b[25]
+            out.update(
+                format="png",
+                width=w,
+                height=h,
+                n_channels=_PNG_CHANNELS.get(color_type),
+                n_frames=1,
+            )
+        elif b[:2] == b"BM" and len(b) >= 30:
+            w, h = struct.unpack("<ii", b[18:26])
+            bpp = struct.unpack("<H", b[28:30])[0]
+            out.update(
+                format="bmp",
+                width=w,
+                height=abs(h),  # negative height = top-down DIB
+                n_channels=max(1, bpp // 8),
+                n_frames=1,
+            )
+        elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            out.update(format="gif", width=w, height=h, n_frames=1)
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            # walk RIFF chunks for fmt (channels/rate/block align) + data
+            pos, channels, rate, block_align, data_size = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                if cid == b"fmt " and pos + 24 <= len(b):
+                    channels, rate = struct.unpack("<HI", b[pos + 10 : pos + 16])
+                    block_align = struct.unpack("<H", b[pos + 20 : pos + 22])[0]
+                elif cid == b"data":
+                    data_size = size
+                pos += 8 + size + (size & 1)  # chunks are word-aligned
+            if channels and rate:
+                out.update(
+                    format="wav",
+                    n_channels=channels,
+                    sample_rate=rate,
+                    n_frames=(
+                        data_size // block_align
+                        if data_size is not None and block_align
+                        else None
+                    ),
+                )
+    except (struct.error, IndexError):
+        pass  # truncated header → whatever was parsed so far stands
+    return out
+
+
 def decode_media_real(df: DataFrame) -> DataFrame:
-    """Real decode path — requires PIL/av, absent in this container."""
+    """REAL header decode over ``mapInPandas`` (Arrow-batched):
+    true dimensions / channels / sample rates parsed from the actual
+    payload bytes via :func:`sniff_media`. Input needs columns
+    (media_id, content); output is :data:`MEDIA_DECODED_SCHEMA`.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [sniff_media(b) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "format": [m["format"] for m in metas],
+                    "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                    "height": pd.array([m["height"] for m in metas], dtype="Int32"),
+                    "n_channels": pd.array(
+                        [m["n_channels"] for m in metas], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [m["sample_rate"] for m in metas], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [m["n_frames"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    parallelism = min(df.sparkSession.sparkContext.defaultParallelism, 8)
+    return df.repartition(parallelism).mapInPandas(_decode, MEDIA_DECODED_SCHEMA)
+
+
+def pixel_decode_unavailable() -> None:
+    """The one genuinely-stubbed step: pixel/sample decompression
+    (image decode, audio resample, video frame extraction) needs
+    PIL/soundfile/ffmpeg, absent in this container. Container
+    METADATA decoding above is real."""
     raise NotImplementedError(
-        "image/audio codecs are not installed; use decode_media (stub) — "
-        "swapping in a real codec changes only the batch fn body"
+        "pixel-level codecs are not installed; container-header decoding "
+        "(decode_media_real) is fully functional — a codec library would "
+        "replace only the batch-fn body, same mapInPandas plan shape"
     )
+
+
+# --- real-container payload builders (stdlib-only, fully valid files) -------
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A complete, spec-valid grayscale PNG (zlib CRCs + IDAT)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray, 8-bit
+    # each scanline: filter byte 0 + width gray bytes (deterministic ramp)
+    raw = b"".join(
+        b"\x00" + bytes((x + y) % 256 for x in range(width)) for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """A complete, spec-valid 24-bit BMP (BITMAPINFOHEADER)."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3  # 4-byte row padding
+    pixel_bytes = row_bytes * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(height):
+        row = bytes((x * 3 + c + y) % 256 for x in range(width) for c in range(3))
+        rows.append(row + b"\x00" * (row_bytes - len(row)))
+    return header + b"".join(rows)
+
+
+def make_wav(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
+    """A complete, spec-valid 16-bit PCM WAV."""
+    import struct
+
+    block_align = n_channels * 2
+    data = b"".join(
+        struct.pack("<h", (i * 257) % 32768 - 16384)
+        for i in range(n_frames * n_channels)
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def attach_real_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize REAL media files (valid PNG/BMP/WAV, cycling by
+    id % 3) with deterministic id-derived parameters — the oracle-able
+    stand-in for reading a binary media column off storage:
+
+    - id % 3 == 0 → PNG,  width = id%64+1,  height = id%48+1
+    - id % 3 == 1 → BMP,  width = id%64+1,  height = id%48+1
+    - id % 3 == 2 → WAV,  rate = 8000 + (id%8)*1000, channels = id%2+1,
+      frames = id%100+1
+
+    Because every parameter is a pure function of the id, a SQL oracle
+    can predict exactly what :func:`decode_media_real` must recover —
+    the decode path gets a hash-matchable correctness gate, not just a
+    rows-only check.
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                kind = i % 3
+                if kind == 0:
+                    payloads.append(make_png(i % 64 + 1, i % 48 + 1))
+                elif kind == 1:
+                    payloads.append(make_bmp(i % 64 + 1, i % 48 + 1))
+                else:
+                    payloads.append(
+                        make_wav(8000 + (i % 8) * 1000, i % 2 + 1, i % 100 + 1)
+                    )
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    base = df.select(F.col(id_col).cast(T.LongType()).alias("media_id"))
+    parallelism = min(df.sparkSession.sparkContext.defaultParallelism, 8)
+    return base.repartition(parallelism).mapInPandas(_gen, gen_schema)
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

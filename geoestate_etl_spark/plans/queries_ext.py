@@ -243,13 +243,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-# --- multimodal (stub decode; real Spark plumbing) --------------------------
+# --- multimodal (REAL container-header decode) ------------------------------
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize real PNG/BMP/WAV payloads (id-derived parameters)
+    and decode them back with the real header parser. Every decoded
+    field is a pure function of doc_id, so a SQL oracle predicts the
+    exact output — the decode path is hash-match-gated, not rows-only."""
     docs = _t(spark, sf_dir, "documents")
-    media = MM.attach_fake_media(docs, "doc_id", "text")
-    return MM.decode_media(media)
+    media = MM.attach_real_media(docs, "doc_id")
+    return MM.decode_media_real(media).select(
+        "media_id", "format", "width", "height", "n_channels", "sample_rate", "n_frames"
+    )
 
 
 _WC_SQL = (
@@ -399,5 +405,20 @@ SPECS = [
     QuerySpec("similarity_lsh", q_similarity_lsh, None, "ext-similarity-lsh"),
     QuerySpec("similarity_ivf", q_similarity_ivf, None, "ext-similarity-ivf"),
     QuerySpec("embedding_near_dups", q_embedding_near_dups, None, "ext-dedup-embedding"),
-    QuerySpec("multimodal_meta", q_multimodal_meta, None, "ext-multimodal"),
+    QuerySpec(
+        "multimodal_meta",
+        q_multimodal_meta,
+        # every decoded field is a pure function of doc_id (see
+        # attach_real_media): the oracle predicts what the real header
+        # parser must recover from the actual PNG/BMP/WAV bytes
+        "SELECT doc_id AS media_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format, "
+        "CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 64 + 1 AS INT) END AS width, "
+        "CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 48 + 1 AS INT) END AS height, "
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE doc_id % 2 + 1 END AS INT) AS n_channels, "
+        "CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate, "
+        "CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 100 + 1 ELSE 1 END AS INT) AS n_frames "
+        "FROM documents",
+        "ext-multimodal",
+    ),
 ]

@@ -41,9 +41,95 @@ def test_decode_schema_and_determinism(media):
     assert a[3][1] > len("третий документ")
 
 
-def test_decode_real_is_marked_stub(media):
+def test_pixel_decode_is_marked_stub():
+    from geoestate_etl_spark.operators.multimodal import pixel_decode_unavailable
+
     with pytest.raises(NotImplementedError):
-        decode_media_real(media)
+        pixel_decode_unavailable()
+
+
+def test_sniff_media_parses_real_containers():
+    """Pure-Python header parse of genuinely valid files."""
+    from geoestate_etl_spark.operators.multimodal import (
+        make_bmp,
+        make_png,
+        make_wav,
+        sniff_media,
+    )
+
+    png = sniff_media(make_png(17, 9))
+    assert (png["format"], png["width"], png["height"], png["n_channels"]) == (
+        "png", 17, 9, 1,
+    )
+    bmp = sniff_media(make_bmp(33, 21))
+    assert (bmp["format"], bmp["width"], bmp["height"], bmp["n_channels"]) == (
+        "bmp", 33, 21, 3,
+    )
+    wav = sniff_media(make_wav(11000, 2, 77))
+    assert (
+        wav["format"], wav["n_channels"], wav["sample_rate"], wav["n_frames"],
+    ) == ("wav", 2, 11000, 77)
+    gif = sniff_media(b"GIF89a" + (640).to_bytes(2, "little") + (480).to_bytes(2, "little"))
+    assert (gif["format"], gif["width"], gif["height"]) == ("gif", 640, 480)
+    # garbage and truncation are data, not crashes
+    assert sniff_media(b"")["format"] == "unknown"
+    assert sniff_media(b"\x89PNG\r\n\x1a\nIHD")["format"] == "unknown"
+    assert sniff_media(b"RIFFxxxxWAVE")["format"] == "unknown"
+
+
+def test_png_is_fully_valid_zlib_stream():
+    """The generated PNG's IDAT decompresses to exact scanline bytes —
+    it is a complete image file, not just a plausible header."""
+    import struct
+    import zlib
+
+    from geoestate_etl_spark.operators.multimodal import make_png
+
+    b = make_png(5, 3)
+    # walk chunks to find IDAT
+    pos, idat = 8, b""
+    while pos + 8 <= len(b):
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        tag = b[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + size]
+        assert zlib.crc32(b[pos + 4 : pos + 8 + size]) == struct.unpack(
+            ">I", b[pos + 8 + size : pos + 12 + size]
+        )[0]
+        pos += 12 + size
+    raw = zlib.decompress(idat)
+    assert len(raw) == 3 * (1 + 5)  # height * (filter byte + width)
+
+
+def test_decode_media_real_roundtrip(spark):
+    """attach_real_media → decode_media_real recovers the exact
+    planted parameters for every row and format."""
+    from geoestate_etl_spark.operators.multimodal import (
+        attach_real_media,
+        decode_media_real,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(60)], ["doc_id"])
+    out = {
+        r.media_id: r
+        for r in decode_media_real(attach_real_media(ids, "doc_id")).collect()
+    }
+    assert len(out) == 60
+    for i in range(60):
+        r = out[i]
+        if i % 3 == 0:
+            assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
+                "png", i % 64 + 1, i % 48 + 1, 1, 1,
+            )
+        elif i % 3 == 1:
+            assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
+                "bmp", i % 64 + 1, i % 48 + 1, 3, 1,
+            )
+        else:
+            assert (r.format, r.n_channels, r.sample_rate, r.n_frames) == (
+                "wav", i % 2 + 1, 8000 + (i % 8) * 1000, i % 100 + 1,
+            )
+        assert r.n_bytes > 40
 
 
 def test_resize_and_frame_sample(media):
