@@ -233,14 +233,34 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("pr", 6).alias("pr"))
 
 
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def dedup_pairs_path(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_repo_root(), "data", "derived", f"dedup_pairs_{tag}.parquet")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters over the MinHash pair graph (keeper + size)."""
+    """Near-dup clusters over the MinHash pair graph (keeper + size).
+
+    The pair graph itself is not SQL-expressible (xxhash64 minhash),
+    but it IS deterministic — so the pairs are materialized to a
+    parquet table that BOTH engines read: Spark runs iterative label
+    propagation over it, the DuckDB oracle runs a recursive CTE over
+    the same file. That upgrades the clustering from rows-only to a
+    full hash-match gate (round-1 verdict #4), exactly like
+    ``graph_components`` but on the real near-dup graph.
+    """
     from geoestate_etl_spark.operators.components import dedup_clusters
 
     pairs = DD.minhash_near_dups(
         _t(spark, sf_dir, "documents"), "text", "doc_id", jaccard_threshold=0.2
     )
-    return dedup_clusters(pairs)
+    path = dedup_pairs_path(sf_dir)
+    pairs.select("id_a", "id_b").write.mode("overwrite").parquet(path)
+    return dedup_clusters(spark.read.parquet(path))
 
 
 # --- multimodal (REAL container-header decode) ------------------------------
@@ -347,7 +367,24 @@ SPECS = [
         "SELECT src AS id, least(src, min(dst)) AS component FROM r GROUP BY src",
         "iterative-connected-components",
     ),
-    QuerySpec("dedup_components", q_dedup_components, None, "ext-dedup-clustering"),
+    QuerySpec(
+        "dedup_components",
+        q_dedup_components,
+        # recursive CTE over the SAME materialized pair table the Spark
+        # side clusters (written by the query itself; committed for the
+        # driver's sf0.01 gate so the oracle is runnable stand-alone)
+        "WITH RECURSIVE p AS (SELECT id_a, id_b FROM read_parquet("
+        "'/root/repo/data/derived/dedup_pairs_sf0.01.parquet/*.parquet')), "
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+        "UNION SELECT id_b, id_a FROM p), "
+        "r AS (SELECT src, dst FROM e UNION "
+        "SELECT r.src, e2.dst FROM r JOIN e e2 ON r.dst = e2.src), "
+        "comp AS (SELECT src AS id, least(src, min(dst)) AS component "
+        "FROM r GROUP BY src) "
+        "SELECT component, min(id) AS keeper_id, count(*) AS cluster_size "
+        "FROM comp GROUP BY component",
+        "ext-dedup-clustering",
+    ),
     QuerySpec("pagerank_suppliers", q_pagerank_suppliers, None, "iterative-pagerank"),
     QuerySpec(
         "tfidf_top_terms",
