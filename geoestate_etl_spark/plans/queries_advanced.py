@@ -152,7 +152,10 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and SQL-expressible for the oracle."""
     from pyspark.sql import Window
 
-    from geoestate_etl_spark.operators.temporal import temporal_join
+    from geoestate_etl_spark.operators.temporal import (
+        temporal_join,
+        temporal_join_bucketed,
+    )
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
@@ -167,8 +170,19 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = orders.select(
         "o_orderkey", F.col("o_custkey").alias("c_key"), "o_orderdate"
     )
-    out = temporal_join(facts, dim, "c_key", "o_orderdate")
-    return out.select("o_orderkey", "c_key", "n_orders_so_far")
+    plain = temporal_join(facts, dim, "c_key", "o_orderdate").select(
+        F.lit("plain").alias("variant"), "o_orderkey", "c_key", "n_orders_so_far"
+    )
+    # the orders-derived dim is genuinely many-versions-per-key (one
+    # version per order); the bucketed variant must reproduce the
+    # plain semantics EXACTLY — both ride in one tagged union so the
+    # oracle hash certifies their agreement row-for-row
+    bucketed = temporal_join_bucketed(
+        facts, dim, "c_key", "o_orderdate", bucket_days=365
+    ).select(
+        F.lit("bucketed").alias("variant"), "o_orderkey", "c_key", "n_orders_so_far"
+    )
+    return plain.unionByName(bucketed)
 
 
 def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,11 +314,13 @@ SPECS = [
         "dim AS (SELECT o_custkey AS c_key, o_orderdate AS valid_from, "
         "lead(o_orderdate) OVER w AS valid_to, row_number() OVER w AS n_orders_so_far "
         "FROM orders WINDOW w AS (PARTITION BY o_custkey "
-        "ORDER BY o_orderdate ASC, o_orderkey ASC)) "
-        "SELECT f.o_orderkey, f.c_key, d.n_orders_so_far FROM f "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC)), "
+        "j AS (SELECT f.o_orderkey, f.c_key, d.n_orders_so_far FROM f "
         "LEFT JOIN dim d ON d.c_key = f.c_key "
         "AND d.valid_from <= f.o_orderdate "
-        "AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)",
+        "AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)) "
+        "SELECT 'plain' AS variant, * FROM j "
+        "UNION ALL SELECT 'bucketed' AS variant, * FROM j",
         "temporal-point-in-time-join",
     ),
     QuerySpec(
