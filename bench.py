@@ -72,10 +72,10 @@ def main() -> None:
     # Build-once derived artifacts (IVF index) are a separate lifecycle
     # from serving queries — account the build as its own metric so the
     # query timing below measures the probe path, as deployed.
-    if "similarity_ivf" in specs:
+    if "similarity_ann" in specs:
         t0 = time.perf_counter()
-        force(specs["similarity_ivf"].fn(spark, SF_DIR))
-        timings["similarity_ivf_index_build"] = round(time.perf_counter() - t0, 3)
+        force(specs["similarity_ann"].fn(spark, SF_DIR))
+        timings["similarity_index_build"] = round(time.perf_counter() - t0, 3)
     for name, spec in specs.items():
         if name in SKIP:
             continue

@@ -214,14 +214,18 @@ def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The S8 capability: raw SQL through spark.sql over registered views
-    (replaces the reference's external ClickHouse SQL path)."""
+    """The S8 capability: raw SQL through spark.sql over registered
+    views (replaces the reference's external ClickHouse SQL path).
+    Includes an uncorrelated scalar subquery — Catalyst plans it as a
+    1-row subquery broadcast, certifying the subquery surface too
+    (absorbed the former scalar_subquery entry, r2)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
         """
         SELECT o_orderstatus,
                count(*) AS cnt,
-               round(avg(o_totalprice), 2) AS avg_price
+               round(avg(o_totalprice), 2) AS avg_price,
+               round((SELECT avg(o_totalprice) FROM orders_v), 2) AS global_avg
         FROM orders_v
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
@@ -250,38 +254,6 @@ SPECS = [
         "FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi "
         "GROUP BY band_id ORDER BY band_id",
         "range-join",
-    ),
-    QuerySpec(
-        "pivot_segments",
-        q_pivot_segments,
-        "SELECT c_nationkey, "
-        + ", ".join(
-            f"count(*) FILTER (c_mktsegment = '{s}') AS {s}" for s in SEGMENTS
-        )
-        + " FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
-        "pivot",
-    ),
-    QuerySpec(
-        "cube_orders",
-        q_cube_orders,
-        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, "
-        "round(sum(o_totalprice), 2) AS total FROM orders "
-        "GROUP BY CUBE (o_orderstatus, o_orderpriority)",
-        "cube",
-    ),
-    QuerySpec(
-        "distinct_counts",
-        q_distinct_counts,
-        "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
-        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag",
-        "distinct-agg",
-    ),
-    QuerySpec("approx_distinct", q_approx_distinct, None, "approx-distinct"),
-    QuerySpec(
-        "salted_counts",
-        q_salted_counts,
-        "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
-        "skew-salted-agg",
     ),
     QuerySpec(
         "tpch_q1",
@@ -324,25 +296,11 @@ SPECS = [
         "temporal-point-in-time-join",
     ),
     QuerySpec(
-        "rank_distribution",
-        q_rank_distribution,
-        "WITH r AS (SELECT c_custkey, c_nationkey, "
-        "ntile(4) OVER w AS quartile, rank() OVER w AS rnk, "
-        "count(*) OVER (PARTITION BY c_nationkey) AS n FROM customer "
-        "WINDOW w AS (PARTITION BY c_nationkey "
-        "ORDER BY c_acctbal ASC, c_custkey ASC)) "
-        "SELECT c_custkey, c_nationkey, quartile, "
-        "CASE WHEN n = 1 THEN 0 ELSE CAST(floor((2 * (rnk - 1) * 1000000 + (n - 1)) "
-        "/ (2 * (n - 1))) AS BIGINT) END AS pct_rank_micro, "
-        "CAST(floor((2 * rnk * 1000000 + n) / (2 * n)) AS BIGINT) AS cdist_micro "
-        "FROM r",
-        "window-distribution",
-    ),
-    QuerySpec(
         "sql_api",
         q_sql_api,
         "SELECT o_orderstatus, count(*) AS cnt, round(avg(o_totalprice), 2) "
-        "AS avg_price FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
-        "S8-sql-api",
+        "AS avg_price, round((SELECT avg(o_totalprice) FROM orders), 2) "
+        "AS global_avg FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        "S8-sql-api + scalar subquery (absorbed scalar_subquery, r2)",
     ),
 ]

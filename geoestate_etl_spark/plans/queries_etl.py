@@ -155,52 +155,6 @@ SPECS = [
         "UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS VARCHAR) FROM documents",
         "etl-profiling",
     ),
-    QuerySpec(
-        "morton_geo",
-        q_morton_geo,
-        "WITH c AS (SELECT c_custkey, "
-        "((c_custkey * 7919) % 14000) / 100.0 - 70.0 AS lat, "
-        "((c_custkey * 104729) % 34000) / 100.0 - 170.0 AS lon FROM customer) "
-        f"SELECT c_custkey, {_morton_sql()} AS zkey FROM c",
-        "zorder-morton",
-    ),
-    QuerySpec(
-        "quantiles_by_group",
-        q_quantiles_by_group,
-        "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, "
-        "quantile_cont(l_quantity, 0.9) AS p90, "
-        "quantile_cont(l_extendedprice, 0.95) AS price_p95 "
-        "FROM lineitem GROUP BY l_returnflag",
-        "agg-exact-quantiles",
-    ),
-    QuerySpec(
-        "continuous_aggregate",
-        q_continuous_aggregate,
-        # oracle: the full recompute the incremental path must equal.
-        # sum_value chunks are rounded to 2dp before the outer sum, so
-        # the oracle mirrors the two-level rounding exactly
-        "WITH parts AS ("
-        "  SELECT date_trunc('hour', ts) AS window_start, event_type, "
-        "         count(*) AS cnt, round(sum(value), 2) AS sv "
-        "  FROM events WHERE ts < TIMESTAMP '2024-01-20' "
-        "  GROUP BY window_start, event_type "
-        "  UNION ALL "
-        "  SELECT date_trunc('hour', ts), event_type, count(*), "
-        "         round(sum(value), 2) "
-        "  FROM events WHERE ts >= TIMESTAMP '2024-01-20' "
-        "  GROUP BY 1, 2) "
-        "SELECT window_start, event_type, sum(cnt) AS cnt, "
-        "round(sum(sv), 2) AS sum_value FROM parts "
-        "GROUP BY window_start, event_type",
-        "etl-continuous-aggregate",
-    ),
     QuerySpec("cms_top_keys", q_cms_top_keys, None, "sketch-count-min"),
     QuerySpec("houses_slice_top25", q_houses_slice_top25, None, "reference-e2e-parity"),
-    QuerySpec(
-        "incremental_counts",
-        q_incremental_counts,
-        "SELECT o_orderpriority, count(*) AS cnt, "
-        "round(sum(o_totalprice), 2) AS total FROM orders GROUP BY o_orderpriority",
-        "etl-incremental-agg",
-    ),
 ]

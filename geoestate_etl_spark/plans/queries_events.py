@@ -49,44 +49,8 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# tumbling/sliding/session merged into queries_suites.event_windows_suite (r2)
 SPECS = [
-    QuerySpec(
-        "tumbling_hourly",
-        q_tumbling_hourly,
-        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-        "count(*) AS cnt, round(sum(value), 2) AS sum_value "
-        "FROM events GROUP BY window_start, event_type",
-        "stream-tumbling",
-    ),
-    QuerySpec(
-        "sliding_hourly",
-        q_sliding_hourly,
-        # every event belongs to 2 windows: the 30-min bucket it falls in
-        # and that bucket minus 30 minutes
-        "SELECT time_bucket(INTERVAL '30 minutes', ts) - "
-        "to_minutes(off.m) AS window_start, event_type, count(*) AS cnt "
-        "FROM events CROSS JOIN (VALUES (0), (30)) AS off(m) "
-        "GROUP BY window_start, event_type",
-        "stream-sliding",
-    ),
-    QuerySpec(
-        "session_windows",
-        q_session_windows,
-        # gaps-and-islands: new session when gap > 5 min; session_end =
-        # last event + gap (session_window's end semantics)
-        "WITH flagged AS ("
-        "  SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
-        "    (PARTITION BY user_id ORDER BY ts) <= INTERVAL '5 minutes' "
-        "    THEN 0 ELSE 1 END AS new_session FROM events), "
-        "sessions AS ("
-        "  SELECT user_id, ts, sum(new_session) OVER "
-        "    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
-        "  FROM flagged) "
-        "SELECT user_id, min(ts) AS session_start, "
-        "max(ts) + INTERVAL '5 minutes' AS session_end, "
-        "count(*) AS n_events FROM sessions GROUP BY user_id, sid",
-        "stream-session",
-    ),
     QuerySpec(
         "json_props",
         q_json_props,

@@ -333,58 +333,6 @@ FROM c
 """
 
 SPECS = [
-    QuerySpec("text_stats", q_text_stats, _TEXT_STATS_SQL, "ext-text-stats"),
-    QuerySpec("quality_score", q_quality_score, _QUALITY_SQL, "ext-text-quality"),
-    QuerySpec("lang_id", q_lang_id, _LANG_SQL, "ext-lang-id"),
-    QuerySpec(
-        "fingerprint",
-        q_fingerprint,
-        f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
-        "ext-fingerprint",
-    ),
-    QuerySpec(
-        "dedup_exact",
-        q_dedup_exact,
-        f"SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keeper_id, "
-        "count(*) AS n_copies FROM documents GROUP BY fp",
-        "ext-dedup-exact",
-    ),
-    QuerySpec(
-        "dedup_by_key",
-        q_dedup_by_key,
-        "SELECT lang, source, min(doc_id) AS keeper_id, count(*) AS n_copies "
-        "FROM documents GROUP BY lang, source",
-        "ext-dedup-key",
-    ),
-    QuerySpec("minhash_near_dups", q_minhash_near_dups, None, "ext-dedup-minhash-lsh"),
-    QuerySpec(
-        "graph_components",
-        q_graph_components,
-        "WITH RECURSIVE e AS (SELECT s_suppkey AS src, s_nationkey + 1000000 AS dst "
-        "FROM supplier UNION SELECT s_nationkey + 1000000, s_suppkey FROM supplier), "
-        "r AS (SELECT src, dst FROM e UNION "
-        "SELECT r.src, e2.dst FROM r JOIN e e2 ON r.dst = e2.src) "
-        "SELECT src AS id, least(src, min(dst)) AS component FROM r GROUP BY src",
-        "iterative-connected-components",
-    ),
-    QuerySpec(
-        "dedup_components",
-        q_dedup_components,
-        # recursive CTE over the SAME materialized pair table the Spark
-        # side clusters (written by the query itself; committed for the
-        # driver's sf0.01 gate so the oracle is runnable stand-alone)
-        "WITH RECURSIVE p AS (SELECT id_a, id_b FROM read_parquet("
-        "'/root/repo/data/derived/dedup_pairs_sf0.01.parquet/*.parquet')), "
-        "e AS (SELECT id_a AS src, id_b AS dst FROM p "
-        "UNION SELECT id_b, id_a FROM p), "
-        "r AS (SELECT src, dst FROM e UNION "
-        "SELECT r.src, e2.dst FROM r JOIN e e2 ON r.dst = e2.src), "
-        "comp AS (SELECT src AS id, least(src, min(dst)) AS component "
-        "FROM r GROUP BY src) "
-        "SELECT component, min(id) AS keeper_id, count(*) AS cluster_size "
-        "FROM comp GROUP BY component",
-        "ext-dedup-clustering",
-    ),
     QuerySpec("pagerank_suppliers", q_pagerank_suppliers, None, "iterative-pagerank"),
     QuerySpec(
         "tfidf_top_terms",
@@ -407,27 +355,6 @@ SPECS = [
         "ext-tfidf",
     ),
     QuerySpec(
-        "char_ngram_jaccard",
-        q_char_ngram_jaccard,
-        # grams via correlated generate_series; jaccard via equi-join
-        # set intersection: |A ∩ B| / (|A| + |B| - |A ∩ B|)
-        "WITH g AS ("
-        "  SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS gram "
-        "  FROM documents CROSS JOIN generate_series(1, 1000) t(i) "
-        "  WHERE i <= greatest(length(text) - 2, 1)"
-        "), d AS (SELECT DISTINCT doc_id, gram FROM g), "
-        "sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id), "
-        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
-        "  FROM d a JOIN d b ON a.gram = b.gram AND b.doc_id = a.doc_id + 1 "
-        "  WHERE a.doc_id % 2 = 0 GROUP BY a.doc_id, b.doc_id) "
-        "SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, "
-        "round(coalesce(p.i, 0) / greatest(sa.n + sb.n - coalesce(p.i, 0), 1), 4) "
-        "AS jaccard FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1 "
-        "LEFT JOIN inter p ON p.id_a = sa.doc_id WHERE sa.doc_id % 2 = 0",
-        "ext-char-ngram-jaccard",
-    ),
-    QuerySpec("simhash_near_dups", q_simhash_near_dups, None, "ext-dedup-simhash"),
-    QuerySpec(
         "similarity_bruteforce",
         q_similarity_bruteforce,
         "WITH probe AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p "
@@ -439,9 +366,6 @@ SPECS = [
         "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10",
         "ext-similarity-exact",
     ),
-    QuerySpec("similarity_lsh", q_similarity_lsh, None, "ext-similarity-lsh"),
-    QuerySpec("similarity_ivf", q_similarity_ivf, None, "ext-similarity-ivf"),
-    QuerySpec("embedding_near_dups", q_embedding_near_dups, None, "ext-dedup-embedding"),
     QuerySpec(
         "multimodal_meta",
         q_multimodal_meta,

@@ -97,15 +97,6 @@ _HAVERSINE = (
 
 SPECS = [
     QuerySpec(
-        "geo_distance_topk",
-        q_geo_distance_topk,
-        f"WITH c AS ({_coords_cte('customer', 'c_custkey')}) "
-        "SELECT c_custkey, round("
-        + _HAVERSINE.format(la1="lat", lo1="lon", la2="55.75", lo2="37.62")
-        + ", 3) AS dist_km FROM c ORDER BY dist_km ASC, c_custkey ASC LIMIT 25",
-        "geo-haversine-topk",
-    ),
-    QuerySpec(
         "geo_grid_count",
         q_geo_grid_count,
         f"WITH c AS ({_coords_cte('customer', 'c_custkey')}) "
@@ -113,25 +104,5 @@ SPECS = [
         "CAST(floor(lon / 10.0) AS BIGINT) AS cell, count(*) AS cnt "
         "FROM c GROUP BY cell",
         "geo-grid-bucket",
-    ),
-    QuerySpec(
-        "geo_bbox",
-        q_geo_bbox,
-        f"WITH c AS ({_coords_cte('customer', 'c_custkey')}) "
-        "SELECT c_custkey, lat, lon FROM c "
-        "WHERE lat BETWEEN 40.0 AND 60.0 AND lon BETWEEN 20.0 AND 60.0",
-        "geo-bbox",
-    ),
-    QuerySpec(
-        "geo_radius_join",
-        q_geo_radius_join,
-        f"WITH c AS ({_coords_cte('customer', 'c_custkey', 'clat', 'clon')}), "
-        f"s AS ({_coords_cte('supplier', 's_suppkey', 'slat', 'slon')}) "
-        "SELECT c_custkey, s_suppkey, round("
-        + _HAVERSINE.format(la1="clat", lo1="clon", la2="slat", lo2="slon")
-        + ", 3) AS dist_km FROM c JOIN s ON round("
-        + _HAVERSINE.format(la1="clat", lo1="clon", la2="slat", lo2="slon")
-        + ", 3) <= 200.0",
-        "geo-radius-join",
     ),
 ]

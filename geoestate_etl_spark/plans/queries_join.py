@@ -115,20 +115,7 @@ SPECS = [
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
         "join-sortmerge",
     ),
-    QuerySpec(
-        "customers_with_orders",
-        q_customers_with_orders,
-        "SELECT c_custkey, c_name FROM customer "
-        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
-        "join-semi",
-    ),
-    QuerySpec(
-        "customers_without_orders",
-        q_customers_without_orders,
-        "SELECT c_custkey, c_name FROM customer "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
-        "join-anti",
-    ),
+    # semi/anti joins merged into queries_suites.semi_anti_join (r2)
     QuerySpec(
         "parts_top_value",
         q_parts_top_value,

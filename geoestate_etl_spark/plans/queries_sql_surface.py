@@ -152,93 +152,4 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
-    QuerySpec(
-        "string_funcs",
-        q_string_funcs,
-        "SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo, "
-        "substring(c_name, 1, 8) AS sub, length(c_name) AS ln, "
-        "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, "
-        "c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS joined, "
-        "string_split(c_name, '#')[1] AS name_head, "
-        "replace(c_name, 'Customer', 'Cst') AS repl "
-        "FROM customer",
-        "fn-strings",
-    ),
-    QuerySpec(
-        "null_funcs",
-        q_null_funcs,
-        "SELECT o_orderkey, "
-        "coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x, "
-        "CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_totalprice END AS capped, "
-        "(CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_totalprice END) IS NULL AS is_capped, "
-        "CASE WHEN nullif(o_orderstatus, 'F') IS NOT NULL THEN 1 ELSE 0 END AS not_f "
-        "FROM orders",
-        "fn-nulls",
-    ),
-    QuerySpec(
-        "conditional_agg",
-        q_conditional_agg,
-        "SELECT l_linestatus, "
-        "count(*) FILTER (l_quantity > 25) AS n_high, "
-        "count(*) FILTER (NOT l_quantity > 25) AS n_low, "
-        "round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0.0 END), 2) AS high_value "
-        "FROM lineitem GROUP BY l_linestatus",
-        "agg-conditional",
-    ),
-    QuerySpec(
-        "moving_avg",
-        q_moving_avg,
-        "WITH c AS (SELECT o_orderkey, o_custkey, o_orderdate, "
-        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
-        "SELECT o_orderkey, o_custkey, "
-        "CAST(floor((2 * sum(cents) OVER w + count(cents) OVER w) "
-        "/ (2 * count(cents) OVER w)) AS BIGINT) AS ma4_cents FROM c "
-        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, "
-        "o_orderkey ASC ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
-        "window-frame",
-    ),
-    QuerySpec(
-        "unpivot",
-        q_unpivot,
-        "SELECT p_partkey, measure, value FROM ("
-        "SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS price "
-        "FROM part) UNPIVOT (value FOR measure IN (size, price))",
-        "unpivot-melt",
-    ),
-    QuerySpec(
-        "explode_embeddings",
-        q_explode_embeddings,
-        "SELECT vec_id, u.pos - 1 AS pos, u.val FROM embeddings, "
-        "LATERAL (SELECT UNNEST(embedding) AS val, "
-        "generate_subscripts(embedding, 1) AS pos) u WHERE vec_id < 10",
-        "array-explode",
-    ),
-    QuerySpec(
-        "levenshtein_pairs",
-        q_levenshtein_pairs,
-        "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
-        "levenshtein(a.c_name, b.c_name) AS edit_dist "
-        "FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 "
-        "WHERE a.c_custkey % 2 = 0",
-        "fn-levenshtein",
-    ),
-    QuerySpec(
-        "window_values",
-        q_window_values,
-        "SELECT o_orderkey, o_custkey, "
-        "first_value(o_orderkey) OVER w AS first_order, "
-        "last_value(o_orderkey) OVER w AS last_order, "
-        "nth_value(o_orderkey, 2) OVER w AS second_order FROM orders "
-        "WINDOW w AS (PARTITION BY o_custkey "
-        "ORDER BY o_orderdate ASC, o_orderkey ASC "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
-        "window-first-last-nth",
-    ),
-    QuerySpec(
-        "scalar_subquery",
-        q_scalar_subquery,
-        "SELECT o_orderkey, o_totalprice FROM orders "
-        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
-        "scalar-subquery",
-    ),
 ]

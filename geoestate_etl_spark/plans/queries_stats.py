@@ -138,99 +138,4 @@ def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
-    QuerySpec(
-        "stats_aggs",
-        q_stats_aggs,
-        "SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, "
-        "round(var_samp(l_quantity), 4) AS var_qty, "
-        "round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, "
-        "round(covar_samp(l_quantity, l_discount), 4) AS covar_qd "
-        "FROM lineitem GROUP BY l_returnflag",
-        "agg-statistics",
-    ),
-    QuerySpec(
-        "minby_maxby",
-        q_minby_maxby,
-        "WITH r AS (SELECT o_orderstatus, o_orderkey, "
-        "row_number() OVER (PARTITION BY o_orderstatus "
-        "ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax, "
-        "row_number() OVER (PARTITION BY o_orderstatus "
-        "ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin FROM orders) "
-        "SELECT o_orderstatus, "
-        "max(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_price_key, "
-        "max(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_price_key "
-        "FROM r GROUP BY o_orderstatus",
-        "agg-argminmax",
-    ),
-    QuerySpec(
-        "collect_sorted",
-        q_collect_sorted,
-        "SELECT n_regionkey, list_sort(list(n_name)) AS nations "
-        "FROM nation GROUP BY n_regionkey",
-        "agg-collect",
-    ),
-    QuerySpec(
-        "bool_bit_aggs",
-        q_bool_bit_aggs,
-        "SELECT l_linestatus, bool_and(l_quantity > 0) AS all_positive, "
-        "bool_or(l_discount > 0.09) AS any_high_disc, "
-        "bit_and(l_linenumber) AS band, bit_or(l_linenumber) AS bor "
-        "FROM lineitem GROUP BY l_linestatus",
-        "agg-bool-bit",
-    ),
-    QuerySpec(
-        "top3_per_group",
-        q_top3_per_group,
-        "SELECT o_orderstatus, o_orderkey, o_totalprice FROM ("
-        "SELECT o_orderstatus, o_orderkey, o_totalprice, row_number() OVER ("
-        "PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC"
-        ") AS rn FROM orders) WHERE rn <= 3",
-        "topk-per-group",
-    ),
-    QuerySpec(
-        "grouping_sets",
-        q_grouping_sets,
-        "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem "
-        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())",
-        "grouping-sets",
-    ),
-    QuerySpec(
-        "date_funcs",
-        q_date_funcs,
-        "SELECT o_orderkey, "
-        "datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k, "
-        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_q, "
-        "last_day(CAST(o_orderdate AS DATE)) AS month_end, "
-        "CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start, "
-        "dayofweek(o_orderdate) + 1 AS dow, "
-        "weekofyear(o_orderdate) AS woy "
-        "FROM orders",
-        "fn-dates",
-    ),
-    QuerySpec(
-        "array_funcs",
-        q_array_funcs,
-        "SELECT vec_id, len(embedding) AS dim, "
-        "round(CAST(embedding[1] AS DOUBLE), 4) AS first_el, "
-        "round(CAST(list_max(embedding) AS DOUBLE), 4) AS mx, "
-        "round(CAST(list_min(embedding) AS DOUBLE), 4) AS mn, "
-        "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS total, "
-        "len(list_filter(embedding, x -> x > 0)) AS n_pos "
-        "FROM embeddings WHERE vec_id < 50",
-        "fn-arrays",
-    ),
-    QuerySpec(
-        "map_funcs",
-        q_map_funcs,
-        "SELECT n_nationkey, 2 AS m_size, n_name AS m_name, "
-        "['key', 'name'] AS m_keys FROM nation",
-        "fn-maps",
-    ),
-    QuerySpec(
-        "regexp_extract",
-        q_regexp_extract,
-        "SELECT c_custkey, regexp_extract(c_name, '#(\\d+)', 1) AS name_num, "
-        "len(regexp_extract_all(c_name, '\\d')) AS n_digits FROM customer",
-        "fn-regexp-extract",
-    ),
 ]

@@ -1,0 +1,1116 @@
+"""Consolidated suite queries.
+
+Round 1's registry had 90 entries but the driver's CORRECTNESS window
+checks the first 50, leaving 40 queries with no driver verdict
+(VERDICT r1, next-round #1). This module merges same-surface micro
+queries into wide projections and tagged unions so EVERY declared
+capability fits in one 50-entry registry — nothing was dropped:
+each suite computes exactly what its constituent queries computed
+(often strictly more, since one hash now covers cross-variant
+agreement, e.g. faithful-vs-scalable renumbering must match
+row-for-row inside one result).
+
+Merge shapes used:
+
+- wide projection: same table, same grain → one SELECT with all
+  columns (orders_scalar_suite, text_metrics, string_suite, ...)
+- tagged union: same logical family, different shapes → normalize
+  columns, add a ``variant``/``kind`` tag (set_ops_suite,
+  event_windows_suite, components_suite, ...)
+- cross-variant join: two implementations of one semantic → join on
+  the key and emit both (renumber_parity)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geoestate_etl_spark.plans.registry import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _NULL_TS():
+    return F.lit(None).cast(T.TimestampType())
+
+
+def _NULL_D():
+    return F.lit(None).cast(T.DoubleType())
+
+
+def _NULL_L():
+    return F.lit(None).cast(T.LongType())
+
+
+def _NULL_S():
+    return F.lit(None).cast(T.StringType())
+
+
+# --- core ------------------------------------------------------------------
+
+
+def q_global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 count + A1 mean + A2 exact median in one 1-row result."""
+    cnt = _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("lineitem_cnt"))
+    stats = _t(spark, sf_dir, "orders").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.median("o_totalprice").alias("median_price"),
+    )
+    return cnt.crossJoin(stats)  # 1x1
+
+
+def q_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/T1 top-N by count on two tables, tagged."""
+    from geoestate_etl_spark.operators import topk
+
+    pri = topk.top_k_by_count(_t(spark, sf_dir, "orders"), ["o_orderpriority"], 10)
+    seg = topk.top_k_by_count(_t(spark, sf_dir, "customer"), ["c_mktsegment"], 10)
+    return pri.select(
+        F.lit("priority").alias("grp_kind"),
+        F.col("o_orderpriority").alias("grp"),
+        "cnt",
+    ).unionByName(
+        seg.select(
+            F.lit("segment").alias("grp_kind"), F.col("c_mktsegment").alias("grp"), "cnt"
+        )
+    )
+
+
+def q_renumber_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 both ways: the faithful global-window renumbering joined to
+    the scalable (range-partition + offsets) one — the hash certifies
+    they agree on every row."""
+    from geoestate_etl_spark.operators import windows as win
+
+    df = _t(spark, sf_dir, "orders").select("o_orderkey")
+    a = win.renumber_global(df, "o_orderkey", "rn").withColumn(
+        "rn", F.col("rn").cast(T.LongType())
+    )
+    b = win.renumber_scalable(df, "o_orderkey", "rn_scalable")
+    return a.join(b, "o_orderkey")
+
+
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank family (desc window) + distribution family (asc window)
+    per customer row."""
+    cust = _t(spark, sf_dir, "customer")
+    wd = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    wa = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    n = F.count("*").over(Window.partitionBy("c_nationkey"))
+    rnk_a = F.rank().over(wa).cast(T.LongType())
+    M = 1_000_000
+    pct_micro = F.when(n == 1, F.lit(0).cast(T.LongType())).otherwise(
+        F.floor((2 * (rnk_a - 1) * M + (n - 1)) / (2 * (n - 1))).cast(T.LongType())
+    )
+    cd_micro = F.floor((2 * rnk_a * M + n) / (2 * n)).cast(T.LongType())
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(wd).cast(T.LongType()).alias("rn"),
+        F.rank().over(wd).cast(T.LongType()).alias("rnk"),
+        F.dense_rank().over(wd).cast(T.LongType()).alias("dense_rnk"),
+        F.lag("c_acctbal", 1).over(wd).alias("prev_value"),
+        F.lead("c_acctbal", 1).over(wd).alias("next_value"),
+        F.round(
+            F.sum("c_acctbal").over(wd.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_sum"),
+        F.ntile(4).over(wa).cast(T.LongType()).alias("quartile"),
+        pct_micro.alias("pct_rank_micro"),
+        cd_micro.alias("cdist_micro"),
+    )
+
+
+def q_orders_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast/round/make_date/when (F7-F13, P8) + conditional date build
+    (F4-F6) + null-handling + date arithmetic, one projection."""
+    from geoestate_etl_spark.operators.transforms import year_string_to_iso
+
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        price.cast(T.LongType()).alias("price_int"),
+        F.round("o_totalprice", 1).alias("price_round"),
+        F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)).alias("year_start"),
+        F.when(price > 150000.0, F.lit("big")).otherwise(F.lit("small")).alias(
+            "size_class"
+        ),
+        year_string_to_iso(F.year("o_orderdate").cast(T.StringType())).alias(
+            "year_date"
+        ),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_x"
+        ),
+        F.when(price > 200000, None).otherwise(price).alias("capped"),
+        F.isnull(F.when(price > 200000, None).otherwise(price)).alias("is_capped"),
+        F.nvl2(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit(1), F.lit(0)).alias(
+            "not_f"
+        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.add_months(d, 3).alias("plus_q"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").cast("long").alias("woy"),
+    )
+
+
+def q_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union/intersect/except + distinct, tagged (op, val)."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c_nk = cust.select(F.col("c_nationkey").alias("nk"))
+    s_nk = supp.select(F.col("s_nationkey").alias("nk"))
+
+    def tag(df: DataFrame, op: str, col: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"), F.col(col).cast(T.StringType()).alias("val")
+        )
+
+    return (
+        tag(c_nk.union(s_nk).distinct(), "union", "nk")
+        .unionByName(tag(c_nk.intersect(s_nk), "intersect", "nk"))
+        .unionByName(tag(c_nk.subtract(s_nk), "except", "nk"))
+        .unionByName(
+            tag(cust.select("c_mktsegment").distinct(), "distinct", "c_mktsegment")
+        )
+    )
+
+
+def q_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup + explicit GROUPING SETS + cube, tagged and normalized
+    to (variant, k1, k2, cnt, val)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("val"))
+        .select(
+            F.lit("rollup").alias("variant"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "cnt",
+            "val",
+        )
+    )
+    li.createOrReplaceTempView("li_gs")
+    gsets = spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM li_gs "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    ).select(
+        F.lit("gsets").alias("variant"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "cnt",
+        _NULL_D().alias("val"),
+    )
+    cube = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("val"))
+        .select(
+            F.lit("cube").alias("variant"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "cnt",
+            "val",
+        )
+    )
+    return rollup.unionByName(gsets).unionByName(cube)
+
+
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot customer counts nation x segment wide, then unpivot back
+    to long — one query certifies both directions (zero-filled cells
+    survive the round trip as explicit rows)."""
+    from geoestate_etl_spark.plans.queries_advanced import SEGMENTS, q_pivot_segments
+
+    wide = q_pivot_segments(spark, sf_dir)
+    return wide.unpivot("c_nationkey", SEGMENTS, "segment", "cnt")
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoestate_etl_spark.operators.joins import anti_join, semi_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return semi_join(cust, orders, on="c_custkey").select(
+        F.lit("with_orders").alias("tag"), "c_custkey", "c_name"
+    ).unionByName(
+        anti_join(cust, orders, on="c_custkey").select(
+            F.lit("without_orders").alias("tag"), "c_custkey", "c_name"
+        )
+    )
+
+
+# --- events / streaming ----------------------------------------------------
+
+
+def q_event_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling + sliding + session windows, normalized to
+    (kind, grp, t_start, t_end, cnt, val)."""
+    from geoestate_etl_spark.sources.parquet_io import load_events
+    from geoestate_etl_spark.streaming.event_windows import (
+        session_windows,
+        sliding_counts,
+        tumbling_counts,
+    )
+
+    ev = load_events(spark, sf_dir)
+    tumb = tumbling_counts(ev, "1 hour").select(
+        F.lit("tumbling").alias("kind"),
+        F.col("event_type").alias("grp"),
+        F.col("window_start").alias("t_start"),
+        _NULL_TS().alias("t_end"),
+        "cnt",
+        F.col("sum_value").alias("val"),
+    )
+    slide = sliding_counts(ev, "1 hour", "30 minutes").select(
+        F.lit("sliding").alias("kind"),
+        F.col("event_type").alias("grp"),
+        F.col("window_start").alias("t_start"),
+        _NULL_TS().alias("t_end"),
+        "cnt",
+        _NULL_D().alias("val"),
+    )
+    sess = session_windows(ev, "5 minutes").select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast(T.StringType()).alias("grp"),
+        F.col("session_start").alias("t_start"),
+        F.col("session_end").alias("t_end"),
+        F.col("n_events").alias("cnt"),
+        _NULL_D().alias("val"),
+    )
+    return tumb.unionByName(slide).unionByName(sess)
+
+
+def q_incremental_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance on two surfaces (orders batch
+    merge + hypertable-style hourly rollup), both == full recompute."""
+    from geoestate_etl_spark.plans.queries_etl import (
+        q_continuous_aggregate,
+        q_incremental_counts,
+    )
+
+    orders = q_incremental_counts(spark, sf_dir).select(
+        F.lit("orders").alias("variant"),
+        F.col("o_orderpriority").alias("k1"),
+        _NULL_TS().alias("window_start"),
+        "cnt",
+        F.col("total").alias("val"),
+    )
+    events = q_continuous_aggregate(spark, sf_dir).select(
+        F.lit("events").alias("variant"),
+        F.col("event_type").alias("k1"),
+        "window_start",
+        "cnt",
+        F.col("sum_value").alias("val"),
+    )
+    return orders.unionByName(events)
+
+
+# --- text / dedup / similarity ---------------------------------------------
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats + quality + lang-id + fingerprint, one documents pass."""
+    from geoestate_etl_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.char_count("text").alias("n_chars_calc"),
+        TX.word_count("text").alias("n_words"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text").alias("stop_ratio"),
+        TX.quality_score("text").alias("quality"),
+        "lang",
+        TX.lang_id("text").alias("pred_lang"),
+        TX.fingerprint_md5("text").alias("fp"),
+    )
+
+
+def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoestate_etl_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = DD.dedup_exact(docs, "text", "doc_id").select(
+        F.lit("exact").alias("kind"),
+        F.col("fp").alias("k1"),
+        _NULL_S().alias("k2"),
+        "keeper_id",
+        "n_copies",
+    )
+    keyed = DD.dedup_by_key(docs, ["lang", "source"], "doc_id").select(
+        F.lit("keyed").alias("kind"),
+        F.col("lang").alias("k1"),
+        F.col("source").alias("k2"),
+        "keeper_id",
+        "n_copies",
+    )
+    return exact.unionByName(keyed)
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH + SimHash + embedding-LSH near-dup pairs, tagged.
+    Rows-only (hash families are engine-specific); semantics pinned by
+    planted-dup/pigeonhole/skew tests."""
+    from geoestate_etl_spark.operators import dedup as DD
+    from geoestate_etl_spark.operators import similarity as SIM
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    mh = DD.minhash_near_dups(docs, "text", "doc_id", jaccard_threshold=0.2).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b", F.col("jaccard").alias("score")
+    )
+    sh = DD.simhash_near_dups(docs, "text", "doc_id").select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast(T.DoubleType()).alias("score"),
+    )
+    ed = SIM.embedding_near_dups(emb, cosine_threshold=0.8).select(
+        F.lit("embedding").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("cos_sim").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(ed)
+
+
+def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on the supplier-nation bipartite graph
+    (per-node labels) + near-dup clustering over the materialized
+    MinHash pair graph (cluster summaries), both vs recursive CTEs."""
+    from geoestate_etl_spark.operators.components import connected_components
+    from geoestate_etl_spark.plans.queries_ext import q_dedup_components
+
+    supp = _t(spark, sf_dir, "supplier")
+    edges = supp.select(
+        F.col("s_suppkey").alias("id_a"),
+        (F.col("s_nationkey").cast("long") + 1_000_000).alias("id_b"),
+    )
+    graph = connected_components(edges).select(
+        F.lit("graph").alias("variant"),
+        F.col("id").alias("a"),
+        F.col("component").alias("b"),
+        _NULL_L().alias("c"),
+    )
+    clusters = q_dedup_components(spark, sf_dir).select(
+        F.lit("dedup").alias("variant"),
+        F.col("component").alias("a"),
+        F.col("keeper_id").alias("b"),
+        F.col("cluster_size").alias("c"),
+    )
+    return graph.unionByName(clusters)
+
+
+def q_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise string similarity on consecutive-id pairs:
+    char-n-gram Jaccard (documents) + Levenshtein (customer names)."""
+    from geoestate_etl_spark.plans.queries_ext import q_char_ngram_jaccard
+    from geoestate_etl_spark.plans.queries_sql_surface import q_levenshtein_pairs
+
+    ng = q_char_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram_jaccard").alias("metric"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("value"),
+    )
+    lev = q_levenshtein_pairs(spark, sf_dir).select(
+        F.lit("levenshtein").alias("metric"),
+        "id_a",
+        "id_b",
+        F.col("edit_dist").cast(T.DoubleType()).alias("value"),
+    )
+    return ng.unionByName(lev)
+
+
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH multi-probe + IVF (probe-only
+    against the materialized index), tagged. Rows-only; recall floors
+    and full-probe==bruteforce equality pinned in tests."""
+    from geoestate_etl_spark.operators import similarity as SIM
+    from geoestate_etl_spark.plans.queries_ext import _probe, q_similarity_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe(spark, sf_dir)
+    lsh = SIM.lsh_topk(emb, probe, k=10).select(
+        F.lit("lsh").alias("method"), "vec_id", "cos_sim"
+    )
+    ivf = q_similarity_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "vec_id", "cos_sim"
+    )
+    return lsh.unionByName(ivf)
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (GK percentile sketch + HLL++ distinct),
+    tagged 1-row results. Rows-only by nature (sketch internals are
+    engine-specific); bounds pinned in unit tests."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    med = orders.agg(
+        F.percentile_approx("o_totalprice", 0.5).alias("v")
+    ).select(F.lit("median_approx_price").alias("metric"), F.col("v").cast("double").alias("value"))
+    hll = li.agg(F.approx_count_distinct("l_partkey").alias("v")).select(
+        F.lit("approx_distinct_parts").alias("metric"),
+        F.col("v").cast("double").alias("value"),
+    )
+    return med.unionByName(hll)
+
+
+# --- stats -----------------------------------------------------------------
+
+
+def q_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag wide stats: salted two-phase count (== direct
+    count) + variance family + exact distinct counts + exact grouped
+    quantiles — one output row per flag."""
+    from geoestate_etl_spark.operators.skew import salted_group_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    salted = salted_group_count(li, ["l_returnflag"], salt_buckets=16)
+    stats = li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qd"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.95).alias("price_p95"),
+    )
+    return salted.join(stats, "l_returnflag")
+
+
+def q_linestatus_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/bitwise + conditional (FILTER-style) aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("l_quantity") > 25
+    return li.groupBy("l_linestatus").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_disc"),
+        F.bit_and(F.col("l_linenumber")).alias("band"),
+        F.bit_or(F.col("l_linenumber")).alias("bor"),
+        F.count(F.when(high, 1)).alias("n_high"),
+        F.count(F.when(~high, 1)).alias("n_low"),
+        F.round(F.sum(F.when(high, F.col("l_extendedprice")).otherwise(0.0)), 2).alias(
+            "high_value"
+        ),
+    )
+
+
+def q_status_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-valued argmin/argmax + per-group top-3, tagged."""
+    from geoestate_etl_spark.operators.topk import top_k_per_group
+
+    o = _t(spark, sf_dir, "orders")
+    mm = o.groupBy("o_orderstatus").agg(
+        F.max(F.struct("o_totalprice", "o_orderkey"))
+        .getField("o_orderkey")
+        .alias("mx"),
+        F.min(F.struct("o_totalprice", "o_orderkey"))
+        .getField("o_orderkey")
+        .alias("mn"),
+    )
+    argmax = mm.select(
+        F.lit("argmax").alias("kind"),
+        "o_orderstatus",
+        F.col("mx").alias("o_orderkey"),
+        _NULL_D().alias("o_totalprice"),
+    )
+    argmin = mm.select(
+        F.lit("argmin").alias("kind"),
+        "o_orderstatus",
+        F.col("mn").alias("o_orderkey"),
+        _NULL_D().alias("o_totalprice"),
+    )
+    top3 = top_k_per_group(
+        o.select("o_orderstatus", "o_orderkey", "o_totalprice"),
+        ["o_orderstatus"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    ).select(F.lit("top3").alias("kind"), "o_orderstatus", "o_orderkey", "o_totalprice")
+    return argmax.unionByName(argmin).unionByName(top3)
+
+
+# --- scalar-function suites ------------------------------------------------
+
+
+def q_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + regexp-extract surface, one customer projection."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.length("c_name").cast(T.LongType()).alias("ln"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "joined"
+        ),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_head"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cst")).alias("repl"),
+        F.regexp_extract("c_name", r"#(\d+)", 1).alias("name_num"),
+        F.regexp_count("c_name", F.lit(r"\d")).cast("long").alias("n_digits"),
+    )
+
+
+def q_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface melted to (kind, vec_id, k, v): per-vector stats
+    via higher-order functions + posexplode elements."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    arr = F.col("embedding")
+    stats = e.select(
+        "vec_id",
+        F.size(arr).cast("double").alias("dim"),
+        F.round(F.element_at(arr, 1).cast("double"), 4).alias("first_el"),
+        F.round(F.array_max(arr).cast("double"), 4).alias("mx"),
+        F.round(F.array_min(arr).cast("double"), 4).alias("mn"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double")), 4
+        ).alias("total"),
+        F.size(F.filter(arr, lambda x: x > 0)).cast("double").alias("n_pos"),
+    )
+    melted = stats.unpivot("vec_id", ["dim", "first_el", "mx", "mn", "total", "n_pos"], "kind", "v").select(
+        "kind", "vec_id", _NULL_L().alias("k"), "v"
+    )
+    els = (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            F.lit("el").alias("kind"),
+            "vec_id",
+            F.col("pos").cast(T.LongType()).alias("k"),
+            F.col("val").cast("double").alias("v"),
+        )
+    )
+    return melted.unionByName(els)
+
+
+def q_map_collect_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column surface (per nation) + sorted collect_list (per
+    region), tagged (kind, key, s_val, n_val, arr_val)."""
+    n = _t(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("key"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("name"),
+        F.col("n_name"),
+    )
+    maps = n.select(
+        F.lit("map").alias("kind"),
+        F.col("n_nationkey").cast(T.LongType()).alias("key"),
+        m.getItem("name").alias("s_val"),
+        F.size(m).cast("long").alias("n_val"),
+        F.sort_array(F.map_keys(m)).alias("arr_val"),
+    )
+    collected = n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("arr_val")
+    ).select(
+        F.lit("collect").alias("kind"),
+        F.col("n_regionkey").cast(T.LongType()).alias("key"),
+        _NULL_S().alias("s_val"),
+        _NULL_L().alias("n_val"),
+        "arr_val",
+    )
+    return maps.unionByName(collected)
+
+
+def q_window_frame_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frames over one partition spec: trailing moving average
+    (integer-cents round-half-up) + first/last/nth values."""
+    o = _t(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    trail = base.rowsBetween(-3, Window.currentRow)
+    full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cents = F.round(F.col("o_totalprice") * 100).cast(T.LongType())
+    s = F.sum(cents).over(trail)
+    c = F.count(cents).over(trail)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor((2 * s + c) / (2 * c)).cast(T.LongType()).alias("ma4_cents"),
+        F.first("o_orderkey").over(full).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
+    )
+
+
+# --- geo -------------------------------------------------------------------
+
+
+def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine top-k (probe point) + grid-bucketed radius join."""
+    from geoestate_etl_spark.plans.queries_geo import (
+        q_geo_distance_topk,
+        q_geo_radius_join,
+    )
+
+    topk = q_geo_distance_topk(spark, sf_dir).select(
+        F.lit("topk").alias("kind"),
+        F.col("c_custkey").alias("id_a"),
+        _NULL_L().alias("id_b"),
+        "dist_km",
+    )
+    radius = q_geo_radius_join(spark, sf_dir).select(
+        F.lit("radius").alias("kind"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("s_suppkey").alias("id_b"),
+        "dist_km",
+    )
+    return topk.unionByName(radius)
+
+
+def q_geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer synthetic coordinates with bbox membership flag +
+    Morton Z-order locality key — point-level geo surface on every row."""
+    from geoestate_etl_spark.functions.geo import in_bbox
+    from geoestate_etl_spark.functions.zorder import morton_key_2d
+    from geoestate_etl_spark.plans.queries_geo import _with_coords
+
+    cust = _with_coords(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        in_bbox("lat", "lon", 40.0, 60.0, 20.0, 60.0).alias("in_box"),
+        morton_key_2d("lat", "lon", -70.0, 70.0, -170.0, 170.0, 16).alias("zkey"),
+    )
+
+
+# --- oracle SQL -------------------------------------------------------------
+
+def _specs() -> list[QuerySpec]:
+    from geoestate_etl_spark.plans.queries_etl import _morton_sql
+    from geoestate_etl_spark.plans.queries_ext import _NORM_SQL, _TOKEN_RE, _WC_SQL
+    from geoestate_etl_spark.plans.queries_geo import _HAVERSINE, _coords_cte
+
+    hav_probe = _HAVERSINE.format(la1="lat", lo1="lon", la2="55.75", lo2="37.62")
+    hav_pair = _HAVERSINE.format(la1="clat", lo1="clon", la2="slat", lo2="slon")
+
+    text_metrics_sql = f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         {_WC_SQL} AS wc,
+         len(regexp_extract_all(text, '\\b(the|and|of|a|is)\\b')) AS stops,
+         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / greatest(length(text), 1), 4) AS pr,
+         len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) AS c_de,
+         len(regexp_extract_all(text, '\\b(le|la|et|les|est)\\b')) AS c_fr,
+         len(regexp_extract_all(text, '\\b(el|los|y|una|es)\\b')) AS c_es,
+         len(regexp_extract_all(text, '[一-鿿]')) AS c_zh
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       wc AS n_words,
+       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens,
+       pr AS punct_ratio,
+       round(stops / greatest(wc, 1), 4) AS stop_ratio,
+       round((least(wc / 100.0, 1.0)
+              + greatest(0.0, 1.0 - pr * 5)
+              + least(round(stops / greatest(wc, 1), 4) * 10, 1.0)) / 3, 4) AS quality,
+       lang,
+       CASE WHEN c_zh > 0 THEN 'zh'
+            WHEN stops > 0 AND stops = greatest(stops, c_de, c_fr, c_es) THEN 'en'
+            WHEN c_de > 0 AND c_de = greatest(stops, c_de, c_fr, c_es) THEN 'de'
+            WHEN c_fr > 0 AND c_fr = greatest(stops, c_de, c_fr, c_es) THEN 'fr'
+            WHEN c_es > 0 AND c_es = greatest(stops, c_de, c_fr, c_es) THEN 'es'
+            ELSE 'und' END AS pred_lang,
+       md5({_NORM_SQL}) AS fp
+FROM base
+"""
+
+    return [
+        QuerySpec(
+            "global_aggs",
+            q_global_aggs,
+            "SELECT (SELECT count(*) FROM lineitem) AS lineitem_cnt, "
+            "round(avg(o_totalprice), 2) AS avg_price, "
+            "median(o_totalprice) AS median_price FROM orders",
+            "S4,A1,A2-exact (merged: scan_count+global_mean+global_median)",
+        ),
+        QuerySpec(
+            "top_groups",
+            q_top_groups,
+            "SELECT 'priority' AS grp_kind, o_orderpriority AS grp, cnt FROM ("
+            "SELECT o_orderpriority, count(*) AS cnt FROM orders "
+            "GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority ASC LIMIT 10) "
+            "UNION ALL SELECT 'segment', c_mktsegment, cnt FROM ("
+            "SELECT c_mktsegment, count(*) AS cnt FROM customer "
+            "GROUP BY c_mktsegment ORDER BY cnt DESC, c_mktsegment ASC LIMIT 10)",
+            "A3,T1 (merged: top_priorities+top_segments)",
+        ),
+        QuerySpec(
+            "renumber_parity",
+            q_renumber_parity,
+            "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn, "
+            "row_number() OVER (ORDER BY o_orderkey) AS rn_scalable FROM orders",
+            "W1 faithful==scalable (merged: row_number_global+renumber_scalable)",
+        ),
+        QuerySpec(
+            "window_rank_suite",
+            q_window_rank_suite,
+            "WITH r AS (SELECT c_custkey, c_nationkey, c_acctbal, "
+            "row_number() OVER wd AS rn, rank() OVER wd AS rnk, "
+            "dense_rank() OVER wd AS dense_rnk, "
+            "lag(c_acctbal, 1) OVER wd AS prev_value, "
+            "lead(c_acctbal, 1) OVER wd AS next_value, "
+            "round(sum(c_acctbal) OVER (PARTITION BY c_nationkey "
+            "ORDER BY c_acctbal DESC, c_custkey ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum, "
+            "ntile(4) OVER wa AS quartile, rank() OVER wa AS rnk_a, "
+            "count(*) OVER (PARTITION BY c_nationkey) AS n FROM customer "
+            "WINDOW wd AS (PARTITION BY c_nationkey "
+            "ORDER BY c_acctbal DESC, c_custkey ASC), "
+            "wa AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)) "
+            "SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk, dense_rnk, "
+            "prev_value, next_value, running_sum, quartile, "
+            "CASE WHEN n = 1 THEN 0 ELSE CAST(floor((2 * (rnk_a - 1) * 1000000 "
+            "+ (n - 1)) / (2 * (n - 1))) AS BIGINT) END AS pct_rank_micro, "
+            "CAST(floor((2 * rnk_a * 1000000 + n) / (2 * n)) AS BIGINT) AS cdist_micro "
+            "FROM r",
+            "W-rank+distribution (merged: rank_family+rank_distribution)",
+        ),
+        QuerySpec(
+            "orders_scalar_suite",
+            q_orders_scalar_suite,
+            "SELECT o_orderkey, CAST(trunc(o_totalprice) AS BIGINT) AS price_int, "
+            "round(o_totalprice, 1) AS price_round, "
+            "make_date(CAST(EXTRACT(year FROM o_orderdate) AS INTEGER), 1, 1) AS year_start, "
+            "CASE WHEN o_totalprice > 150000.0 THEN 'big' ELSE 'small' END AS size_class, "
+            "CAST(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) || '-01-01' AS DATE) AS year_date, "
+            "coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x, "
+            "CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_totalprice END AS capped, "
+            "(CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_totalprice END) IS NULL AS is_capped, "
+            "CASE WHEN nullif(o_orderstatus, 'F') IS NOT NULL THEN 1 ELSE 0 END AS not_f, "
+            "datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k, "
+            "CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_q, "
+            "last_day(CAST(o_orderdate AS DATE)) AS month_end, "
+            "CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start, "
+            "dayofweek(o_orderdate) + 1 AS dow, weekofyear(o_orderdate) AS woy "
+            "FROM orders",
+            "F4-F13,P8 (merged: cast_round_suite+date_build+null_funcs+date_funcs)",
+        ),
+        QuerySpec(
+            "set_ops_suite",
+            q_set_ops_suite,
+            "SELECT 'union' AS op, CAST(nk AS VARCHAR) AS val FROM ("
+            "SELECT c_nationkey AS nk FROM customer "
+            "UNION SELECT s_nationkey FROM supplier) "
+            "UNION ALL SELECT 'intersect', CAST(nk AS VARCHAR) FROM ("
+            "SELECT c_nationkey AS nk FROM customer "
+            "INTERSECT SELECT s_nationkey FROM supplier) "
+            "UNION ALL SELECT 'except', CAST(nk AS VARCHAR) FROM ("
+            "SELECT c_nationkey AS nk FROM customer "
+            "EXCEPT SELECT s_nationkey FROM supplier) "
+            "UNION ALL SELECT 'distinct', c_mktsegment FROM ("
+            "SELECT DISTINCT c_mktsegment FROM customer)",
+            "setops+distinct (merged: union/intersect/except_nations+distinct_segments)",
+        ),
+        QuerySpec(
+            "grouping_suite",
+            q_grouping_suite,
+            "SELECT 'rollup' AS variant, l_returnflag AS k1, l_linestatus AS k2, "
+            "count(*) AS cnt, sum(l_quantity) AS val FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+            "UNION ALL SELECT 'gsets', l_returnflag, l_linestatus, count(*), "
+            "CAST(NULL AS DOUBLE) FROM lineitem "
+            "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) "
+            "UNION ALL SELECT 'cube', o_orderstatus, o_orderpriority, count(*), "
+            "round(sum(o_totalprice), 2) FROM orders "
+            "GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+            "rollup+gsets+cube (merged: rollup_lineitem+grouping_sets+cube_orders)",
+        ),
+        QuerySpec(
+            "pivot_unpivot",
+            q_pivot_unpivot,
+            "WITH nk AS (SELECT DISTINCT c_nationkey FROM customer), "
+            "seg AS (SELECT unnest(['AUTOMOBILE', 'BUILDING', 'FURNITURE', "
+            "'HOUSEHOLD', 'MACHINERY']) AS segment), "
+            "cnts AS (SELECT c_nationkey, c_mktsegment AS segment, count(*) AS c "
+            "FROM customer GROUP BY 1, 2) "
+            "SELECT nk.c_nationkey, seg.segment, coalesce(c.c, 0) AS cnt "
+            "FROM nk CROSS JOIN seg LEFT JOIN cnts c "
+            "ON c.c_nationkey = nk.c_nationkey AND c.segment = seg.segment",
+            "pivot->unpivot roundtrip (merged: pivot_segments+unpivot)",
+        ),
+        QuerySpec(
+            "semi_anti_join",
+            q_semi_anti_join,
+            "SELECT 'with_orders' AS tag, c_custkey, c_name FROM customer "
+            "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+            "UNION ALL SELECT 'without_orders', c_custkey, c_name FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+            "join-semi+anti (merged: customers_with/without_orders)",
+        ),
+        QuerySpec(
+            "event_windows_suite",
+            q_event_windows_suite,
+            "WITH flagged AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) <= INTERVAL '5 minutes' "
+            "THEN 0 ELSE 1 END AS new_session FROM events), "
+            "sessions AS (SELECT user_id, ts, sum(new_session) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM flagged), "
+            "sess AS (SELECT user_id, min(ts) AS session_start, "
+            "max(ts) + INTERVAL '5 minutes' AS session_end, count(*) AS n_events "
+            "FROM sessions GROUP BY user_id, sid) "
+            "SELECT 'tumbling' AS kind, event_type AS grp, ws AS t_start, "
+            "CAST(NULL AS TIMESTAMP) AS t_end, cnt, val FROM ("
+            "SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt, "
+            "round(sum(value), 2) AS val FROM events GROUP BY ws, event_type) "
+            "UNION ALL SELECT 'sliding', event_type, ws, CAST(NULL AS TIMESTAMP), "
+            "cnt, CAST(NULL AS DOUBLE) FROM ("
+            "SELECT time_bucket(INTERVAL '30 minutes', ts) - to_minutes(off.m) AS ws, "
+            "event_type, count(*) AS cnt FROM events "
+            "CROSS JOIN (VALUES (0), (30)) AS off(m) GROUP BY ws, event_type) "
+            "UNION ALL SELECT 'session', CAST(user_id AS VARCHAR), session_start, "
+            "session_end, n_events, CAST(NULL AS DOUBLE) FROM sess",
+            "stream-tumbling+sliding+session (merged)",
+        ),
+        QuerySpec(
+            "incremental_aggs",
+            q_incremental_aggs,
+            "WITH parts AS ("
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(*) AS cnt, round(sum(value), 2) AS sv "
+            "FROM events WHERE ts < TIMESTAMP '2024-01-20' "
+            "GROUP BY window_start, event_type "
+            "UNION ALL SELECT date_trunc('hour', ts), event_type, count(*), "
+            "round(sum(value), 2) FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY 1, 2), "
+            "ev AS (SELECT window_start, event_type, sum(cnt) AS cnt, "
+            "round(sum(sv), 2) AS val FROM parts GROUP BY window_start, event_type) "
+            "SELECT 'orders' AS variant, o_orderpriority AS k1, "
+            "CAST(NULL AS TIMESTAMP) AS window_start, count(*) AS cnt, "
+            "round(sum(o_totalprice), 2) AS val FROM orders GROUP BY o_orderpriority "
+            "UNION ALL SELECT 'events', event_type, window_start, cnt, val FROM ev",
+            "etl-incremental+continuous-agg (merged)",
+        ),
+        QuerySpec(
+            "text_metrics",
+            q_text_metrics,
+            text_metrics_sql,
+            "ext-text (merged: text_stats+quality_score+lang_id+fingerprint)",
+        ),
+        QuerySpec(
+            "dedup_exact_suite",
+            q_dedup_exact_suite,
+            f"SELECT 'exact' AS kind, md5({_NORM_SQL}) AS k1, "
+            "CAST(NULL AS VARCHAR) AS k2, min(doc_id) AS keeper_id, "
+            "count(*) AS n_copies FROM documents GROUP BY k1 "
+            "UNION ALL SELECT 'keyed', lang, source, min(doc_id), count(*) "
+            "FROM documents GROUP BY lang, source",
+            "ext-dedup-exact+keyed (merged)",
+        ),
+        QuerySpec("near_dup_pairs", q_near_dup_pairs, None,
+                  "ext-dedup minhash+simhash+embedding LSH (merged, rows-only)"),
+        QuerySpec(
+            "components_suite",
+            q_components_suite,
+            "WITH RECURSIVE "
+            "e AS (SELECT s_suppkey AS src, s_nationkey + 1000000 AS dst "
+            "FROM supplier UNION SELECT s_nationkey + 1000000, s_suppkey FROM supplier), "
+            "r AS (SELECT src, dst FROM e UNION "
+            "SELECT r.src, e2.dst FROM r JOIN e e2 ON r.dst = e2.src), "
+            "g AS (SELECT src AS id, least(src, min(dst)) AS component "
+            "FROM r GROUP BY src), "
+            "p AS (SELECT id_a, id_b FROM read_parquet("
+            "'/root/repo/data/derived/dedup_pairs_sf0.01.parquet/*.parquet')), "
+            "pe AS (SELECT id_a AS src, id_b AS dst FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "pr AS (SELECT src, dst FROM pe UNION "
+            "SELECT pr.src, x.dst FROM pr JOIN pe x ON pr.dst = x.src), "
+            "comp AS (SELECT src AS id, least(src, min(dst)) AS component "
+            "FROM pr GROUP BY src), "
+            "d AS (SELECT component, min(id) AS keeper_id, count(*) AS cluster_size "
+            "FROM comp GROUP BY component) "
+            "SELECT 'graph' AS variant, id AS a, component AS b, "
+            "CAST(NULL AS BIGINT) AS c FROM g "
+            "UNION ALL SELECT 'dedup', component, keeper_id, cluster_size FROM d",
+            "iterative-components graph+dedup-clusters (merged, both vs recursive CTE)",
+        ),
+        QuerySpec(
+            "pair_similarity",
+            q_pair_similarity,
+            "WITH g AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS gram "
+            "FROM documents CROSS JOIN generate_series(1, 1000) t(i) "
+            "WHERE i <= greatest(length(text) - 2, 1)), "
+            "d AS (SELECT DISTINCT doc_id, gram FROM g), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+            "FROM d a JOIN d b ON a.gram = b.gram AND b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0 GROUP BY a.doc_id, b.doc_id) "
+            "SELECT 'ngram_jaccard' AS metric, sa.doc_id AS id_a, sb.doc_id AS id_b, "
+            "round(coalesce(p.i, 0) / greatest(sa.n + sb.n - coalesce(p.i, 0), 1), 4) "
+            "AS value FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1 "
+            "LEFT JOIN inter p ON p.id_a = sa.doc_id WHERE sa.doc_id % 2 = 0 "
+            "UNION ALL SELECT 'levenshtein', a.c_custkey, b.c_custkey, "
+            "CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE) "
+            "FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 "
+            "WHERE a.c_custkey % 2 = 0",
+            "pairwise-similarity ngram+levenshtein (merged)",
+        ),
+        QuerySpec("similarity_ann", q_similarity_ann, None,
+                  "ext-similarity lsh+ivf (merged, rows-only)"),
+        QuerySpec("approx_sketches", q_approx_sketches, None,
+                  "approx GK-percentile + HLL distinct (merged, rows-only)"),
+        QuerySpec(
+            "returnflag_stats",
+            q_returnflag_stats,
+            "SELECT l_returnflag, count(*) AS cnt, "
+            "round(stddev_samp(l_quantity), 4) AS sd_qty, "
+            "round(var_samp(l_quantity), 4) AS var_qty, "
+            "round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, "
+            "round(covar_samp(l_quantity, l_discount), 4) AS covar_qd, "
+            "count(DISTINCT l_partkey) AS n_parts, "
+            "count(DISTINCT l_suppkey) AS n_supps, "
+            "quantile_cont(l_quantity, 0.5) AS p50, "
+            "quantile_cont(l_quantity, 0.9) AS p90, "
+            "quantile_cont(l_extendedprice, 0.95) AS price_p95 "
+            "FROM lineitem GROUP BY l_returnflag",
+            "stats+distinct+quantiles+salted-count (merged: stats_aggs+"
+            "distinct_counts+quantiles_by_group+salted_counts)",
+        ),
+        QuerySpec(
+            "linestatus_aggs",
+            q_linestatus_aggs,
+            "SELECT l_linestatus, bool_and(l_quantity > 0) AS all_positive, "
+            "bool_or(l_discount > 0.09) AS any_high_disc, "
+            "bit_and(l_linenumber) AS band, bit_or(l_linenumber) AS bor, "
+            "count(*) FILTER (l_quantity > 25) AS n_high, "
+            "count(*) FILTER (NOT l_quantity > 25) AS n_low, "
+            "round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice "
+            "ELSE 0.0 END), 2) AS high_value "
+            "FROM lineitem GROUP BY l_linestatus",
+            "agg-bool-bit+conditional (merged: bool_bit_aggs+conditional_agg)",
+        ),
+        QuerySpec(
+            "status_extrema",
+            q_status_extrema,
+            "WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax, "
+            "row_number() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin, "
+            "row_number() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rtop FROM orders) "
+            "SELECT 'argmax' AS kind, o_orderstatus, "
+            "max(CASE WHEN rmax = 1 THEN o_orderkey END) AS o_orderkey, "
+            "CAST(NULL AS DOUBLE) AS o_totalprice FROM r GROUP BY o_orderstatus "
+            "UNION ALL SELECT 'argmin', o_orderstatus, "
+            "max(CASE WHEN rmin = 1 THEN o_orderkey END), CAST(NULL AS DOUBLE) "
+            "FROM r GROUP BY o_orderstatus "
+            "UNION ALL SELECT 'top3', o_orderstatus, o_orderkey, o_totalprice "
+            "FROM r WHERE rtop <= 3",
+            "agg-argminmax+topk-per-group (merged: minby_maxby+top3_per_group)",
+        ),
+        QuerySpec(
+            "string_suite",
+            q_string_suite,
+            "SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo, "
+            "substring(c_name, 1, 8) AS sub, length(c_name) AS ln, "
+            "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, "
+            "c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS joined, "
+            "string_split(c_name, '#')[1] AS name_head, "
+            "replace(c_name, 'Customer', 'Cst') AS repl, "
+            "regexp_extract(c_name, '#(\\d+)', 1) AS name_num, "
+            "len(regexp_extract_all(c_name, '\\d')) AS n_digits "
+            "FROM customer",
+            "fn-strings+regexp (merged: string_funcs+regexp_extract)",
+        ),
+        QuerySpec(
+            "array_suite",
+            q_array_suite,
+            "WITH base AS (SELECT vec_id, len(embedding) AS dim, "
+            "round(CAST(embedding[1] AS DOUBLE), 4) AS first_el, "
+            "round(CAST(list_max(embedding) AS DOUBLE), 4) AS mx, "
+            "round(CAST(list_min(embedding) AS DOUBLE), 4) AS mn, "
+            "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS total, "
+            "len(list_filter(embedding, x -> x > 0)) AS n_pos "
+            "FROM embeddings WHERE vec_id < 50) "
+            "SELECT kind, vec_id, CAST(NULL AS BIGINT) AS k, v FROM ("
+            "SELECT vec_id, 'dim' AS kind, CAST(dim AS DOUBLE) AS v FROM base "
+            "UNION ALL SELECT vec_id, 'first_el', first_el FROM base "
+            "UNION ALL SELECT vec_id, 'mx', mx FROM base "
+            "UNION ALL SELECT vec_id, 'mn', mn FROM base "
+            "UNION ALL SELECT vec_id, 'total', total FROM base "
+            "UNION ALL SELECT vec_id, 'n_pos', CAST(n_pos AS DOUBLE) FROM base) "
+            "UNION ALL SELECT 'el', vec_id, u.pos - 1, CAST(u.val AS DOUBLE) "
+            "FROM embeddings, LATERAL (SELECT UNNEST(embedding) AS val, "
+            "generate_subscripts(embedding, 1) AS pos) u WHERE vec_id < 10",
+            "fn-arrays+explode (merged: array_funcs+explode_embeddings)",
+        ),
+        QuerySpec(
+            "map_collect_suite",
+            q_map_collect_suite,
+            "SELECT 'map' AS kind, CAST(n_nationkey AS BIGINT) AS key, "
+            "n_name AS s_val, CAST(2 AS BIGINT) AS n_val, "
+            "['key', 'name'] AS arr_val FROM nation "
+            "UNION ALL SELECT 'collect', CAST(n_regionkey AS BIGINT), "
+            "CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
+            "list_sort(list(n_name)) FROM nation GROUP BY n_regionkey",
+            "fn-maps+agg-collect (merged: map_funcs+collect_sorted)",
+        ),
+        QuerySpec(
+            "window_frame_suite",
+            q_window_frame_suite,
+            "WITH c AS (SELECT o_orderkey, o_custkey, o_orderdate, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(floor((2 * sum(cents) OVER wt + count(cents) OVER wt) "
+            "/ (2 * count(cents) OVER wt)) AS BIGINT) AS ma4_cents, "
+            "first_value(o_orderkey) OVER wf AS first_order, "
+            "last_value(o_orderkey) OVER wf AS last_order, "
+            "nth_value(o_orderkey, 2) OVER wf AS second_order FROM c "
+            "WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, "
+            "o_orderkey ASC ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), "
+            "wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, "
+            "o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+            "window-frames (merged: moving_avg+window_values)",
+        ),
+        QuerySpec(
+            "geo_distance_radius",
+            q_geo_distance_radius,
+            f"WITH c AS ({_coords_cte('customer', 'c_custkey')}), "
+            f"cc AS ({_coords_cte('customer', 'c_custkey', 'clat', 'clon')}), "
+            f"s AS ({_coords_cte('supplier', 's_suppkey', 'slat', 'slon')}) "
+            "SELECT 'topk' AS kind, c_custkey AS id_a, CAST(NULL AS BIGINT) AS id_b, "
+            "dist_km FROM (SELECT c_custkey, round(" + hav_probe + ", 3) AS dist_km "
+            "FROM c ORDER BY dist_km ASC, c_custkey ASC LIMIT 25) "
+            "UNION ALL SELECT 'radius', c_custkey, s_suppkey, "
+            "round(" + hav_pair + ", 3) FROM cc JOIN s ON round(" + hav_pair + ", 3) <= 200.0",
+            "geo-topk+radius-join (merged: geo_distance_topk+geo_radius_join)",
+        ),
+        QuerySpec(
+            "geo_points",
+            q_geo_points,
+            f"WITH c AS ({_coords_cte('customer', 'c_custkey')}) "
+            "SELECT c_custkey, lat, lon, "
+            "(lat BETWEEN 40.0 AND 60.0 AND lon BETWEEN 20.0 AND 60.0) AS in_box, "
+            f"{_morton_sql()} AS zkey FROM c",
+            "geo-bbox+zorder (merged: geo_bbox+morton_geo)",
+        ),
+    ]
+
+
+SPECS = _specs()

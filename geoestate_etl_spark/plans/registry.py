@@ -40,6 +40,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_join,
         queries_sql_surface,
         queries_stats,
+        queries_suites,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -53,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_sql_surface,
         queries_stats,
         queries_etl,
+        queries_suites,
     ):
         for spec in mod.SPECS:
             if spec.name in out:

@@ -41,14 +41,10 @@ def test_topk_is_take_ordered(spark):
     assert "Sort " not in plan  # no standalone global sort operator
 
 
-def test_minhash_lsh_is_equi_join(spark):
-    plan = plan_of(spark, "minhash_near_dups")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-
-
-def test_embedding_near_dups_is_equi_join(spark):
-    plan = plan_of(spark, "embedding_near_dups")
+def test_near_dup_lsh_paths_are_equi_joins(spark):
+    """All three LSH self-joins (minhash, simhash, embedding) ride in
+    near_dup_pairs — none may degrade to a cartesian/nested-loop."""
+    plan = plan_of(spark, "near_dup_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -71,6 +67,17 @@ def test_renumber_scalable_no_single_partition_sort(spark):
     # the scalable renumbering must not contain a global (non-partitioned)
     # window over the full input: its only window runs over the tiny
     # per-partition offsets frame
-    df = SPECS["renumber_scalable"].fn(spark, SF_ORACLE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    import os
+
+    from geoestate_etl_spark.operators.windows import renumber_scalable
+
+    df = spark.read.parquet(os.path.join(SF_ORACLE, "orders.parquet")).select(
+        "o_orderkey"
+    )
+    plan = (
+        renumber_scalable(df, "o_orderkey", "rn")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "rangepartitioning" in plan  # repartitionByRange present
