@@ -483,18 +483,28 @@ def q_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     salted = salted_group_count(li, ["l_returnflag"], salt_buckets=16)
+    # two countDistincts inside one wide agg force an EXPAND (row
+    # multiplication) under every other aggregate, including the
+    # sort-based exact percentiles — keep the distinct pair in its own
+    # pruned sub-agg and join on the 3-row group key instead
     stats = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qd"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
         F.percentile("l_quantity", 0.5).alias("p50"),
         F.percentile("l_quantity", 0.9).alias("p90"),
         F.percentile("l_extendedprice", 0.95).alias("price_p95"),
     )
-    return salted.join(stats, "l_returnflag")
+    dist = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+    out = salted.join(stats, "l_returnflag").join(dist, "l_returnflag")
+    return out.select(
+        "l_returnflag", "cnt", "sd_qty", "var_qty", "corr_qp", "covar_qd",
+        "n_parts", "n_supps", "p50", "p90", "price_p95",
+    )
 
 
 def q_linestatus_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
