@@ -115,3 +115,46 @@ def rolling_hash64(c: Column | str) -> Column:
     Cheaper than md5 (no hex string); engine-specific → rows-only checks.
     """
     return F.xxhash64(normalize_text(_c(c)))
+
+
+# --- PII / noise scrubbing (training-data hygiene) --------------------------
+
+#: Conservative, precision-first patterns: a corpus scrubber would
+#: rather leave an ambiguous token than destroy prose. All are plain
+#: Java regexes evaluated JVM-side by regexp_replace (no UDF).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"(?i)\bhttps?://[^\s<>\"]+"
+PHONE_RE = r"(?<![0-9])\+?[0-9][0-9()\-\s]{7,14}[0-9](?![0-9])"
+IPV4_RE = r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])"
+
+
+def scrub_pii(
+    c: Column | str,
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+    phone_token: str = "<PHONE>",
+    ip_token: str = "<IP>",
+) -> Column:
+    """Replace emails, URLs, phone-like numbers, and IPv4 addresses
+    with placeholder tokens — the standard pre-training scrub pass.
+
+    Order matters: URLs first (they may contain @ and digit runs that
+    the email/phone patterns would half-eat), then emails, then IPs,
+    then phone-shaped digit runs.
+    """
+    out = F.regexp_replace(_c(c), URL_RE, url_token)
+    out = F.regexp_replace(out, EMAIL_RE, email_token)
+    out = F.regexp_replace(out, IPV4_RE, ip_token)
+    out = F.regexp_replace(out, PHONE_RE, phone_token)
+    return out
+
+
+def pii_counts(c: Column | str) -> Column:
+    """Struct of per-category PII hit counts (audit side of the scrub:
+    log how much was redacted per document/source before training)."""
+    col = _c(c)
+    return F.struct(
+        F.regexp_count(col, F.lit(EMAIL_RE)).alias("n_email"),
+        F.regexp_count(col, F.lit(URL_RE)).alias("n_url"),
+        F.regexp_count(col, F.lit(IPV4_RE)).alias("n_ip"),
+    )

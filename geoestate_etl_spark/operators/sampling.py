@@ -1,0 +1,103 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need splits that are (a) reproducible across
+runs and cluster sizes, (b) a pure function of a stable key — so a
+document lands in the same split even when the corpus is re-ingested,
+re-partitioned, or incrementally grown — and (c) leakage-safe (an id
+can never appear in two splits). Spark's ``randomSplit`` gives none of
+these (it is partition-order dependent); these operators hash the key
+instead.
+
+All hashing is ``xxhash64`` with a caller salt: JVM-side, vectorized,
+and identical on every executor — the same discipline as the dedup /
+LSH operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Granularity of the hash partition space; fractions resolve to
+#: whole buckets out of this many. 1e6 buckets keeps fraction
+#: resolution at 1e-6 while the bucket id stays a cheap long.
+_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column | str, salt: str) -> Column:
+    key_col = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(key_col.cast("string"), F.lit(salt)), F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label from ``fractions`` (e.g.
+    ``{"train": 0.98, "val": 0.01, "test": 0.01}``) by hashing ``key``.
+
+    Deterministic, partition-independent, and disjoint by construction:
+    the bucket space [0, 1e6) is carved into contiguous ranges in the
+    given dict order. Fractions must sum to 1 (±1e-9) — every row gets
+    exactly one label. Changing ``salt`` re-deals the assignment;
+    keeping it pins membership forever (incremental ingests land new
+    ids without moving old ones).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = _bucket(key, salt)
+    expr = None
+    hi = 0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        hi += int(round(frac * _BUCKETS))
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = "sample-v1"
+) -> DataFrame:
+    """Keep a ``fraction`` of rows, chosen by key hash — reproducible
+    across runs/partitionings, and consistent across tables sharing the
+    key (sampling facts and their dims with the same salt keeps them
+    join-consistent, unlike ``DataFrame.sample``)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_bucket(key, salt) < int(round(fraction * _BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each ``stratum`` value keeps
+    its own fraction of rows (hash-chosen by ``key``). The Spark-native
+    ``sampleBy`` without its partition-order nondeterminism.
+
+    Strata not listed in ``fractions`` keep ``default_fraction``.
+    Up/down-weighting sources or languages in a training mix is exactly
+    this operator.
+    """
+    b = _bucket(key, salt)
+    threshold = None
+    for value, frac in fractions.items():
+        t = int(round(frac * _BUCKETS))
+        cond = F.col(stratum) == value
+        threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
+    default_t = int(round(default_fraction * _BUCKETS))
+    threshold = (
+        F.lit(default_t) if threshold is None else threshold.otherwise(default_t)
+    )
+    return df.filter(b < threshold)

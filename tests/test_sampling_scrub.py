@@ -1,0 +1,96 @@
+"""Deterministic splits/sampling + PII scrubbing (training-data
+hygiene operators)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.functions.text import pii_counts, scrub_pii
+from geoestate_etl_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def test_hash_split_partition_and_determinism(spark, docs):
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # total partition: every row labeled once
+    assert 0.6 * n < counts["train"] < 0.95 * n  # roughly proportional
+    # determinism across shuffles/partitionings: identical assignment
+    again = hash_split(docs.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in again.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_hash_split_stable_under_corpus_growth(spark, docs):
+    """Old ids keep their split when new rows arrive (incremental
+    ingest must not shuffle membership)."""
+    half = docs.filter(F.col("doc_id") < 250)
+    full_assign = {
+        r.doc_id: r.split
+        for r in hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5}).collect()
+    }
+    half_assign = {
+        r.doc_id: r.split
+        for r in hash_split(half, "doc_id", {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert all(full_assign[k] == v for k, v in half_assign.items())
+
+
+def test_hash_split_rejects_bad_fractions(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"train": 0.5, "val": 0.2})
+
+
+def test_deterministic_sample_consistent_across_tables(spark):
+    """Same key + salt -> same kept-set on both sides of a join."""
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    a = deterministic_sample(orders.select("o_custkey").distinct(), "o_custkey", 0.3)
+    b = deterministic_sample(
+        orders.select("o_custkey", "o_orderkey"), "o_custkey", 0.3
+    )
+    kept_a = {r.o_custkey for r in a.collect()}
+    kept_b = {r.o_custkey for r in b.select("o_custkey").distinct().collect()}
+    assert kept_a == kept_b  # join-consistent sampling
+
+
+def test_stratified_sample_per_stratum_rates(docs):
+    n_by_lang = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_fraction=0.5
+    )
+    got = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert got.get("en") == n_by_lang.get("en")  # keep all
+    assert "de" not in got  # drop all
+    for lang, n in n_by_lang.items():
+        if lang in ("en", "de") or n < 20:
+            continue
+        assert 0.2 * n < got.get(lang, 0) < 0.8 * n  # ~half
+
+
+def test_scrub_pii_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+x@example.org or visit https://a.b/c?q=1 soon"),
+            (2, "server 10.0.0.1 answered; call +1 (555) 123-4567 now"),
+            (3, "no pii here, just the year 2024 and pi 3.14"),
+        ],
+        ["id", "text"],
+    )
+    out = {r.id: r.clean for r in df.select("id", scrub_pii("text").alias("clean")).collect()}
+    assert out[1] == "contact me at <EMAIL> or visit <URL> soon"
+    assert out[2] == "server <IP> answered; call <PHONE> now"
+    assert out[3] == "no pii here, just the year 2024 and pi 3.14"
+    counts = {r.id: r.c.asDict() for r in df.select("id", pii_counts("text").alias("c")).collect()}
+    assert counts[1] == {"n_email": 1, "n_url": 1, "n_ip": 0}
+    assert counts[2]["n_ip"] == 1
