@@ -78,37 +78,6 @@ def q_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
-    )
-
-
-def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-    )
-
-
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch — engine-specific estimate, rows-only."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
-
-
-def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase salted aggregation — identical output to a direct
-    groupBy count, skew-proof shuffle distribution."""
-    from geoestate_etl_spark.operators.skew import salted_group_count
-
-    return salted_group_count(
-        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], salt_buckets=16
-    )
-
-
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the canonical wide-agg OLAP
     pattern (2 keys, 8 aggregates, one shuffle)."""
@@ -183,34 +152,6 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("bucketed").alias("variant"), "o_orderkey", "c_key", "n_orders_so_far"
     )
     return plain.unionByName(bucketed)
-
-
-def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution windows: ntile/percent_rank/cume_dist per nation."""
-    from pyspark.sql import Window
-
-    cust = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.asc("c_acctbal"), F.asc("c_custkey")
-    )
-    # percent_rank/cume_dist are k/n rationals that land EXACTLY on
-    # half-decimals (e.g. 41/640 = 0.0640625), where engines' float
-    # rounding disagrees — so round-half-up in integer arithmetic and
-    # emit micro-units (the moving_avg cents pattern, generalized)
-    n = F.count("*").over(Window.partitionBy("c_nationkey"))  # long
-    rnk = F.rank().over(w).cast(T.LongType())  # int32 would overflow below
-    M = 1_000_000
-    pct_micro = F.when(n == 1, F.lit(0).cast(T.LongType())).otherwise(
-        F.floor((2 * (rnk - 1) * M + (n - 1)) / (2 * (n - 1))).cast(T.LongType())
-    )
-    cd_micro = F.floor((2 * rnk * M + n) / (2 * n)).cast(T.LongType())
-    return cust.select(
-        "c_custkey",
-        "c_nationkey",
-        F.ntile(4).over(w).cast(T.LongType()).alias("quartile"),
-        pct_micro.alias("pct_rank_micro"),
-        cd_micro.alias("cdist_micro"),
-    )
 
 
 def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:

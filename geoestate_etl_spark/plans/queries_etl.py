@@ -9,7 +9,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geoestate_etl_spark.functions.zorder import morton_key_2d
 from geoestate_etl_spark.operators.incremental import merge_count_sum
 from geoestate_etl_spark.operators.profiling import profile_columns
 from geoestate_etl_spark.plans.registry import QuerySpec
@@ -21,27 +20,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(_t(spark, sf_dir, "documents"), ["doc_id", "lang", "n_chars"])
-
-
-def q_morton_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order keys over the synthetic customer coordinates — the
-    clustering key a 2D-local table layout sorts by."""
-    from geoestate_etl_spark.plans.queries_geo import _with_coords
-
-    cust = _with_coords(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
-    return cust.select(
-        "c_custkey",
-        morton_key_2d("lat", "lon", -70.0, 70.0, -170.0, 170.0, 16).alias("zkey"),
-    )
-
-
-def q_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", 0.5).alias("p50"),
-        F.percentile("l_quantity", 0.9).alias("p90"),
-        F.percentile("l_extendedprice", 0.95).alias("price_p95"),
-    )
 
 
 def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,63 +26,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# --- text analysis ----------------------------------------------------------
-
-
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.char_count("text").alias("n_chars_calc"),
-        TX.word_count("text").alias("n_words"),
-        TX.token_count("text").alias("n_tokens"),
-        TX.punct_ratio("text").alias("punct_ratio"),
-    )
-
-
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.stopword_ratio("text").alias("stop_ratio"),
-        TX.quality_score("text").alias("quality"),
-    )
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", TX.lang_id("text").alias("pred_lang"))
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.fingerprint_md5("text").alias("fp"))
-
-
-# --- dedup ------------------------------------------------------------------
-
-
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.dedup_exact(_t(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.dedup_by_key(_t(spark, sf_dir, "documents"), ["lang", "source"], "doc_id")
-
-
-def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_near_dups(
-        _t(spark, sf_dir, "documents"),
-        "text",
-        "doc_id",
-        jaccard_threshold=0.2,
-    )
-
-
-def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash_near_dups(_t(spark, sf_dir, "documents"), "text", "doc_id")
-
-
 # --- similarity -------------------------------------------------------------
 
 
@@ -99,11 +42,6 @@ def _probe(spark: SparkSession, sf_dir: str) -> list[float]:
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.brute_force_topk(emb, _probe(spark, sf_dir), k=10)
-
-
-def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return SIM.lsh_topk(emb, _probe(spark, sf_dir), k=10)
 
 
 def _ivf_index_path(sf_dir: str, n_cells: int) -> str:
@@ -135,12 +73,6 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SIM.ivf_write_index(emb, path, n_cells=n_cells)
     assigned, centroids = SIM.ivf_read_index(spark, path)
     return SIM.ivf_probe(assigned, centroids, _probe(spark, sf_dir), k=10, n_probe=4)
-
-
-def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.embedding_near_dups(
-        _t(spark, sf_dir, "embeddings"), cosine_threshold=0.8
-    )
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,22 +133,6 @@ def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
     )
-
-
-# --- dedup clustering (iterative connected components) ----------------------
-
-
-def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative label propagation, verified against a DuckDB
-    *recursive CTE* on a deterministic supplier–nation bipartite graph."""
-    from geoestate_etl_spark.operators.components import connected_components
-
-    supp = _t(spark, sf_dir, "supplier")
-    edges = supp.select(
-        F.col("s_suppkey").alias("id_a"),
-        (F.col("s_nationkey").cast("long") + 1_000_000).alias("id_b"),
-    )
-    return connected_components(edges)
 
 
 def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,55 +198,6 @@ _WC_SQL = (
     "CASE WHEN trim(text) = '' THEN 0 "
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 )
-
-_TEXT_STATS_SQL = f"""
-SELECT doc_id,
-       length(text) AS n_chars_calc,
-       {_WC_SQL} AS n_words,
-       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens,
-       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-             / greatest(length(text), 1), 4) AS punct_ratio
-FROM documents
-"""
-
-_STOP_RE = r"\b(the|and|of|a|is)\b"
-
-_QUALITY_SQL = f"""
-WITH base AS (
-  SELECT doc_id,
-         {_WC_SQL} AS wc,
-         len(regexp_extract_all(text, '{_STOP_RE}')) AS stops,
-         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-               / greatest(length(text), 1), 4) AS pr
-  FROM documents
-)
-SELECT doc_id,
-       round(stops / greatest(wc, 1), 4) AS stop_ratio,
-       round((least(wc / 100.0, 1.0)
-              + greatest(0.0, 1.0 - pr * 5)
-              + least(round(stops / greatest(wc, 1), 4) * 10, 1.0)) / 3, 4) AS quality
-FROM base
-"""
-
-_LANG_SQL = """
-WITH c AS (
-  SELECT doc_id, lang,
-         len(regexp_extract_all(text, '\\b(the|and|of|a|is)\\b')) AS c_en,
-         len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) AS c_de,
-         len(regexp_extract_all(text, '\\b(le|la|et|les|est)\\b')) AS c_fr,
-         len(regexp_extract_all(text, '\\b(el|los|y|una|es)\\b')) AS c_es,
-         len(regexp_extract_all(text, '[一-鿿]')) AS c_zh
-  FROM documents
-)
-SELECT doc_id, lang,
-       CASE WHEN c_zh > 0 THEN 'zh'
-            WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
-            WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
-            WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
-            WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
-            ELSE 'und' END AS pred_lang
-FROM c
-"""
 
 SPECS = [
     QuerySpec("pagerank_suppliers", q_pagerank_suppliers, None, "iterative-pagerank"),

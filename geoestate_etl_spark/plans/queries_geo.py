@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geoestate_etl_spark.functions.geo import grid_cell, haversine_km, in_bbox
+from geoestate_etl_spark.functions.geo import grid_cell, haversine_km
 from geoestate_etl_spark.operators.spatial import radius_join
 from geoestate_etl_spark.plans.registry import QuerySpec
 
@@ -55,14 +55,6 @@ def q_geo_grid_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select(grid_cell("lat", "lon", 10.0).alias("cell"))
         .groupBy("cell")
         .agg(F.count("*").alias("cnt"))
-    )
-
-
-def q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers inside a bounding box — a sargable predicate."""
-    cust = _with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
-    return cust.filter(in_bbox("lat", "lon", 40.0, 60.0, 20.0, 60.0)).select(
-        "c_custkey", "lat", "lon"
     )
 
 

@@ -419,9 +419,9 @@ def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise string similarity on consecutive-id pairs:
-    char-n-gram Jaccard (documents) + Levenshtein (customer names)."""
+    char-n-gram Jaccard (documents) + Levenshtein (customer names) —
+    the fuzzy-matching primitives for entity resolution."""
     from geoestate_etl_spark.plans.queries_ext import q_char_ngram_jaccard
-    from geoestate_etl_spark.plans.queries_sql_surface import q_levenshtein_pairs
 
     ng = q_char_ngram_jaccard(spark, sf_dir).select(
         F.lit("ngram_jaccard").alias("metric"),
@@ -429,11 +429,20 @@ def q_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("jaccard").alias("value"),
     )
-    lev = q_levenshtein_pairs(spark, sf_dir).select(
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    left = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("na")
+    )
+    right = c.select(
+        (F.col("c_custkey") - 1).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("nb"),
+    )
+    lev = left.join(right, "id_a").select(
         F.lit("levenshtein").alias("metric"),
         "id_a",
         "id_b",
-        F.col("edit_dist").cast(T.DoubleType()).alias("value"),
+        F.levenshtein("na", "nb").cast(T.DoubleType()).alias("value"),
     )
     return ng.unionByName(lev)
 

@@ -38,8 +38,6 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_ext,
         queries_geo,
         queries_join,
-        queries_sql_surface,
-        queries_stats,
         queries_suites,
     )
 
@@ -51,8 +49,6 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_ext,
         queries_advanced,
         queries_geo,
-        queries_sql_surface,
-        queries_stats,
         queries_etl,
         queries_suites,
     ):
