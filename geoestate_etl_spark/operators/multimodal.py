@@ -214,8 +214,14 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                 }
             )
 
+    # spread only when the input is under-partitioned: a chained
+    # generate->decode pipeline is already spread by the upstream op,
+    # and an unconditional repartition would shuffle every payload
+    # byte a second time just to land on the same partition count
     parallelism = min(df.sparkSession.sparkContext.defaultParallelism, 8)
-    return df.repartition(parallelism).mapInPandas(_decode, MEDIA_DECODED_SCHEMA)
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df.mapInPandas(_decode, MEDIA_DECODED_SCHEMA)
 
 
 def pixel_decode_unavailable() -> None:
