@@ -117,3 +117,39 @@ def test_embedding_near_dups_planes_scale_with_n(spark):
     sizes = [10**k for k in range(2, 12)]
     ps = [planes_for_size(s) for s in sizes]
     assert ps == sorted(ps)
+
+
+def test_temporal_bucketed_hot_key_200k_versions(spark):
+    """One key with 200k one-day versions (the many-versions regime the
+    bucketed variant exists for): facts resolve analytically — the
+    version current at fact date d is the one starting that day."""
+    import datetime
+
+    from pyspark.sql import types as TT
+
+    from geoestate_etl_spark.operators.temporal import temporal_join_bucketed
+
+    epoch = datetime.date(1970, 1, 1)
+    n_versions = 200_000
+    dim = spark.range(n_versions).select(
+        F.lit(1).cast("long").alias("k"),
+        F.date_add(F.lit(epoch), F.col("id").cast("int")).alias("valid_from"),
+        F.date_add(F.lit(epoch), F.col("id").cast("int") + 1).alias("valid_to"),
+        F.col("id").alias("version_no"),
+    )
+    facts = spark.range(0, 100_000).select(
+        F.col("id").alias("fid"),
+        F.lit(1).cast("long").alias("k"),
+        F.date_add(F.lit(epoch), (F.col("id") * 2).cast("int")).alias("ts"),
+    )
+    out = temporal_join_bucketed(
+        facts, dim, "k", "ts", how="inner", bucket_days=30
+    )
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("version_no") == F.col("fid") * 2, 0).otherwise(1)).alias(
+            "bad"
+        ),
+    ).collect()[0]
+    # every fact matches exactly its analytically-known version
+    assert (stats.n, stats.bad) == (100_000, 0)
