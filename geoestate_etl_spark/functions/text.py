@@ -158,3 +158,55 @@ def pii_counts(c: Column | str) -> Column:
         F.regexp_count(col, F.lit(URL_RE)).alias("n_url"),
         F.regexp_count(col, F.lit(IPV4_RE)).alias("n_ip"),
     )
+
+
+def repetition_ratios(c: Column | str) -> Column:
+    """Struct of intra-document repetition signals (the quality filter
+    that catches boilerplate/template spam):
+
+    - ``dup_line_frac``: fraction of non-blank lines that are repeats
+      of an earlier line
+    - ``dup_word_frac``: fraction of words that are repeats
+    - ``top_word_frac``: share of the most frequent word
+
+    All pure higher-order array ops — no explode, no shuffle: the
+    signal computes inside the row.
+    """
+    col = _c(c)
+    lines = F.filter(F.split(col, "\n"), lambda x: F.trim(x) != "")
+    words = F.split(normalize_text(col), " ")
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+
+    def dup_frac(arr: Column, n: Column) -> Column:
+        return F.round(
+            (n - F.size(F.array_distinct(arr))) / F.greatest(n, F.lit(1)), 4
+        )
+
+    # most-frequent-word share: fold words into (count of max-count)
+    # via aggregate over the distinct set would be O(n^2); instead use
+    # sort + adjacent-run trick: counts of each word = positions where
+    # sorted[i] != sorted[i-1] delimit runs. Max run length:
+    sorted_w = F.array_sort(words)
+    idx = F.sequence(F.lit(1), F.greatest(n_words, F.lit(1)))
+    run_breaks = F.filter(
+        idx,
+        lambda i: (i == 1)
+        | (
+            F.try_element_at(sorted_w, i.cast("int"))
+            != F.try_element_at(sorted_w, (i - 1).cast("int"))
+        ),
+    )
+    # max run = max gap between consecutive break positions (and end)
+    breaks_ext = F.concat(run_breaks, F.array(n_words + 1))
+    gaps = F.zip_with(
+        F.slice(breaks_ext, 1, F.greatest(F.size(breaks_ext) - 1, F.lit(1)).cast("int")),
+        F.slice(breaks_ext, 2, F.greatest(F.size(breaks_ext) - 1, F.lit(1)).cast("int")),
+        lambda a, b: b - a,
+    )
+    top_run = F.coalesce(F.array_max(gaps), F.lit(0))
+    return F.struct(
+        dup_frac(lines, n_lines).alias("dup_line_frac"),
+        dup_frac(words, n_words).alias("dup_word_frac"),
+        F.round(top_run / F.greatest(n_words, F.lit(1)), 4).alias("top_word_frac"),
+    )

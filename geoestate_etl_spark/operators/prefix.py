@@ -1,0 +1,91 @@
+"""Scalable prefix sums and sequence packing.
+
+A global running sum is the degenerate window case (no partitionBy →
+one task holds everything). The distributed formulation mirrors
+``windows.renumber_scalable``: range-partition by the order key,
+partition-local cumulative sums, then add broadcast per-partition
+offsets — two shuffles of the data, one tiny offsets frame, no
+single-task stage.
+
+Built on it: **sequence packing** — the concat-and-chunk step of LLM
+training-data prep. Documents ordered by id are laid head-to-tail on
+a token tape; chunk k owns tape interval [k·budget, (k+1)·budget).
+Each document lands in the chunk where it STARTS (documents spanning
+a boundary belong to their starting chunk — the downstream tokenizer
+splits them; deciding that here would need per-token state, not
+relational algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def scalable_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum of ``value_col`` in ``order_col`` order, inclusive,
+    without a global single-task window.
+
+    Phase 1: range-repartition on the order key (global order across
+    partitions, local order within). Phase 2: per-partition window
+    cumsum + per-partition totals. Phase 3: broadcast the cumulative
+    offsets of preceding partitions back onto each row.
+    """
+    sess = df.sparkSession
+    if num_partitions is None:
+        num_partitions = sess.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted.withColumn("_local", F.sum(value_col).over(w_local))
+    # per-partition totals -> offsets (tiny frame: one row per partition)
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    w_off = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign each document a chunk of a fixed token ``budget`` by
+    concat-and-chunk order (see module docstring).
+
+    Output adds: ``chunk_id`` (0-based), ``chunk_offset`` (token
+    position of the document's first token within its chunk).
+    Deterministic — a pure function of (ids, token counts, budget).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    cum = scalable_cumsum(df, id_col, token_col, "_cum")
+    start = F.col("_cum") - F.col(token_col)  # tape position of first token
+    return (
+        cum.withColumn("chunk_id", F.floor(start / budget).cast(T.LongType()))
+        .withColumn(
+            "chunk_offset", (start - F.col("chunk_id") * budget).cast(T.LongType())
+        )
+        .drop("_cum")
+    )

@@ -1,0 +1,84 @@
+"""Scalable prefix sum, sequence packing, repetition quality signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.functions.text import repetition_ratios
+from geoestate_etl_spark.operators.prefix import pack_sequences, scalable_cumsum
+
+
+def test_scalable_cumsum_matches_global_window(spark):
+    df = spark.range(10_000).select(
+        F.col("id"), (F.pmod(F.xxhash64("id"), F.lit(97)) + 1).alias("v")
+    )
+    got = {r.id: r.cumsum for r in scalable_cumsum(df, "id", "v").collect()}
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.id: r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_scalable_cumsum_no_global_window(spark):
+    df = spark.range(1000).select(F.col("id"), F.lit(1).alias("v"))
+    plan = (
+        scalable_cumsum(df, "id", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan  # distributed phase-1 present
+
+
+def test_pack_sequences_chunk_semantics(spark):
+    # 6 docs of 400 tokens, budget 1000: tape positions 0,400,...,2000
+    df = spark.range(6).select(F.col("id"), F.lit(400).alias("toks"))
+    out = {
+        r.id: (r.chunk_id, r.chunk_offset)
+        for r in pack_sequences(df, "id", "toks", 1000).collect()
+    }
+    assert out == {
+        0: (0, 0), 1: (0, 400), 2: (0, 800),  # doc 2 spans into chunk 1
+        3: (1, 200), 4: (1, 600), 5: (2, 0),
+    }
+    with pytest.raises(ValueError):
+        pack_sequences(df, "id", "toks", 0)
+
+
+def test_pack_sequences_total_conservation(spark):
+    """Token tape is gapless: every chunk except the last is full when
+    accounting spanned tokens (sum of tokens == tape length)."""
+    df = spark.range(500).select(
+        F.col("id"), (F.pmod(F.xxhash64("id"), F.lit(300)) + 1).alias("toks")
+    )
+    packed = pack_sequences(df, "id", "toks", 512)
+    total = df.agg(F.sum("toks")).collect()[0][0]
+    # chunk_id is assigned by START position: the max chunk is where
+    # the LAST document begins, i.e. floor((total - last_toks)/budget)
+    last_toks = df.orderBy(F.desc("id")).first().toks
+    last_chunk = packed.agg(F.max("chunk_id")).collect()[0][0]
+    assert last_chunk == (total - last_toks) // 512
+    # starts are consistent: chunk_id*budget + offset is monotone in id
+    rows = sorted(
+        (r.id, r.chunk_id * 512 + r.chunk_offset) for r in packed.collect()
+    )
+    starts = [s for _, s in rows]
+    assert starts == sorted(starts) and starts[0] == 0
+
+
+def test_repetition_ratios(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique line one\nunique line two\nunique line three"),
+            (2, "same line\nsame line\nsame line\nsame line"),
+            (3, "spam spam spam spam spam ham"),
+        ],
+        ["id", "text"],
+    )
+    out = {r.id: r.rr.asDict() for r in df.select("id", repetition_ratios("text").alias("rr")).collect()}
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == 0.75  # 3 of 4 lines are repeats
+    assert out[3]["dup_word_frac"] == round(4 / 6, 4)  # 4 repeated 'spam'
+    assert out[3]["top_word_frac"] == round(5 / 6, 4)
+    assert out[1]["top_word_frac"] < 0.4
