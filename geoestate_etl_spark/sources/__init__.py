@@ -1,4 +1,9 @@
 from geoestate_etl_spark.sources.csv_source import read_dirty_csv
+from geoestate_etl_spark.sources.jsonl_source import (
+    read_jsonl,
+    split_corrupt,
+    write_jsonl,
+)
 from geoestate_etl_spark.sources.parquet_io import (
     load_tables,
     read_parquet,
@@ -8,6 +13,9 @@ from geoestate_etl_spark.sources.parquet_io import (
 
 __all__ = [
     "read_dirty_csv",
+    "read_jsonl",
+    "split_corrupt",
+    "write_jsonl",
     "read_parquet",
     "write_parquet",
     "write_sorted_table",
