@@ -60,6 +60,20 @@ def bench_houses_pipeline(spark, n_rows: int = 330_000) -> float:
     return elapsed
 
 
+def bench_corpus_pipeline(spark) -> float:
+    """The training-data e2e: quality gate → exact dedup → MinHash
+    near-dup removal → PII scrub → token accounting → packing, over
+    the documents table. One number for the corpus-pipeline surface."""
+    from geoestate_etl_spark.plans.corpus_pipeline import run_corpus
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.perf_counter()
+    res = run_corpus(docs, id_col="doc_id", text_col="text")
+    force(res.packed)
+    res.unpersist()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     spark = get_spark("geoestate-bench")
     specs = all_queries()
@@ -84,6 +98,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     timings["houses_pipeline_330k"] = bench_houses_pipeline(spark)
+    timings["corpus_pipeline"] = bench_corpus_pipeline(spark)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1,0 +1,175 @@
+"""End-to-end LLM training-corpus pipeline over a documents table.
+
+The reference composes its ETL as a strictly linear task chain
+(``dags/main.py:506-581``: ingest → validate → transform → analytics
+→ serve). This plan is the same composition shape applied to the
+training-data surface this engine adds on top: quality gating →
+exact dedup → near-dup removal → PII scrub → token accounting →
+sequence packing. One lineage, one SparkSession, no driver loops.
+
+Scale design (the parts that matter at 100 TB):
+
+- **One projection, one aggregate for the gate funnel.** Stage gates
+  are boolean columns computed in a single pass; their counts come
+  from one ``sum(int)`` aggregation — not a ``count()`` action per
+  stage (which would rescan the corpus N times).
+- **Keeper-based dedup, never row-number-over-everything.** Exact
+  dedup groups on the md5 fingerprint and keeps the min id; the
+  survivor join shuffles on the fingerprint (uniformly distributed
+  by construction — no skew). Near-dup removal reuses the banded
+  MinHash-LSH pair generator (hot-bucket-capped, no cartesian) and
+  the pointer-jumping connected-components resolver; losers leave
+  via a left-anti join on id.
+- **The expensive machinery runs on survivors only.** LSH shingling
+  and signatures are computed after the cheap gates have dropped
+  junk, not before.
+- **Everything JVM-side.** Gates, fingerprints, scrubbing, and token
+  counts are Column expressions (regexp/higher-order funcs); the
+  only shuffles are the dedup groupBys/joins and the range partition
+  inside the packing cumsum.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    repetition_ratios,
+    scrub_pii,
+    token_count,
+)
+from geoestate_etl_spark.operators.components import connected_components
+from geoestate_etl_spark.operators.dedup import minhash_near_dups
+from geoestate_etl_spark.operators.prefix import pack_sequences
+
+
+@dataclass(frozen=True)
+class CorpusResult:
+    """Packed corpus + the stage funnel (rows surviving each stage).
+
+    ``cached`` is the persisted survivor frame ``packed`` derives
+    from; call :meth:`unpersist` when done with the result.
+    """
+
+    packed: DataFrame
+    cached: DataFrame
+    n_input: int
+    n_gated: int
+    n_exact_unique: int
+    n_near_unique: int
+    total_tokens: int
+    n_chunks: int
+
+    def unpersist(self) -> None:
+        self.cached.unpersist()
+
+
+def quality_gate(
+    text_col: Column | str,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    max_dup_line_frac: float = 0.5,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+) -> Column:
+    """The document admission predicate: token-length band, quality
+    floor, repetition ceiling, language allowlist. Pure expression —
+    pushes into the scan stage."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = token_count(c)
+    return (
+        (toks >= min_tokens)
+        & (toks <= max_tokens)
+        & (quality_score(c) >= min_quality)
+        & (repetition_ratios(c)["dup_line_frac"] <= max_dup_line_frac)
+        & lang_id(c).isin(*langs)
+    )
+
+
+def run_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 2048,
+    jaccard_threshold: float = 0.7,
+    gate: Column | None = None,
+    **near_dup_kwargs,
+) -> CorpusResult:
+    """Run the full corpus pipeline and report the funnel.
+
+    Four actions total: the gate-funnel aggregate, the two dedup-stage
+    counts, and the final token/chunk aggregate (the survivor set is
+    persisted before packing so the count doesn't recompute the LSH
+    stage).
+    """
+    gate = quality_gate(text_col) if gate is None else gate
+    flagged = df.select(
+        F.col(id_col), F.col(text_col), gate.alias("_pass")
+    )
+
+    funnel = flagged.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("_pass").cast("long")).alias("n_gated"),
+    ).first()
+    gated = flagged.filter("_pass").drop("_pass")
+
+    # exact dedup: min-id keeper per content fingerprint
+    with_fp = gated.withColumn("_fp", fingerprint_md5(text_col))
+    keepers = with_fp.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    # persisted: feeds the LSH pair generator, the survivor anti-join,
+    # and the funnel count — three consumers, one materialization
+    exact = (
+        with_fp.join(keepers, "_fp")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
+        .persist()
+    )
+
+    # near-dup removal: LSH pairs → components → drop non-keepers.
+    # connected_components labels every paired node with the min id
+    # reachable from it, so "loser" == any node whose label isn't itself.
+    pairs = minhash_near_dups(
+        exact,
+        text_col,
+        id_col,
+        jaccard_threshold=jaccard_threshold,
+        **near_dup_kwargs,
+    )
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_col))
+    )
+    survivors = exact.join(losers, id_col, "left_anti")
+
+    # scrub + token accounting on the final survivor set only
+    clean = survivors.withColumn(text_col, scrub_pii(text_col)).withColumn(
+        "n_tokens", token_count(text_col)
+    )
+    clean = clean.persist()
+    n_exact = exact.count()
+    n_near = clean.count()
+    exact.unpersist()
+
+    packed = pack_sequences(clean, id_col, "n_tokens", token_budget)
+    totals = packed.agg(
+        F.sum("n_tokens").alias("toks"),
+        (F.countDistinct("chunk_id")).alias("chunks"),
+    ).first()
+
+    return CorpusResult(
+        packed=packed,
+        cached=clean,
+        n_input=funnel["n_input"],
+        n_gated=funnel["n_gated"] or 0,
+        n_exact_unique=n_exact,
+        n_near_unique=n_near,
+        total_tokens=totals["toks"] or 0,
+        n_chunks=totals["chunks"],
+    )

@@ -1,0 +1,111 @@
+"""End-to-end corpus pipeline: planted junk, exact dups, near-dup
+clusters, and PII must each be handled by the right stage, and the
+funnel numbers must account for every document."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.plans.corpus_pipeline import quality_gate, run_corpus
+
+#: 41 English words with stopwords — passes every gate comfortably.
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs across "
+    "the wide green field while the farmer watches from the old wooden "
+    "gate as the evening sun slowly sets behind the distant hills of "
+    "the quiet valley"
+)
+
+#: Distinct prose (near-zero shingle overlap with GOOD).
+OTHER = (
+    "a small ship sailed out of the harbor and into the open sea where "
+    "tall waves rolled under a grey sky and the young captain checked "
+    "the charts twice before setting a new course toward the islands "
+    "far beyond the horizon"
+)
+
+#: Another distinct document, carrying PII to scrub.
+PII_DOC = (
+    "please review the draft of the annual report and send a note with "
+    "your comments before the end of the week because the board is "
+    "meeting soon and the schedule is tight "
+    "contact me at alice@example.com or https://example.com/a"
+)
+
+
+def _corpus(spark):
+    near_a = GOOD + " tonight"
+    near_b = GOOD + " today"
+    rows = [
+        # near-dup cluster {1, 4, 5, 6} — GOOD plus one-word suffixes
+        # all land well above jaccard 0.7; keeper is min id 1
+        (1, GOOD),
+        # exact dups of 1 (whitespace/normalization variants)
+        (2, "  " + GOOD + "  "),
+        (3, GOOD.replace("  ", " ").replace(" ", "  ")),
+        (4, near_a),
+        (5, near_b),
+        (6, near_a + "."),
+        # junk: too short
+        (7, "hi there"),
+        # junk: disallowed language (CJK -> zh)
+        (8, "漢字 " * 30),
+        # junk: repeated lines beyond the dup_line_frac ceiling
+        (9, "the same line again and again and again\n" * 20),
+        # genuine survivors
+        (10, OTHER),
+        (11, PII_DOC),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return run_corpus(_corpus(spark), token_budget=64)
+
+
+def test_funnel_accounts_for_every_stage(result):
+    assert result.n_input == 11
+    # gates drop 7 (short), 8 (lang), 9 (repetition)
+    assert result.n_gated == 8
+    # exact dedup collapses {1,2,3} -> 1
+    assert result.n_exact_unique == 6
+    # near-dup removal collapses {1,4,5,6} -> 1
+    assert result.n_near_unique == 3
+
+
+def test_keepers_are_min_ids(result):
+    ids = {r.doc_id for r in result.packed.select("doc_id").collect()}
+    assert ids == {1, 10, 11}
+
+
+def test_pii_scrubbed_in_output(result):
+    leaked = result.packed.filter(
+        F.col("text").contains("alice@example.com")
+        | F.col("text").contains("https://example.com/a")
+    )
+    assert leaked.count() == 0
+    scrubbed = result.packed.filter(F.col("doc_id") == 11).first()["text"]
+    assert "<EMAIL>" in scrubbed and "<URL>" in scrubbed
+
+
+def test_packing_is_a_valid_tape(result):
+    rows = sorted(
+        result.packed.select("doc_id", "n_tokens", "chunk_id", "chunk_offset").collect(),
+        key=lambda r: (r.chunk_id, r.chunk_offset),
+    )
+    pos = 0
+    for r in rows:
+        assert r.chunk_id * 64 + r.chunk_offset == pos, r
+        pos += r.n_tokens
+    assert result.total_tokens == sum(r.n_tokens for r in rows)
+    assert result.n_chunks == len({r.chunk_id for r in rows})
+
+
+def test_gate_is_a_pure_pushable_expression(spark):
+    """The gate compiles into the scan-side filter (no shuffle, no UDF)."""
+    df = _corpus(spark).filter(quality_gate("text"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
