@@ -36,3 +36,38 @@ def salted_group_sum(
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(F.sum(value).alias("_ps"))
     return partial.groupBy(*keys).agg(F.sum("_ps").alias(alias))
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join with explicit key salting: the classic fix when one
+    join key holds so many fact rows that a single reducer task
+    overflows even after AQE's skew splitting (AQE splits *partitions*,
+    not a single oversized key's sorted run on the build side).
+
+    The fact side gets a deterministic salt — a hash of the whole row,
+    so re-runs and retries land identically — and the dim side is
+    replicated ``salt_buckets``× via an exploded salt array. The join
+    key becomes (keys…, salt): one hot key now spreads over N tasks.
+    Output equals the plain join exactly (row multiplicity included,
+    since each fact row matches exactly one dim replica).
+
+    Replication multiplies the dim shuffle volume by N — use for
+    genuinely small-but-unbroadcastable dims or after filtering; for
+    dims that fit in memory, ``F.broadcast`` is strictly better.
+    ``how`` supports inner/left (the preserved-fact variants; right
+    and full would need salt-matching on unmatched dim replicas).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_skew_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    salted_fact = fact.withColumn("_salt", salt)
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_fact.join(salted_dim, [*on, "_salt"], how).drop("_salt")

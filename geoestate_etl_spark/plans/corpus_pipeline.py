@@ -61,6 +61,7 @@ class CorpusResult:
     cached: DataFrame
     n_input: int
     n_gated: int
+    n_unseen: int
     n_exact_unique: int
     n_near_unique: int
     total_tokens: int
@@ -68,6 +69,15 @@ class CorpusResult:
 
     def unpersist(self) -> None:
         self.cached.unpersist()
+
+    def fingerprints(self) -> DataFrame:
+        """Fingerprints of this batch's survivors (column ``fp``) —
+        union into the standing ``seen`` table to make the next batch
+        incremental. These are the *raw-text* fingerprints computed
+        during dedup (carried through as the ``fp`` output column), so
+        a re-crawl of the same raw document matches even though the
+        stored text is scrubbed."""
+        return self.packed.select("fp").distinct()
 
 
 def quality_gate(
@@ -99,14 +109,26 @@ def run_corpus(
     token_budget: int = 2048,
     jaccard_threshold: float = 0.7,
     gate: Column | None = None,
+    seen: DataFrame | None = None,
     **near_dup_kwargs,
 ) -> CorpusResult:
     """Run the full corpus pipeline and report the funnel.
 
-    Four actions total: the gate-funnel aggregate, the two dedup-stage
-    counts, and the final token/chunk aggregate (the survivor set is
-    persisted before packing so the count doesn't recompute the LSH
-    stage).
+    ``seen`` makes the run incremental: a standing table of content
+    fingerprints (column ``fp``) from previously ingested batches;
+    gated rows whose fingerprint already exists leave via a left-anti
+    join before the in-batch dedup stages, so processing stays
+    O(batch), not O(history). (History-aware *near*-dup removal would
+    need the standing table to carry MinHash signatures too — an
+    explicit non-goal here; production systems usually re-cluster
+    near-dups corpus-wide on a slower cadence.) Maintain the table
+    with :meth:`CorpusResult.fingerprints`.
+
+    Four to five actions total: the gate-funnel aggregate, the unseen
+    count (only when ``seen`` is given — otherwise it equals the gate
+    count), the two dedup-stage counts, and the final token/chunk
+    aggregate (the survivor set is persisted before packing so the
+    count doesn't recompute the LSH stage).
     """
     gate = quality_gate(text_col) if gate is None else gate
     flagged = df.select(
@@ -119,15 +141,24 @@ def run_corpus(
     ).first()
     gated = flagged.filter("_pass").drop("_pass")
 
-    # exact dedup: min-id keeper per content fingerprint
     with_fp = gated.withColumn("_fp", fingerprint_md5(text_col))
+    if seen is not None:
+        with_fp = with_fp.join(
+            seen.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
+        )
+        n_unseen = with_fp.count()
+    else:
+        n_unseen = funnel["n_gated"] or 0
+
+    # exact dedup: min-id keeper per content fingerprint
     keepers = with_fp.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
     # persisted: feeds the LSH pair generator, the survivor anti-join,
     # and the funnel count — three consumers, one materialization
     exact = (
         with_fp.join(keepers, "_fp")
         .filter(F.col(id_col) == F.col("_keep"))
-        .drop("_fp", "_keep")
+        .withColumnRenamed("_fp", "fp")  # raw-text content address, kept
+        .drop("_keep")
         .persist()
     )
 
@@ -168,6 +199,7 @@ def run_corpus(
         cached=clean,
         n_input=funnel["n_input"],
         n_gated=funnel["n_gated"] or 0,
+        n_unseen=n_unseen,
         n_exact_unique=n_exact,
         n_near_unique=n_near,
         total_tokens=totals["toks"] or 0,

@@ -103,6 +103,27 @@ def test_packing_is_a_valid_tape(result):
     assert result.n_chunks == len({r.chunk_id for r in rows})
 
 
+def test_incremental_batch_dedups_against_history(spark, result):
+    """Batch 2 re-crawls two batch-1 documents (one of them the PII doc,
+    whose *stored* text is scrubbed — the raw-text fingerprint must
+    still match) plus one genuinely new document: only the new one
+    survives, and processing never rescans batch 1."""
+    new_doc = (
+        "deep in the forest a narrow path wound between tall pines and "
+        "mossy stones where the light fell in long green stripes and the "
+        "only sound was the wind moving slowly through the high branches "
+        "of the silent trees"
+    )
+    batch2 = spark.createDataFrame(
+        [(100, GOOD), (101, PII_DOC), (102, new_doc)], ["doc_id", "text"]
+    )
+    res2 = run_corpus(batch2, token_budget=64, seen=result.fingerprints())
+    assert res2.n_input == 3 and res2.n_gated == 3
+    assert res2.n_unseen == 1
+    assert {r.doc_id for r in res2.packed.select("doc_id").collect()} == {102}
+    res2.unpersist()
+
+
 def test_gate_is_a_pure_pushable_expression(spark):
     """The gate compiles into the scan-side filter (no shuffle, no UDF)."""
     df = _corpus(spark).filter(quality_gate("text"))

@@ -48,6 +48,32 @@ def test_salted_count_matches_direct_10m(spark, big):
     assert direct[0] == N // 2  # the hot key really is hot
 
 
+def test_salted_join_matches_direct_10m(spark, big):
+    """Explicit key-salting join == plain join, on the hot-key fixture
+    (key 0 = half of 10M rows). Compared by full-content checksum so
+    row multiplicity and null-extension are both pinned."""
+    from geoestate_etl_spark.operators.skew import salted_skew_join
+
+    # dim misses key 0's neighbors 900..999 so the left join has
+    # genuinely unmatched fact rows
+    dim = spark.range(900).select(
+        F.col("id").alias("key"), (F.col("id") * 7).alias("dval")
+    )
+
+    def checksum(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("id", "key", "dval").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+
+    for how in ("inner", "left"):
+        direct = checksum(big.join(dim, ["key"], how))
+        salted = checksum(salted_skew_join(big, dim, ["key"], how, salt_buckets=32))
+        assert (direct.n, direct.h) == (salted.n, salted.h), how
+    with pytest.raises(ValueError):
+        salted_skew_join(big, dim, ["key"], "full")
+
+
 def test_minhash_hot_bucket_cap_bounds_skew(spark):
     """Boilerplate skew (VERDICT r1 #3): thousands of docs sharing one
     templated text would make every LSH band bucket quadratic. With the
