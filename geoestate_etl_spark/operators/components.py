@@ -107,10 +107,29 @@ def dedup_clusters(
     pairs: DataFrame,
     left_col: str = "id_a",
     right_col: str = "id_b",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster summary from near-dup pairs: one row per component with
-    the canonical keeper (= component min id) and member count."""
+    the canonical keeper and member count.
+
+    Default keeper = component min id (cheap, deterministic). With
+    ``scores`` — a (id, score) frame, e.g. ``quality_score`` over the
+    documents — the keeper is the member with the highest score
+    (production near-dup pipelines keep the *best* copy, not the
+    first); ties and unscored members fall back toward min id via
+    ``max_by`` on a (score, -id) ordering, so the choice stays
+    deterministic. One extra equi-join on id, still no row_number
+    window over the corpus.
+    """
     cc = connected_components(pairs, left_col, right_col)
-    return cc.groupBy("component").agg(
-        F.min("id").alias("keeper_id"), F.count("*").alias("cluster_size")
+    if scores is None:
+        return cc.groupBy("component").agg(
+            F.min("id").alias("keeper_id"), F.count("*").alias("cluster_size")
+        )
+    scored = cc.join(scores, "id", "left").withColumn(
+        "_rank", F.struct(F.coalesce("score", F.lit(float("-inf"))), -F.col("id"))
+    )
+    return scored.groupBy("component").agg(
+        F.max_by("id", "_rank").alias("keeper_id"),
+        F.count("*").alias("cluster_size"),
     )

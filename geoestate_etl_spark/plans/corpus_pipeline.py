@@ -110,6 +110,7 @@ def run_corpus(
     jaccard_threshold: float = 0.7,
     gate: Column | None = None,
     seen: DataFrame | None = None,
+    keeper: str = "min_id",
     **near_dup_kwargs,
 ) -> CorpusResult:
     """Run the full corpus pipeline and report the funnel.
@@ -172,12 +173,25 @@ def run_corpus(
         jaccard_threshold=jaccard_threshold,
         **near_dup_kwargs,
     )
-    losers = (
-        connected_components(pairs)
-        .filter(F.col("id") != F.col("component"))
-        .select(F.col("id").alias(id_col))
+    cc = connected_components(pairs)
+    if keeper == "min_id":
+        losers = cc.filter(F.col("id") != F.col("component"))
+    elif keeper == "quality":
+        # keep the highest-quality member of each cluster (ties and
+        # unscored → min id), the way production near-dup removal does
+        scores = exact.select(
+            F.col(id_col).alias("id"), quality_score(text_col).alias("score")
+        )
+        ranked = cc.join(scores, "id", "left").withColumn(
+            "_rank", F.struct(F.coalesce("score", F.lit(float("-inf"))), -F.col("id"))
+        )
+        keeps = ranked.groupBy("component").agg(F.max_by("id", "_rank").alias("_keep"))
+        losers = cc.join(keeps, "component").filter(F.col("id") != F.col("_keep"))
+    else:
+        raise ValueError(f"keeper must be 'min_id' or 'quality', got {keeper!r}")
+    survivors = exact.join(
+        losers.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
-    survivors = exact.join(losers, id_col, "left_anti")
 
     # scrub + token accounting on the final survivor set only
     clean = survivors.withColumn(text_col, scrub_pii(text_col)).withColumn(

@@ -64,3 +64,22 @@ def test_dedup_clusters_from_minhash(spark):
     }
     assert clusters[1] == 3  # 1,2,3 transitively clustered
     assert clusters[7] == 2  # 7,8 exact dups
+
+
+def test_dedup_clusters_quality_keeper(spark):
+    """With scores, the keeper is the best-scoring member; ties and
+    wholly-unscored clusters fall back to min id deterministically."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7), (8, 9)], ["id_a", "id_b"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5),   # clear winner 2
+         (4, 0.7), (5, 0.7),             # tie -> min id 4
+         (7, 0.1)],                      # 6 unscored -> scored 7 wins
+        ["id", "score"],                 # component {8,9} fully unscored -> 8
+    )
+    got = {
+        r.component: (r.keeper_id, r.cluster_size)
+        for r in dedup_clusters(pairs, scores=scores).collect()
+    }
+    assert got == {1: (2, 3), 4: (4, 2), 6: (7, 2), 8: (8, 2)}

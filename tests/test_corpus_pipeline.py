@@ -124,6 +124,23 @@ def test_incremental_batch_dedups_against_history(spark, result):
     res2.unpersist()
 
 
+def test_quality_keeper_prefers_best_copy(spark):
+    """keeper='quality' keeps the highest-quality cluster member (the
+    longer document here), not the smallest id."""
+    a = GOOD + " tonight"
+    b = GOOD + " tonight while the cold wind blows in from the north"
+    df = spark.createDataFrame([(20, a), (21, b)], ["doc_id", "text"])
+    res = run_corpus(df, token_budget=64, keeper="quality")
+    assert {r.doc_id for r in res.packed.select("doc_id").collect()} == {21}
+    res.unpersist()
+    # same corpus under the default keeps min id
+    res2 = run_corpus(df, token_budget=64)
+    assert {r.doc_id for r in res2.packed.select("doc_id").collect()} == {20}
+    res2.unpersist()
+    with pytest.raises(ValueError):
+        run_corpus(df, keeper="longest")
+
+
 def test_gate_is_a_pure_pushable_expression(spark):
     """The gate compiles into the scan-side filter (no shuffle, no UDF)."""
     df = _corpus(spark).filter(quality_gate("text"))
