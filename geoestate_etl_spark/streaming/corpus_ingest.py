@@ -1,0 +1,105 @@
+"""Streaming corpus ingestion: the training-data pipeline's gate /
+dedup / scrub stages applied continuously to a document stream.
+
+``readStream → foreachBatch`` with the same epoch-keyed idempotent
+sink pattern the engine uses for serving writes (replacing the
+reference's hand-rolled driver-side INSERT batching,
+``dags/main.py:381-437``): each micro-batch
+
+1. applies the quality gate (:func:`~geoestate_etl_spark.plans.\
+corpus_pipeline.quality_gate` by default),
+2. drops documents whose raw-text fingerprint already exists in the
+   standing fingerprint table (cross-batch exact dedup — O(batch)
+   work per trigger, never a rescan of the accumulated corpus),
+3. collapses in-batch exact dups to the min-id keeper,
+4. scrubs PII and counts tokens,
+5. writes survivors to ``corpus_dir/epoch=N`` and their fingerprints
+   to ``fp_dir/epoch=N`` — both ``overwrite`` per epoch, so a retried
+   micro-batch lands identically (idempotent, no dup rows).
+
+Near-dup (LSH) removal is deliberately NOT in the per-trigger path:
+clustering is a corpus-global operation, so production systems run it
+on a slower batch cadence over the accumulated corpus —
+``plans.corpus_pipeline.run_corpus`` is that job here.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from geoestate_etl_spark.functions.text import (
+    fingerprint_md5,
+    scrub_pii,
+    token_count,
+)
+from geoestate_etl_spark.plans.corpus_pipeline import quality_gate
+
+
+def ingest_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    corpus_dir: str,
+    fp_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gate: Column | None = None,
+) -> None:
+    """One micro-batch of the ingest (also callable on a plain batch
+    DataFrame — the streaming/batch twin pattern used throughout)."""
+    spark = batch.sparkSession
+    gate = quality_gate(text_col) if gate is None else gate
+
+    with_fp = batch.filter(gate).withColumn("fp", fingerprint_md5(text_col))
+    try:
+        # exclude THIS epoch's own partition: on a micro-batch retry it
+        # already exists, and treating it as "seen" would anti-join the
+        # whole batch away and overwrite the epoch with nothing
+        seen = (
+            spark.read.parquet(fp_dir)
+            .filter(F.col("epoch") != epoch_id)
+            .select("fp")
+            .distinct()
+        )
+        with_fp = with_fp.join(seen, "fp", "left_anti")
+    except AnalysisException:  # first epoch: no standing table yet
+        pass
+
+    keepers = with_fp.groupBy("fp").agg(F.min(id_col).alias("_keep"))
+    exact = (
+        with_fp.join(keepers, "fp")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+    )
+    clean = exact.withColumn(text_col, scrub_pii(text_col)).withColumn(
+        "n_tokens", token_count(text_col)
+    )
+    # epoch-keyed overwrite = idempotent on micro-batch retry
+    clean.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch_id}")
+    clean.select("fp").write.mode("overwrite").parquet(f"{fp_dir}/epoch={epoch_id}")
+
+
+def start_corpus_ingest(
+    doc_stream: DataFrame,
+    corpus_dir: str,
+    fp_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gate: Column | None = None,
+) -> StreamingQuery:
+    """Attach the ingest to a streaming document source and start it."""
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        ingest_batch(
+            batch, epoch_id, corpus_dir, fp_dir,
+            id_col=id_col, text_col=text_col, gate=gate,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
