@@ -67,6 +67,36 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def brute_force_topk_batch(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    scale: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k for a *batch* of probe vectors in one corpus
+    scan: (probe_id, vec_id, cos_sim), k rows per probe.
+
+    The probe table is broadcast (an explicit BroadcastNestedLoopJoin
+    — correct here and only here: the replicated side is the small
+    probe batch, the corpus streams through once). Per-probe top-k
+    then uses the two-phase partial reducer, so the shuffle carries
+    ≤ k·num_partitions rows per probe, not |corpus| rows — the
+    single-probe query's TakeOrderedAndProject shape, generalized.
+    """
+    from geoestate_etl_spark.operators.topk import top_k_per_group_partial
+
+    scored = embeddings.crossJoin(F.broadcast(probes)).select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(probe_vec_col)), scale).alias("cos_sim"),
+    )
+    return top_k_per_group_partial(scored, [probe_id_col], "cos_sim", id_col, k)
+
+
 def bucketize(
     embeddings: DataFrame,
     planes: list[list[float]],

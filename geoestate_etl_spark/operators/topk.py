@@ -68,3 +68,52 @@ def top_k_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def top_k_per_group_partial(
+    df: DataFrame,
+    part_keys: list[str],
+    score_col: str,
+    tiebreak_col: str,
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group by (score desc, tiebreak asc) — two-phase.
+
+    :func:`top_k_per_group` shuffles EVERY row to its group's reducer;
+    at 100 TB with few groups that's the whole dataset through one
+    hash exchange and a big per-group sort. This variant bounds the
+    shuffle the way ``TakeOrderedAndProject`` does for global top-k:
+
+    - phase 1 reduces each *input partition* to ≤ k rows per group
+      (``collect_list`` → comparator ``array_sort`` → ``slice`` inside
+      a hash aggregate, so map-side partial aggregation applies);
+    - phase 2 merges the ≤ k·num_partitions survivors per group the
+      same way.
+
+    Output rows/columns match :func:`top_k_per_group` on the same
+    (deduplicated-key) ordering exactly — asserted in tests.
+    """
+    payload = [c for c in df.columns if c not in part_keys]
+
+    def cmp(a: Column, b: Column) -> Column:
+        return (
+            F.when(a[score_col] > b[score_col], F.lit(-1))
+            .when(a[score_col] < b[score_col], F.lit(1))
+            .when(a[tiebreak_col] < b[tiebreak_col], F.lit(-1))
+            .when(a[tiebreak_col] > b[tiebreak_col], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    def reduce_phase(frame: DataFrame, extra_key: list[str]) -> DataFrame:
+        arr = F.slice(
+            F.array_sort(F.collect_list(F.struct(*payload)), cmp), 1, k
+        )
+        return (
+            frame.groupBy(*part_keys, *extra_key)
+            .agg(arr.alias("_top"))
+            .select(*part_keys, F.explode("_top").alias("_row"))
+            .select(*part_keys, "_row.*")
+        )
+
+    partial = reduce_phase(df.withColumn("_pid", F.spark_partition_id()), ["_pid"])
+    return reduce_phase(partial, [])

@@ -90,3 +90,66 @@ def test_embedding_near_dups_planted(spark):
              embedding_near_dups(df, num_planes=6, dim=4, cosine_threshold=0.99).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
     assert not any(3 in p for p in pairs)
+
+
+def test_batch_topk_matches_per_probe(spark):
+    """brute_force_topk_batch == one brute_force_topk per probe, on the
+    real embeddings table with three probe vectors."""
+    from geoestate_etl_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    probe_rows = [
+        (1, [float((i * 7) % 5 - 2) for i in range(16)]),
+        (2, [1.0] + [0.0] * 15),
+        (3, [float(i % 3) for i in range(16)]),
+    ]
+    probes = spark.createDataFrame(probe_rows, ["probe_id", "probe_vec"])
+    got = {
+        (r.probe_id, r.vec_id, r.cos_sim)
+        for r in brute_force_topk_batch(emb, probes, k=5).collect()
+    }
+    want = set()
+    for pid, vec in probe_rows:
+        for r in brute_force_topk(emb, vec, k=5).collect():
+            want.add((pid, r.vec_id, r.cos_sim))
+    assert got == want
+
+
+def test_topk_per_group_partial_matches_window(spark):
+    """Two-phase partial top-k == window formulation, on a frame with
+    many partitions, duplicate scores, and groups smaller than k."""
+    from geoestate_etl_spark.operators.topk import (
+        top_k_per_group,
+        top_k_per_group_partial,
+    )
+
+    df = (
+        spark.range(100_000)
+        .repartition(16)
+        .select(
+            (F.col("id") % 7).alias("g"),
+            ((F.col("id") * 37) % 1000).alias("score"),  # many score ties
+            F.col("id").alias("tie"),
+            (F.col("id") * 2).alias("payload"),
+        )
+    )
+    want = sorted(
+        map(
+            str,
+            top_k_per_group(
+                df, ["g"], [F.desc("score"), F.asc("tie")], 12
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(str, top_k_per_group_partial(df, ["g"], "score", "tie", 12).collect())
+    )
+    assert got == want
+    # tiny group: fewer rows than k come back intact
+    small = spark.createDataFrame([(1, 5, 1, 0), (1, 3, 2, 0)],
+                                  ["g", "score", "tie", "payload"])
+    out = top_k_per_group_partial(small, ["g"], "score", "tie", 10).collect()
+    assert [r.score for r in out] == [5, 3] or sorted(r.score for r in out) == [3, 5]
