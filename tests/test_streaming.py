@@ -118,3 +118,54 @@ def test_stream_matches_batch(spark, events_batch):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_batch):
+    """Purchases attributed to a same-user click within 30 minutes:
+    the stream-stream interval join emits exactly the batch join's
+    rows (watermarks bound state, not inner-join output)."""
+    from geoestate_etl_spark.streaming.joins import interval_join
+
+    batch_df = spark.read.parquet(events_batch)
+    clicks = batch_df.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = batch_df.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    expected = {
+        (r.user_id, r.click_id, r.buy_id)
+        for r in interval_join(
+            clicks, buys, "user_id", "click_ts", "buy_ts"
+        ).collect()
+    }
+    assert expected  # fixture really exercises the join
+
+    schema = batch_df.schema
+    stream = spark.readStream.schema(schema).parquet(events_batch)
+    s_clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    s_buys = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    q = (
+        interval_join(s_clicks, s_buys, "user_id", "click_ts", "buy_ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.click_id, r.buy_id)
+            for r in spark.sql("SELECT * FROM ij_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
