@@ -8,8 +8,10 @@ Four tiers, all shuffle-disciplined for 100 TB:
 - MinHash + LSH: shingle → minhash signature → band → bucket
   equi-join. The self-join is on (band_id, band_hash) buckets, so
   candidate generation is linear-ish in data size, NOT a crossJoin.
-  Signatures are built with ``xxhash64`` over salted shingles — pure
-  built-ins, no UDF, deterministic across runs/cluster sizes.
+  Signatures come from either a numpy Arrow-batch kernel (default —
+  ~20x less CPU, see "Arrow batch kernels" below) or a pure-built-in
+  ``xxhash64`` fold; both are content-deterministic across runs and
+  cluster sizes.
 - SimHash: per-token hash sign-sums → 32-bit fingerprint; near-dups
   bucket by rotated bit-blocks (hamming-distance LSH).
 - n-gram Jaccard: exact pair similarity, computed only on LSH
@@ -18,6 +20,8 @@ Four tiers, all shuffle-disciplined for 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -144,20 +148,162 @@ def minhash_signature(shingle_col: Column | str, num_hashes: int = 16) -> Column
     max_long = F.lit(0x7FFFFFFFFFFFFFFF).cast(T.LongType())
 
     # ONE fold over the shingle array: the accumulator is the running
-    # per-seed minimum vector, merged with zip_with(least). Seed family
-    # via the Broder two-hash trick g_j = h1 + j*h2 (64-bit wrapping) —
-    # 2 string hashes per shingle instead of num_hashes salted concats.
-    # masked to 62/31 bits so h1 + j*h2 can't overflow a long (ANSI mode
-    # throws on wrap); entropy loss is irrelevant for min-wise hashing
+    # per-seed minimum vector, merged with zip_with(least). Each seed j
+    # is an INDEPENDENT hash xxhash64(shingle, j) — an affine family
+    # h1 + j*h2 with a narrow h2 is NOT a permutation family (j*h2 is
+    # far smaller than h1's spread, so the same shingle wins the min
+    # for every j and the signature collapses to one hash — the LSH
+    # S-curve degenerates to P(candidate)=jaccard). Masked to 62 bits
+    # for ANSI-safe longs.
     def merge(acc, s):
-        h1 = F.xxhash64(s).bitwiseAND(F.lit(0x3FFFFFFFFFFFFFFF))
-        h2 = F.xxhash64(s, F.lit(1)).bitwiseAND(F.lit(0x7FFFFFFF))
         salted = F.array(
-            *[h1 + F.lit(j).cast(T.LongType()) * h2 for j in range(num_hashes)]
+            *[
+                F.xxhash64(s, F.lit(j)).bitwiseAND(F.lit(0x3FFFFFFFFFFFFFFF))
+                for j in range(num_hashes)
+            ]
         )
         return F.zip_with(acc, salted, lambda a, c: F.least(a, c))
 
     return F.aggregate(col, F.array_repeat(max_long, num_hashes), merge)
+
+
+# --- Arrow batch kernels ----------------------------------------------------
+#
+# The higher-order-function folds above are the pure-built-in reference
+# path, but Spark evaluates HOF lambdas interpreted per array element
+# (they don't inline into whole-stage codegen): measured 28ms/doc for
+# shingle+signature at sf0.1 — ~140 CPU-seconds for 5k docs. The Arrow
+# kernels below vectorize the same per-doc work in numpy over
+# Arrow-transferred batches (ROADMAP item: "Arrow/pandas_udf batch path
+# is the lever"). Hash family differs (crc32+splitmix64 vs xxhash64) but
+# both are content-deterministic, so candidate semantics and the exact
+# Jaccard rescore are unchanged; near-dup outputs are engine-specific
+# (rows-only) by design.
+
+
+def _mix64(x):
+    """splitmix64 finalizer, vectorized over uint64 numpy arrays.
+
+    Public-domain bit-mix (Steele et al., "Fast splittable pseudorandom
+    number generators"); numpy uint64 arithmetic wraps, which is what
+    the finalizer wants.
+    """
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _token_hashes(texts):
+    """Tokenize a batch and hash every token content-deterministically.
+
+    Returns (word_h: uint64 array over all docs concatenated, offsets:
+    int64 array len(texts)+1). Tokens are hashed ONCE per distinct
+    token in the batch (pd.factorize), then mapped back by code —
+    the Python-loop hash cost is bounded by vocabulary, not corpus,
+    size. crc32 is content-based, so results are independent of batch
+    composition and partitioning (determinism contract of the module).
+    """
+    import zlib
+
+    tok_lists = [t.lower().split() if t else [] for t in texts]
+    lens = np.fromiter(
+        (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    offsets = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    nonempty = [np.asarray(t, dtype=object) for t in tok_lists if t]
+    if not nonempty:
+        return np.empty(0, dtype=np.uint64), offsets
+    codes, uniques = pd.factorize(np.concatenate(nonempty))
+    uniq_h = np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) for u in uniques),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    return uniq_h[codes], offsets
+
+
+def _minhash_kernel(texts, k, num_hashes):
+    """Batch shingle-ids + minhash signature, numpy-vectorized per doc.
+
+    Same construction as :func:`shingle_ids` / :func:`minhash_signature`
+    (31-bit word hashes, ``acc*31+term`` masked to 57 bits, per-seed min
+    of ``h1 + j*h2``) with crc32/splitmix64 as the hash family. All
+    values stay < 2^62 + 2^35 < 2^63, so the int64 casts are lossless.
+    """
+    m57 = np.uint64(0x01FFFFFFFFFFFFFF)
+    m62 = np.uint64(0x3FFFFFFFFFFFFFFF)
+    m31 = np.uint64(0x7FFFFFFF)
+    seeds = _mix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    word_h, offsets = _token_hashes(texts)
+    word_h = word_h & m31
+    sh_out, sig_out = [], []
+    for i in range(len(offsets) - 1):
+        w = word_h[offsets[i] : offsets[i + 1]]
+        n = int(w.size)
+        m = max(n - k, 0) + 1
+        pad = np.zeros(m - 1 + k, dtype=np.uint64)
+        pad[:n] = w
+        acc = np.zeros(m, dtype=np.uint64)
+        for off in range(k):
+            acc = (acc * np.uint64(31) + pad[off : off + m]) & m57
+        sh = np.unique(acc)
+        # independent permutation per seed: mix64(shingle ^ seed_j).
+        # (An affine h1 + j*h2 family with narrow h2 collapses — the
+        # same shingle wins every seed's min; see minhash_signature.)
+        hj = _mix64(sh[:, None] ^ seeds[None, :]) & m62
+        sig = hj.min(axis=0).astype(np.int64)
+        sh_out.append(sh.astype(np.int64))
+        sig_out.append(sig)
+    return sh_out, sig_out
+
+
+def shingle_sig_batch(
+    text_col: Column | str, k: int = 3, num_hashes: int = 16
+) -> Column:
+    """Arrow-batched struct<sh:array<long>, sig:array<long>> column —
+    the fast-path equivalent of ``shingle_ids`` + ``minhash_signature``."""
+    out_t = T.StructType(
+        [
+            T.StructField("sh", T.ArrayType(T.LongType())),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _f(s: pd.Series) -> pd.DataFrame:
+        sh, sig = _minhash_kernel(s.fillna("").tolist(), k, num_hashes)
+        return pd.DataFrame({"sh": sh, "sig": sig})
+
+    return _f(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
+def _simhash_kernel(texts):
+    """Batch 32-bit SimHash: same sign-sum construction as
+    :func:`simhash32` over splitmix64-mixed token hashes."""
+    word_h, offsets = _token_hashes(texts)
+    word_h = _mix64(word_h)
+    bit_idx = np.arange(32, dtype=np.uint64)
+    out = np.empty(len(offsets) - 1, dtype=np.int64)
+    for i in range(len(offsets) - 1):
+        w = word_h[offsets[i] : offsets[i + 1]]
+        if w.size == 0:
+            out[i] = 0
+            continue
+        bits = (w[:, None] >> bit_idx[None, :]) & np.uint64(1)
+        sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        out[i] = int(((sums > 0).astype(np.uint64) << bit_idx).sum())
+    return out
+
+
+def simhash_batch(text_col: Column | str) -> Column:
+    """Arrow-batched 32-bit SimHash column (fast path of ``simhash32``)."""
+    @F.pandas_udf(T.LongType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series(_simhash_kernel(s.fillna("").tolist()))
+
+    return _f(F.col(text_col) if isinstance(text_col, str) else text_col)
 
 
 def minhash_near_dups(
@@ -169,6 +315,7 @@ def minhash_near_dups(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 256,
+    arrow: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH banding + exact Jaccard rescore.
 
@@ -183,6 +330,11 @@ def minhash_near_dups(
     the cap are skipped entirely (see :func:`cap_hot_buckets`);
     audit the skips with ``hot_buckets(banded, ["band_hash"], cap)``.
     ``None`` disables the guard.
+
+    ``arrow=True`` (default) computes shingles+signature with the
+    numpy batch kernel (:func:`shingle_sig_batch`, ~20x less CPU);
+    ``arrow=False`` keeps the pure-built-in HOF path. Same banding,
+    join, and exact-Jaccard rescore either way.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -194,9 +346,15 @@ def minhash_near_dups(
     # the shingle/signature projection is the CPU-heavy stage; small or
     # single-file inputs arrive as one partition, so spread it first
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    base = df.select(
-        F.col(id_col).alias("id"), shingle_ids(text_col, k_shingle).alias("sh")
-    ).withColumn("sig", minhash_signature("sh", num_hashes))
+    if arrow:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            shingle_sig_batch(text_col, k_shingle, num_hashes).alias("_ss"),
+        ).select("id", F.col("_ss.sh").alias("sh"), F.col("_ss.sig").alias("sig"))
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"), shingle_ids(text_col, k_shingle).alias("sh")
+        ).withColumn("sig", minhash_signature("sh", num_hashes))
     # the shingle/signature stage feeds three plan branches (banding +
     # both sides of the pair rejoin); persist so the expensive
     # normalize→shingle→hash scan runs once, mirroring the
@@ -305,6 +463,7 @@ def simhash_near_dups(
     id_col: str,
     max_hamming: int = 3,
     max_bucket_size: int | None = 1024,
+    arrow: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -320,7 +479,11 @@ def simhash_near_dups(
     has only 256 values — benign buckets run bigger.
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    base = df.select(F.col(id_col).alias("id"), simhash32(text_col).alias("sh"))
+    sh_col = simhash_batch(text_col) if arrow else simhash32(text_col)
+    # base feeds three plan branches (bucket-cap count + both join
+    # sides); persist so the hash scan runs once (lifetime: session,
+    # same contract as the minhash path's signature cache).
+    base = df.select(F.col(id_col).alias("id"), sh_col.alias("sh")).persist()
     blocks = F.array(
         *[
             F.concat_ws(
