@@ -166,6 +166,15 @@ def run_corpus(
     # near-dup removal: LSH pairs → components → drop non-keepers.
     # connected_components labels every paired node with the min id
     # reachable from it, so "loser" == any node whose label isn't itself.
+    # Banding tuned for RECALL at the removal threshold: 24 hashes in 8
+    # bands of 3 puts the S-curve midpoint at (1/8)^(1/3) = 0.5, giving
+    # P(candidate) = 1-(1-j^3)^8 ≈ 0.97 at j = 0.7 — the operator
+    # default (16 in 4) centers at 0.59 and would miss a third of
+    # true pairs at this threshold. Candidate false positives are
+    # removed by the exact-Jaccard rescore, so looser banding costs
+    # rescore volume, not precision.
+    near_dup_kwargs.setdefault("num_hashes", 24)
+    near_dup_kwargs.setdefault("bands", 8)
     pairs = minhash_near_dups(
         exact,
         text_col,
