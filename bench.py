@@ -14,6 +14,8 @@ import json
 import os
 import time
 
+import pandas as pd  # module-global: pandas_udf type hints resolve here
+
 from geoestate_etl_spark.plans import all_queries
 from geoestate_etl_spark.session import get_spark
 
@@ -80,6 +82,22 @@ def main() -> None:
 
     # warmup: JVM + codegen + parquet footer caches
     force(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
+    # ... and the Arrow python-worker pool: the first pandas_udf in a
+    # session pays worker spawn + numpy/pandas import across all cores
+    # (~10s at local[32]); that's session setup, not query cost, so
+    # bill it to warmup like the JVM. Workers are reused afterwards.
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as _T
+
+    @_F.pandas_udf(_T.LongType())
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    force(
+        spark.range(0, spark.sparkContext.defaultParallelism * 10)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(_warm("id"))
+    )
 
     timings: dict[str, float] = {}
 
