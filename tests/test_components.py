@@ -83,3 +83,49 @@ def test_dedup_clusters_quality_keeper(spark):
         for r in dedup_clusters(pairs, scores=scores).collect()
     }
     assert got == {1: (2, 3), 4: (4, 2), 6: (7, 2), 8: (8, 2)}
+
+
+# --- large-star/small-star variant: must agree with label propagation ---
+
+def _star_map(spark, edges):
+    from geoestate_etl_spark.operators.components import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    rows = connected_components_star(df).collect()
+    assert len({r.id for r in rows}) == len(rows)  # one label per node
+    return {r.id: r.component for r in rows}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (10, 11)],
+        [(i, i + 1) for i in range(1, 12)],            # chain
+        [(5, 6), (6, 7), (7, 5), (7, 2), (30, 31)],    # cycle + cross
+        [(0, i) for i in range(1, 50)],                # high-degree hub
+        [(9, 9), (1, 2), (2, 1)],                      # self-loop + dup dirs
+    ],
+)
+def test_star_matches_label_prop(spark, edges):
+    assert _star_map(spark, edges) == cc_map(spark, edges)
+
+
+def test_star_random_graph_matches(spark):
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(250)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _star_map(spark, edges) == cc_map(spark, edges)
+
+
+def test_star_long_chain(spark):
+    edges = [(i, i + 1) for i in range(400)]
+    got = _star_map(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 401
