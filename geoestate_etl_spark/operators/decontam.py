@@ -1,0 +1,106 @@
+"""Benchmark decontamination: remove training documents that overlap
+an evaluation/benchmark set by shared word n-grams.
+
+The standard LLM-corpus hygiene step (GPT-3 appendix C popularized
+13-gram overlap): a training document is *contaminated* if any of its
+word n-grams also occurs in the benchmark set. At corpus scale the
+shape matters more than the arithmetic:
+
+- the benchmark side is SMALL (eval sets are MBs, the corpus is TBs)
+  — its distinct n-gram hash set broadcasts, so flagging the corpus
+  is a map-side broadcast join over the exploded grams: no shuffle of
+  corpus data at all;
+- grams travel as 64-bit ``xxhash64`` values, never strings — the
+  exploded corpus side is (doc_id, int64), ~16 bytes a gram instead
+  of ~60+ for the text;
+- the only shuffle is the per-doc hit count over matched grams
+  (a tiny fraction of the corpus), then a broadcast/bloom-prunable
+  left-anti join back onto the documents.
+
+Tokenization is deliberately simple and engine-portable (lowercase,
+non-alphanumeric → space, split) so the DuckDB oracle can reproduce
+it exactly; swap in a real tokenizer per corpus as needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngram_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Distinct (``id_col``, gram_hash) for every word ``n``-gram.
+
+    Grams are built JVM-side: regex normalize → split → a
+    ``transform(sequence(...))`` sliding window, hashed with
+    ``xxhash64`` — whole-stage-codegen friendly, no Python in the
+    path. Documents shorter than ``n`` words yield no rows (they
+    cannot be contaminated at this n).
+
+    Within-document repeats are removed by ``array_distinct`` BEFORE
+    the explode: a (doc_id, gram) pair can only repeat within one
+    document, so deduping inside the array makes the exploded output
+    globally distinct with zero shuffle — a ``.distinct()`` here would
+    shuffle every gram of the corpus, the dominant cost at scale.
+    """
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), " "),
+        lambda x: x != "",
+    )
+    # sequence() flips direction when start > stop, so guard short docs
+    grams = F.when(
+        F.size("_w") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_w) - {n} + 1),"
+            f" i -> xxhash64(concat_ws(' ', slice(_w, i, {n}))))"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col), words.alias("_w")).select(
+        id_col, F.explode(F.array_distinct(grams)).alias("gram_hash")
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """(``id_col``, n_shared) for every training doc sharing at least
+    one word n-gram with ``benchmark`` — n_shared counts its distinct
+    overlapping grams (triage signal: 1 gram may be an idiom, 50 is a
+    leaked passage)."""
+    bench_grams = (
+        word_ngram_hashes(
+            benchmark, bench_text_col or text_col, id_col, n
+        )
+        .select("gram_hash")
+        .distinct()
+    )
+    doc_grams = word_ngram_hashes(docs, text_col, id_col, n)
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_shared: int = 0,
+) -> DataFrame:
+    """Training docs with more than ``max_shared`` benchmark n-grams
+    removed (default: any overlap removes). Left-anti join on id —
+    the flagged set is small, so AQE turns it into a broadcast."""
+    flagged = contamination_report(
+        docs, benchmark, text_col, id_col, n
+    ).filter(F.col("n_shared") > max_shared)
+    return docs.join(flagged.select(id_col), id_col, "left_anti")

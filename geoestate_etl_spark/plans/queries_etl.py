@@ -90,17 +90,6 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
-def q_cms_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch estimates for the order priorities (engine-
-    specific hashing → rows-only; properties pinned in test_sketches)."""
-    from geoestate_etl_spark.operators.sketches import cms_build, cms_estimate
-
-    orders = _t(spark, sf_dir, "orders")
-    keys = orders.select("o_orderpriority").distinct()
-    sketch = cms_build(orders, "o_orderpriority", depth=4, width=256)
-    return cms_estimate(sketch, keys, "o_orderpriority", depth=4, width=256)
-
-
 def _morton_sql() -> str:
     """The identical bit-spreading arithmetic, rendered to SQL."""
 
@@ -133,6 +122,5 @@ SPECS = [
         "UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS VARCHAR) FROM documents",
         "etl-profiling",
     ),
-    QuerySpec("cms_top_keys", q_cms_top_keys, None, "sketch-count-min"),
     QuerySpec("houses_slice_top25", q_houses_slice_top25, None, "reference-e2e-parity"),
 ]

@@ -194,6 +194,25 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over `documents`: docs where
+    ``doc_id % 7 == 0`` stand in for the eval set; every other doc is
+    training corpus. Output = the contamination report (doc_id +
+    distinct shared 8-gram count) — the removal itself is the
+    left-anti join in :func:`operators.decontam.decontaminate`,
+    covered by tests. Grams travel as xxhash64; the oracle counts the
+    same grams as strings (hash is injective absent 64-bit collisions,
+    deterministic either way)."""
+    from geoestate_etl_spark.operators.decontam import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return contamination_report(train, bench, "text", "doc_id", n=8).orderBy(
+        "doc_id"
+    )
+
+
 _WC_SQL = (
     "CASE WHEN trim(text) = '' THEN 0 "
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
@@ -248,5 +267,22 @@ SPECS = [
         "CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 100 + 1 ELSE 1 END AS INT) AS n_frames "
         "FROM documents",
         "ext-multimodal",
+    ),
+    QuerySpec(
+        "decontaminate",
+        q_decontaminate,
+        # identical tokenization: lowercase, non-alnum -> space, split,
+        # drop empties; 8-word grams; count distinct shared grams
+        "WITH words AS (SELECT doc_id, list_filter(string_split("
+        "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), "
+        "x -> x <> '') AS w FROM documents), "
+        "grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g "
+        "FROM words, UNNEST(range(1, len(w) - 6)) AS t(i) "
+        "WHERE len(w) >= 8), "
+        "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0), "
+        "train AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 7 != 0) "
+        "SELECT t.doc_id, count(*) AS n_shared FROM train t "
+        "JOIN bench b USING (g) GROUP BY t.doc_id ORDER BY t.doc_id",
+        "llm-decontamination ngram-overlap",
     ),
 ]

@@ -478,7 +478,17 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("approx_distinct_parts").alias("metric"),
         F.col("v").cast("double").alias("value"),
     )
-    return med.unionByName(hll)
+    # count-min point estimates for the order priorities (absorbed
+    # from the former cms_top_keys entry — same (metric, value) shape)
+    from geoestate_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    keys = orders.select("o_orderpriority").distinct()
+    sketch = cms_build(orders, "o_orderpriority", depth=4, width=256)
+    cms = cms_estimate(sketch, keys, "o_orderpriority", depth=4, width=256).select(
+        F.concat(F.lit("cms:"), F.col("o_orderpriority")).alias("metric"),
+        F.col("est").cast("double").alias("value"),
+    )
+    return med.unionByName(hll).unionByName(cms)
 
 
 # --- stats -----------------------------------------------------------------

@@ -81,3 +81,15 @@ def test_renumber_scalable_no_single_partition_sort(spark):
         .toString()
     )
     assert "rangepartitioning" in plan  # repartitionByRange present
+
+
+def test_decontaminate_corpus_side_no_shuffle(spark):
+    """The corpus (train) side must reach the broadcast gram join
+    without an Exchange — within-doc array_distinct replaces the
+    global distinct. The only exchanges allowed are the tiny bench
+    dedup, the matched-hits groupBy, and the final order."""
+    plan = plan_of(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 3
+    assert "CartesianProduct" not in plan
