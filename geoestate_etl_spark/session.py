@@ -22,6 +22,38 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def streaming_state_conf(rocksdb: bool = True) -> dict[str, str]:
+    """Conf for stateful streaming queries with LARGE state (wide
+    session windows, dedup maps, join buffers).
+
+    The default HDFS-backed provider keeps every state key on the
+    executor HEAP — fine for small keyed aggregates, an OOM at
+    100M-session scale. RocksDB keeps state off-heap/on-local-disk
+    with a bounded block cache, so state size is limited by disk, not
+    heap. Changelog checkpointing uploads per-batch deltas instead of
+    full snapshots, cutting checkpoint latency on big state (both are
+    stock Spark; the provider ships in pyspark's JVM bundle and is
+    selected per-query from the session conf at stream start).
+
+    Apply via ``get_spark(extra_conf=streaming_state_conf())`` or
+    ``spark.conf.set`` before ``writeStream.start()``.
+    """
+    if not rocksdb:
+        return {}
+    return {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        # delta uploads instead of full-snapshot checkpoints
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        # bound memory across ALL RocksDB instances on an executor
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "512",
+    }
+
 
 def get_spark(
     app_name: str = "geoestate-etl-spark",

@@ -249,3 +249,112 @@ def test_stream_stream_left_outer_interval_join(spark, events_batch, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+# --- kafka builders (no broker/jar in this container) ----------------------
+
+def test_kafka_missing_connector_raises_clean_error(spark):
+    from geoestate_etl_spark.streaming.kafka_source import (
+        KafkaConnectorMissing,
+        kafka_available,
+        read_kafka_stream,
+    )
+
+    assert not kafka_available(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(KafkaConnectorMissing, match="spark-sql-kafka"):
+        read_kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_kafka_json_roundtrip_on_batch_frame(spark):
+    """parse(pack(x)) == x on a batch frame shaped like the Kafka wire
+    format — pins the value semantics without a broker."""
+    from geoestate_etl_spark.streaming.kafka_source import (
+        parse_kafka_json,
+        to_kafka_frame,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, "click", "2024-05-01 10:00:00"), (2, "buy", "2024-05-01 10:05:00")],
+        ["user_id", "event_type", "ts"],
+    )
+    packed = to_kafka_frame(rows, ["user_id", "event_type", "ts"], F.col("user_id"))
+    wire = packed.select(
+        F.lit("events").alias("topic"),
+        (F.col("key").cast("long") % 4).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.col("value").cast("binary").alias("value"),
+    )
+    parsed = parse_kafka_json(
+        wire, "user_id BIGINT, event_type STRING, ts STRING", ts_col="ts"
+    )
+    got = {
+        (r.user_id, r.event_type, str(r.ts)) for r in parsed.collect()
+    }
+    assert got == {
+        (1, "click", "2024-05-01 10:00:00"),
+        (2, "buy", "2024-05-01 10:05:00"),
+    }
+    assert set(parsed.columns) >= {"topic", "partition", "offset", "kafka_ts"}
+
+
+# --- rocksdb state store ---------------------------------------------------
+
+def test_session_windows_on_rocksdb_state_store(spark, events_batch):
+    """Same session-window aggregation, state held in RocksDB instead
+    of the heap-backed default — results must be identical. This is
+    the large-state path: heap provider = O(state) executor heap,
+    RocksDB = bounded block cache + local disk."""
+    from geoestate_etl_spark.session import (
+        ROCKSDB_PROVIDER,
+        streaming_state_conf,
+    )
+    from geoestate_etl_spark.streaming.event_windows import session_windows
+
+    batch_df = spark.read.parquet(events_batch)
+    expected = {
+        (r.user_id, r.session_start): r.n_events
+        for r in session_windows(batch_df, "5 minutes").collect()
+    }
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    for k, v in streaming_state_conf().items():
+        spark.conf.set(k, v)
+    try:
+        stream = spark.readStream.schema(batch_df.schema).parquet(events_batch)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id", F.col("w.start").alias("session_start"), "n_events"
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocks_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # the running query must actually be on RocksDB (its
+            # provider-specific metrics only exist when it is)
+            metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+            assert "rocksdb" in str(metrics).lower()
+            got = {
+                (r.user_id, r.session_start): r.n_events
+                for r in spark.sql("SELECT * FROM rocks_out").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    assert got == expected
