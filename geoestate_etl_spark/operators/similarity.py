@@ -293,6 +293,65 @@ def ivf_topk(
     )
 
 
+def hybrid_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    num_planes: int = 8,
+    probe_radius: int = 2,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """ANN top-k over the UNION of the LSH and IVF candidate sets,
+    exact-cosine re-ranked.
+
+    The two index families miss differently — hyperplane LSH loses
+    neighbors that straddle a cutting plane, IVF loses neighbors just
+    across a Voronoi boundary of a non-probed cell — so their candidate
+    union recovers much of what either drops alone, at roughly the sum
+    of their (small) scan fractions. Because the re-rank is exact over
+    the union, recall is ≥ each constituent path by construction.
+
+    Requires a PRE-BUILT IVF index (``assigned`` + ``centroids`` from
+    :func:`ivf_build` / :func:`ivf_read_index`) — the serving-path
+    discipline; the LSH side needs no build (bucket bits are computed
+    in-scan, or pre-bucketed at scale). The candidate id-dedup shuffle
+    touches only candidates (~scan-fraction of N), never the corpus.
+    """
+    dim = len(probe)
+    planes = make_hyperplanes(num_planes, dim)
+    probe_bits = "".join(
+        "1" if sum(p[i] * probe[i] for i in range(dim)) >= 0 else "0" for p in planes
+    )
+    lsh_cand = (
+        bucketize(embeddings, planes, id_col, vec_col)
+        .filter(F.col("bucket").isin(_probe_buckets(probe_bits, probe_radius)))
+        .select(id_col, vec_col)
+    )
+
+    def sqdist(c: list[float]) -> float:
+        return sum((a - b) ** 2 for a, b in zip(c, probe))
+
+    probe_cells = sorted(
+        range(len(centroids)), key=lambda ci: sqdist(centroids[ci])
+    )[:n_probe]
+    ivf_cand = assigned.filter(F.col("cell").isin(probe_cells)).select(
+        id_col, vec_col
+    )
+
+    cands = lsh_cand.union(ivf_cand).dropDuplicates([id_col])
+    probe_col = F.array(*[F.lit(float(v)) for v in probe])
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), probe_col), scale).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
 def ivf_write_index(
     embeddings: DataFrame,
     path: str,

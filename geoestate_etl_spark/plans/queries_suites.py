@@ -448,11 +448,17 @@ def q_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH multi-probe + IVF (probe-only
-    against the materialized index), tagged. Rows-only; recall floors
-    and full-probe==bruteforce equality pinned in tests."""
+    """Approximate top-k three ways, tagged: hyperplane-LSH
+    multi-probe, IVF (probe-only against the materialized index), and
+    the hybrid exact re-rank over their candidate union (recall ≥
+    either by construction). Rows-only; recall floors and
+    full-probe==bruteforce equality pinned in tests."""
     from geoestate_etl_spark.operators import similarity as SIM
-    from geoestate_etl_spark.plans.queries_ext import _probe, q_similarity_ivf
+    from geoestate_etl_spark.plans.queries_ext import (
+        _ivf_index_path,
+        _probe,
+        q_similarity_ivf,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     probe = _probe(spark, sf_dir)
@@ -462,7 +468,12 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = q_similarity_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "vec_id", "cos_sim"
     )
-    return lsh.unionByName(ivf)
+    # q_similarity_ivf just ensured the materialized index exists
+    assigned, centroids = SIM.ivf_read_index(spark, _ivf_index_path(sf_dir, 16))
+    hybrid = SIM.hybrid_topk(emb, probe, assigned, centroids, k=10).select(
+        F.lit("hybrid").alias("method"), "vec_id", "cos_sim"
+    )
+    return lsh.unionByName(ivf).unionByName(hybrid)
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:

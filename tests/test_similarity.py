@@ -153,3 +153,46 @@ def test_topk_per_group_partial_matches_window(spark):
                                   ["g", "score", "tie", "payload"])
     out = top_k_per_group_partial(small, ["g"], "score", "tie", 10).collect()
     assert [r.score for r in out] == [5, 3] or sorted(r.score for r in out) == [3, 5]
+
+
+def test_hybrid_recall_superset_of_both_paths(spark):
+    """Hybrid = exact re-rank over (LSH ∪ IVF) candidates: its recall
+    vs brute force must be >= each constituent's, and with full
+    coverage (all cells + radius=planes) it must equal brute force."""
+    from geoestate_etl_spark.operators.similarity import (
+        hybrid_topk,
+        ivf_build,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    exact = [r.vec_id for r in brute_force_topk(emb, probe, k=10).collect()]
+    lsh = [r.vec_id for r in lsh_topk(emb, probe, k=10).collect()]
+    assigned, cents = ivf_build(emb, n_cells=16)
+    assigned = assigned.persist()
+    try:
+        ivf = [
+            r.vec_id
+            for r in ivf_topk(emb, probe, k=10, n_cells=16, n_probe=4).collect()
+        ]
+        hyb = [
+            r.vec_id
+            for r in hybrid_topk(emb, probe, assigned, cents, k=10).collect()
+        ]
+        r_lsh = len(set(exact) & set(lsh))
+        r_ivf = len(set(exact) & set(ivf))
+        r_hyb = len(set(exact) & set(hyb))
+        assert hyb[0] == 0  # the probe's own vector ranks first
+        assert r_hyb >= max(r_lsh, r_ivf)
+        # exhaustive configuration degenerates to exact brute force
+        full = [
+            r.vec_id
+            for r in hybrid_topk(
+                emb, probe, assigned, cents, k=10,
+                probe_radius=8, n_probe=16,
+            ).collect()
+        ]
+        assert full == exact
+    finally:
+        assigned.unpersist()
