@@ -28,6 +28,9 @@ from pyspark.sql import types as T
 
 from geoestate_etl_spark.functions.vectors import cosine, hyperplane_bits
 
+#: column name marking an int8-quantized (IVF-SQ) index table
+_QUANT_COL = "qembedding"
+
 
 def make_hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in {-1,+1}^dim.
@@ -262,9 +265,17 @@ def ivf_probe(
     ]
     candidates = assigned.filter(F.col("cell").isin(probe_cells))
     probe_col = F.array(*[F.lit(float(v)) for v in probe])
+    if _QUANT_COL in candidates.columns:
+        # IVF-SQ index: score the int8 codes directly — the per-vector
+        # scale cancels out of cosine, no dequantize pass needed
+        vec = F.transform(
+            F.col(_QUANT_COL).getField("q"), lambda v: v.cast("double")
+        )
+    else:
+        vec = F.col(vec_col)
     scored = candidates.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), probe_col), scale).alias("cos_sim"),
+        F.round(cosine(vec, probe_col), scale).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
@@ -359,10 +370,18 @@ def ivf_write_index(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> list[list[float]]:
     """BUILD step: train the quantizer, materialize the cell-assigned
     table partitioned by ``cell`` (probe-time partition pruning), and
     persist the centroids next to it. Returns the centroids.
+
+    ``quantize=True`` stores int8 codes instead of float vectors
+    (IVF-SQ, the FAISS serving layout): ~3-4× smaller index, so the
+    probed cells are that much more likely to sit in page cache at
+    100 TB. Probing scores cosine directly on the codes — cosine is
+    invariant to the per-vector scale, so ranking differs from the
+    float index only by rounding (recall parity pinned in tests).
 
     Layout: ``<path>/assigned/cell=<i>/...parquet`` +
     ``<path>/centroids.json``. Rebuild is a full overwrite — the index
@@ -374,6 +393,12 @@ def ivf_write_index(
     assigned, centroids = ivf_build(
         embeddings, n_cells, iters, id_col=id_col, vec_col=vec_col
     )
+    if quantize:
+        from geoestate_etl_spark.functions.vectors import quantize_int8
+
+        assigned = assigned.select(
+            id_col, "cell", quantize_int8(vec_col).alias(_QUANT_COL)
+        )
     assigned.write.partitionBy("cell").mode("overwrite").parquet(
         os.path.join(path, "assigned")
     )

@@ -91,3 +91,40 @@ def test_ivf_query_uses_cached_index(spark):
     t0 = time.perf_counter()
     q_similarity_ivf(spark, SF_ORACLE).collect()  # must be probe-only
     assert time.perf_counter() - t0 < 5.0
+
+
+def test_ivf_sq8_index_recall_and_size(emb, probe, tmp_path):
+    """Quantized (IVF-SQ) index: probing the int8 codes must match the
+    float index's top-k except for rounding-boundary swaps, and the
+    index directory must be materially smaller."""
+    import glob
+    import os
+
+    from geoestate_etl_spark.operators.similarity import (
+        ivf_probe,
+        ivf_read_index,
+        ivf_write_index,
+    )
+
+    spark = emb.sparkSession
+    p_f = str(tmp_path / "float_idx")
+    p_q = str(tmp_path / "sq8_idx")
+    ivf_write_index(emb, p_f, n_cells=16)
+    ivf_write_index(emb, p_q, n_cells=16, quantize=True)
+
+    af, cf = ivf_read_index(spark, p_f)
+    aq, cq = ivf_read_index(spark, p_q)
+    assert cf == cq  # same quantizer training (quantization is storage-only)
+
+    top_f = [r.vec_id for r in ivf_probe(af, cf, probe, k=10, n_probe=4).collect()]
+    top_q = [r.vec_id for r in ivf_probe(aq, cq, probe, k=10, n_probe=4).collect()]
+    assert top_q[0] == top_f[0] == 0
+    assert len(set(top_f) & set(top_q)) >= 8
+
+    def size(p):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(p, "assigned", "**", "*.parquet"), recursive=True)
+        )
+
+    assert size(p_q) < 0.5 * size(p_f)
