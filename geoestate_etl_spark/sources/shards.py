@@ -1,0 +1,129 @@
+"""Training-shard writer: the final hop of the corpus pipeline —
+packed documents land in numbered shards of bounded size, with a
+manifest the training job (and audits) can trust without listing or
+re-reading data files.
+
+Why not plain ``df.write``: training loaders want (a) bounded,
+roughly equal shard sizes for stable data-parallel throughput, (b) a
+stable doc→shard mapping so re-runs resume/compare, and (c) a
+manifest with per-shard row counts and content checksums. Spark's
+``maxRecordsPerFile`` bounds file size but leaves file naming
+nondeterministic (task/attempt ids) and writes no manifest.
+
+Shape at scale: one ``repartition(shard)`` shuffle (rows move once,
+straight to their shard writer), shard data written partitioned by
+``shard=<k>``; the manifest is a second, tiny aggregate over the
+same shuffled frame (count + order-independent checksum per shard —
+``bit_xor(xxhash64(row))``: associative and commutative so partial
+aggregation applies, and no overflow under ANSI mode).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def assign_shards(
+    df: DataFrame, rows_per_shard: int, order_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic shard id: rank of ``order_col`` ÷ rows_per_shard
+    (contiguous id ranges per shard — keeps any upstream ordering,
+    e.g. pack_sequences' chunk locality, physically together).
+    Uses the scalable two-phase cumsum, not a global window."""
+    from geoestate_etl_spark.operators.prefix import scalable_cumsum
+
+    ranked = scalable_cumsum(
+        df.withColumn("_one", F.lit(1)), order_col, "_one", "_rank"
+    )
+    return ranked.withColumn(
+        "shard", ((F.col("_rank") - 1) / rows_per_shard).cast("long")
+    ).drop("_one", "_rank")
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_col: str = "doc_id",
+) -> dict:
+    """Write ``<path>/data/shard=<k>/`` + ``<path>/manifest.json``;
+    returns the manifest dict.
+
+    The manifest checksum per shard is order-independent
+    (bit_xor of per-row xxhash64 over all columns), so any reader can
+    re-verify a shard without caring about row order within it. (XOR
+    cancels even-multiplicity duplicate rows against each other; the
+    paired row count catches cardinality changes.)
+    """
+    sharded = assign_shards(df, rows_per_shard, order_col)
+    sharded.repartition("shard").write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "data"))
+
+    stats = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "rows_per_shard": rows_per_shard,
+        "order_col": order_col,
+        "columns": df.columns,
+        "n_shards": len(stats),
+        "total_rows": int(sum(r.rows for r in stats)),
+        "shards": [
+            {"shard": int(r.shard), "rows": int(r.rows), "checksum": int(r.checksum)}
+            for r in stats
+        ],
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def verify_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Re-derive (rows, checksum) per shard from the data files and
+    diff against the manifest: returns (shard, rows_match,
+    checksum_match) — all-true means the shard set is intact."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    cols = manifest["columns"]
+    actual = (
+        spark.read.parquet(os.path.join(path, "data"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(F.xxhash64(*cols)).alias("checksum"),
+        )
+    )
+    expected = spark.createDataFrame(
+        [(s["shard"], s["rows"], s["checksum"]) for s in manifest["shards"]],
+        "shard long, exp_rows long, exp_checksum long",
+    )
+    return (
+        actual.join(expected, "shard", "full_outer")
+        .select(
+            "shard",
+            (F.col("rows") == F.col("exp_rows")).alias("rows_match"),
+            (F.col("checksum") == F.col("exp_checksum")).alias("checksum_match"),
+        )
+        .orderBy("shard")
+    )
+
+
+def list_shard_files(path: str) -> dict[int, list[str]]:
+    """Physical files per shard (for loader integration/debugging)."""
+    out: dict[int, list[str]] = {}
+    for d in sorted(glob.glob(os.path.join(path, "data", "shard=*"))):
+        k = int(d.rsplit("=", 1)[1])
+        out[k] = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    return out
