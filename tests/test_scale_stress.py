@@ -179,3 +179,71 @@ def test_temporal_bucketed_hot_key_200k_versions(spark):
     ).collect()[0]
     # every fact matches exactly its analytically-known version
     assert (stats.n, stats.bad) == (100_000, 0)
+
+
+def test_star_cc_hub_and_chain_500k_edges(spark):
+    """Star contraction on a hostile 500k-edge graph: one 100k-spoke
+    hub (max skew — every spoke shares the hub's neighborhood), a
+    100k-node chain (max diameter), and 100k disjoint small pairs.
+    Labels must be exact without any quadratic blowup."""
+    from geoestate_etl_spark.operators.components import (
+        connected_components_star,
+    )
+
+    hub = spark.range(1, 100_001).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    base = 1_000_000
+    chain = spark.range(base, base + 100_000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    pbase = 10_000_000
+    pairs = spark.range(0, 100_000).select(
+        (pbase + 2 * F.col("id")).alias("id_a"),
+        (pbase + 2 * F.col("id") + 1).alias("id_b"),
+    )
+    edges = hub.unionByName(chain).unionByName(pairs)
+    labels = connected_components_star(edges)
+    stats = labels.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("component").alias("ncomp"),
+        F.sum((F.col("component") == 0).cast("long")).alias("hub_members"),
+        F.sum((F.col("component") == base).cast("long")).alias("chain_members"),
+    ).collect()[0]
+    # hub: 100_001 nodes; chain: 100_001 nodes; 100_000 pairs
+    assert stats.n == 100_001 + 100_001 + 200_000
+    assert stats.ncomp == 1 + 1 + 100_000
+    assert stats.hub_members == 100_001
+    assert stats.chain_members == 100_001
+
+
+def test_decontaminate_500k_docs_no_corpus_shuffle(spark):
+    """Decontamination over 500k synthetic docs vs a 1k-doc benchmark:
+    exact hits on the planted overlaps, and the corpus side must reach
+    the broadcast join with zero Exchange (the scale guarantee)."""
+    from geoestate_etl_spark.operators.decontam import contamination_report
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(words + " "),
+            F.col("id").cast("string"),
+            F.lit(" kilo lima mike november oscar papa quebec romeo"),
+        ).alias("text"),
+    )
+    # benchmark: every 500th doc verbatim
+    bench = docs.filter(F.col("doc_id") % 500 == 0)
+    rep = contamination_report(
+        docs.filter(F.col("doc_id") % 500 != 0), bench, "text", "doc_id", n=8
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # every doc carries the same 4 boilerplate 8-grams (3 pure-prefix,
+    # 1 pure-suffix; grams spanning the unique id are per-doc), so ALL
+    # train docs are flagged, each with exactly those 4 shared grams
+    agg = rep.agg(
+        F.count("*").alias("n"), F.count_distinct("n_shared").alias("d"),
+        F.min("n_shared").alias("mn"),
+    ).collect()[0]
+    assert (agg.n, agg.d, agg.mn) == (500_000 - 1_000, 1, 4)
