@@ -171,6 +171,73 @@ def lsh_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def lsh_topk_batch(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    probe_radius: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    scale: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe LSH top-k for a BATCH of query vectors in one job:
+    (probe_id, vec_id, cos_sim), k rows per probe.
+
+    Same candidate set per probe as :func:`lsh_topk`, different
+    mechanics — everything stays JVM-side and batched:
+    - bucket keys become INTEGERS (``conv(bits, 2, 10)``), so the
+      hamming≤radius neighborhood is ``bucket XOR mask`` over the
+      precomputed ≤radius-popcount masks — no per-probe string
+      surgery, and the corpus join key is a long, not a string;
+    - each probe explodes to its C(P,≤r) neighbor buckets and the
+      (small) probe table broadcast-joins the bucketed corpus on the
+      integer key; per-probe top-k is the two-phase partial reducer.
+    """
+    from itertools import combinations
+
+    from geoestate_etl_spark.operators.topk import top_k_per_group_partial
+
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        dim = len(first[0])
+    planes = make_hyperplanes(num_planes, dim)
+    bucketed = bucketize(embeddings, planes, id_col, vec_col).withColumn(
+        "_b", F.conv("bucket", 2, 10).cast("long")
+    )
+    masks = [
+        sum(1 << i for i in idxs)
+        for r in range(probe_radius + 1)
+        for idxs in combinations(range(num_planes), r)
+    ]
+    probe_b = probes.select(
+        probe_id_col,
+        probe_vec_col,
+        F.conv(hyperplane_bits(F.col(probe_vec_col), planes), 2, 10)
+        .cast("long")
+        .alias("_pb"),
+    )
+    probe_exp = probe_b.select(
+        probe_id_col,
+        probe_vec_col,
+        "_pb",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("_m"),
+    ).select(
+        probe_id_col,
+        probe_vec_col,
+        F.col("_pb").bitwiseXOR(F.col("_m")).alias("_b"),
+    )
+    scored = bucketed.join(F.broadcast(probe_exp), "_b").select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(probe_vec_col)), scale).alias("cos_sim"),
+    )
+    return top_k_per_group_partial(scored, [probe_id_col], "cos_sim", id_col, k)
+
+
 def ivf_build(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -278,6 +345,70 @@ def ivf_probe(
         F.round(cosine(vec, probe_col), scale).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def ivf_probe_batch(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    scale: int = 4,
+) -> DataFrame:
+    """Probe the IVF index for a BATCH of query vectors in one job:
+    (probe_id, vec_id, cos_sim), k rows per probe — the serving shape
+    when queries arrive in micro-batches rather than one at a time.
+
+    Fully distributed — no per-probe driver round-trips:
+    1. each probe picks its ``n_probe`` nearest cells via a numpy
+       pandas_udf (the centroid matrix rides in the closure — same
+       trick as ``ivf_build``'s assignment pass);
+    2. probes explode to (cell, probe) rows and BROADCAST-join the
+       cell-pruned index — each index row is scored only against the
+       probes that selected its cell (≈ n_probe/n_cells of the work
+       a full cross-join would do);
+    3. per-probe top-k uses the two-phase partial reducer (shuffles
+       ≤ k·partitions rows per probe, never the candidate set).
+    """
+    from geoestate_etl_spark.operators.topk import top_k_per_group_partial
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_norms = (C**2).sum(axis=1)
+    n_probe = min(n_probe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells_of(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        scores = c_norms[None, :] - 2.0 * (X @ C.T)
+        top = np.argsort(scores, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(top))
+
+    probe_cells = probes.select(
+        probe_id_col,
+        probe_vec_col,
+        F.explode(cells_of(F.col(probe_vec_col))).alias("cell"),
+    )
+    # prune the index to cells some probe wants, then equi-join on cell
+    wanted = [
+        r.cell for r in probe_cells.select("cell").distinct().collect()
+    ]
+    candidates = assigned.filter(F.col("cell").isin(wanted))
+    if _QUANT_COL in candidates.columns:
+        vec = F.transform(
+            F.col(_QUANT_COL).getField("q"), lambda v: v.cast("double")
+        )
+    else:
+        vec = F.col(vec_col)
+    scored = candidates.join(F.broadcast(probe_cells), "cell").select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        F.round(cosine(vec, F.col(probe_vec_col)), scale).alias("cos_sim"),
+    )
+    return top_k_per_group_partial(scored, [probe_id_col], "cos_sim", id_col, k)
 
 
 def ivf_topk(

@@ -128,3 +128,41 @@ def test_ivf_sq8_index_recall_and_size(emb, probe, tmp_path):
         )
 
     assert size(p_q) < 0.5 * size(p_f)
+
+
+def test_ivf_probe_batch_matches_single_probes(emb, probe):
+    """Batch probing must return exactly what looping ivf_probe over
+    the same probe vectors returns (same index, same n_probe)."""
+    from geoestate_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+        ivf_probe_batch,
+    )
+
+    spark = emb.sparkSession
+    assigned, cents = ivf_build(emb, n_cells=16)
+    assigned = assigned.persist()
+    try:
+        probe_rows = emb.filter(F.col("vec_id").isin([0, 7, 19])).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+        batch = ivf_probe_batch(
+            assigned, cents, probe_rows, k=5, n_probe=4
+        ).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r.probe_id, []).append((r.vec_id, r.cos_sim))
+        for pid in (0, 7, 19):
+            vec = [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == pid).first().embedding
+            ]
+            single = [
+                (r.vec_id, r.cos_sim)
+                for r in ivf_probe(assigned, cents, vec, k=5, n_probe=4).collect()
+            ]
+            assert sorted(got[pid]) == sorted(single), f"probe {pid}"
+            assert len(got[pid]) == 5
+    finally:
+        assigned.unpersist()
