@@ -7,7 +7,7 @@ of documents. Each has an exact DuckDB-SQL equivalent for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -210,3 +210,56 @@ def repetition_ratios(c: Column | str) -> Column:
         dup_frac(words, n_words).alias("dup_word_frac"),
         F.round(top_run / F.greatest(n_words, F.lit(1)), 4).alias("top_word_frac"),
     )
+
+
+def chunk_text(
+    c: Column | str, chunk_words: int, overlap_words: int = 0
+) -> Column:
+    """Sliding-window chunks of the whitespace-normalized text:
+    array<struct<chunk_idx int, chunk_text string>> — the standard
+    pre-embedding splitter (fixed window, fixed overlap).
+
+    Window starts step by ``chunk_words - overlap_words``; the final
+    window may be short; a start > 0 whose window would add no unseen
+    words (start + overlap >= n) is dropped, so no chunk is a suffix
+    of its predecessor. Documents at or under ``chunk_words`` yield
+    exactly one chunk. Pure built-ins (split / sequence / slice /
+    filter / transform) — chunking 100 TB is a map-only pass.
+    """
+    if chunk_words <= 0:
+        raise ValueError(f"chunk_words must be positive, got {chunk_words}")
+    if not 0 <= overlap_words < chunk_words:
+        raise ValueError(
+            f"overlap_words must be in [0, chunk_words), got {overlap_words}"
+        )
+    stride = chunk_words - overlap_words
+    words = F.split(normalize_text(_c(c)), " ")
+    n = F.size(words)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s + overlap_words < n),
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(words, s + 1, F.lit(chunk_words)), " "
+            ).alias("chunk_text"),
+        ),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int,
+    overlap_words: int = 0,
+) -> DataFrame:
+    """Explode :func:`chunk_text` to one row per chunk:
+    (``id_col``, chunk_idx, chunk_text)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(chunk_text(F.col(text_col), chunk_words, overlap_words)).alias("ch"),
+    ).select(id_col, "ch.chunk_idx", "ch.chunk_text")

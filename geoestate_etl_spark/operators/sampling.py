@@ -101,3 +101,45 @@ def stratified_sample(
         F.lit(default_t) if threshold is None else threshold.otherwise(default_t)
     )
     return df.filter(b < threshold)
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    alpha: float,
+    salt: str = "temp-v1",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Temperature-based source rebalancing (the multilingual-corpus
+    mixing rule): target stratum shares ``p_s ∝ n_s^alpha``, realized
+    by pure DOWN-sampling — the largest feasible corpus with exactly
+    those proportions keeps every row of the most-downweighted stratum
+    and hash-samples the rest.
+
+    ``alpha=1`` keeps natural proportions (no rows dropped);
+    ``alpha=0`` equalizes strata (each keeps its min-stratum count);
+    between, the usual compromise (0.2-0.7 in multilingual training).
+
+    One tiny groupBy-collect learns the per-stratum counts (#strata
+    rows to the driver); the sampling itself is the deterministic
+    hash-threshold filter of :func:`stratified_sample` — reproducible,
+    partition-independent, join-consistent. Returns
+    (sampled frame, per-stratum keep fractions).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r[stratum]: r.n
+        for r in df.groupBy(stratum).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return df, {}
+    weights = {s: n**alpha for s, n in counts.items()}
+    wsum = sum(weights.values())
+    targets = {s: w / wsum for s, w in weights.items()}  # p_s
+    # total size T bounded by every stratum: p_s * T <= n_s
+    T = min(counts[s] / targets[s] for s in counts if targets[s] > 0)
+    fractions = {
+        s: min(1.0, (targets[s] * T) / counts[s]) for s in counts
+    }
+    return stratified_sample(df, key, stratum, fractions, salt=salt), fractions

@@ -94,3 +94,41 @@ def test_scrub_pii_tokens(spark):
     counts = {r.id: r.c.asDict() for r in df.select("id", pii_counts("text").alias("c")).collect()}
     assert counts[1] == {"n_email": 1, "n_url": 1, "n_ip": 0}
     assert counts[2]["n_ip"] == 1
+
+
+def test_temperature_mix_endpoints_and_shape(spark):
+    from geoestate_etl_spark.operators.sampling import temperature_mix
+
+    # three sources with very different sizes
+    df = (
+        spark.range(10_000)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") < 7000, "big")
+            .when(F.col("id") < 9500, "mid")
+            .otherwise("small")
+            .alias("src"),
+        )
+    )
+    # alpha=1: natural proportions -> nothing dropped
+    kept, fr = temperature_mix(df, "id", "src", alpha=1.0)
+    assert kept.count() == 10_000
+    assert all(abs(f - 1.0) < 1e-9 for f in fr.values())
+
+    # alpha=0: equal shares -> every stratum keeps ~min-stratum count
+    kept0, fr0 = temperature_mix(df, "id", "src", alpha=0.0)
+    by = {r.src: r.n for r in kept0.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert fr0["small"] == 1.0
+    for s in ("big", "mid"):
+        assert abs(by[s] - 500) <= 60  # hash-threshold sampling noise
+    assert by["small"] == 500
+
+    # 0<alpha<1: monotone between the endpoints + deterministic rerun
+    kept5, fr5 = temperature_mix(df, "id", "src", alpha=0.5)
+    assert fr5["small"] == 1.0 and fr5["big"] < 1.0
+    assert fr0["big"] < fr5["big"] < 1.0
+    again, _ = temperature_mix(df, "id", "src", alpha=0.5)
+    assert again.count() == kept5.count()
+    a = {r.id for r in kept5.collect()}
+    b = {r.id for r in again.collect()}
+    assert a == b
