@@ -3,9 +3,11 @@
 The reference composes its ETL as a strictly linear task chain
 (``dags/main.py:506-581``: ingest → validate → transform → analytics
 → serve). This plan is the same composition shape applied to the
-training-data surface this engine adds on top: quality gating →
-exact dedup → near-dup removal → PII scrub → token accounting →
-sequence packing. One lineage, one SparkSession, no driver loops.
+training-data surface this engine adds on top: (optional) Unicode
+normalization → quality gating → exact dedup → near-dup removal →
+(optional) benchmark decontamination → PII scrub → token accounting →
+sequence packing → (optional) checksummed shard write. One lineage,
+one SparkSession, no driver loops.
 
 Scale design (the parts that matter at 100 TB):
 
@@ -59,6 +61,10 @@ class CorpusResult:
 
     packed: DataFrame
     cached: DataFrame
+    # funnel note: when a ``benchmark`` is supplied, decontamination
+    # runs between near-dup removal and the scrub, so ``n_near_unique``
+    # counts the post-decontamination survivors;
+    # ``n_decontam_dropped`` says how many that step removed.
     n_input: int
     n_gated: int
     n_unseen: int
@@ -66,6 +72,8 @@ class CorpusResult:
     n_near_unique: int
     total_tokens: int
     n_chunks: int
+    n_decontam_dropped: int = 0
+    shard_manifest: dict | None = None
 
     def unpersist(self) -> None:
         self.cached.unpersist()
@@ -111,6 +119,11 @@ def run_corpus(
     gate: Column | None = None,
     seen: DataFrame | None = None,
     keeper: str = "min_id",
+    normalize: bool = False,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 8,
+    shards_path: str | None = None,
+    rows_per_shard: int = 100_000,
     **near_dup_kwargs,
 ) -> CorpusResult:
     """Run the full corpus pipeline and report the funnel.
@@ -131,6 +144,12 @@ def run_corpus(
     aggregate (the survivor set is persisted before packing so the
     count doesn't recompute the LSH stage).
     """
+    if normalize:
+        # encoding hygiene BEFORE gating/fingerprinting, so byte-level
+        # variants of one text gate identically and dedup together
+        from geoestate_etl_spark.functions.unicode_norm import normalize_unicode
+
+        df = df.withColumn(text_col, normalize_unicode(text_col))
     gate = quality_gate(text_col) if gate is None else gate
     flagged = df.select(
         F.col(id_col), F.col(text_col), gate.alias("_pass")
@@ -202,6 +221,23 @@ def run_corpus(
         losers.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
 
+    # benchmark decontamination on the deduped survivors, BEFORE the
+    # scrub (scrubbing rewrites text; overlap is defined on content as
+    # deduped). The flagged set is tiny -> one cheap extra action.
+    n_decontam_dropped = 0
+    if benchmark is not None:
+        from geoestate_etl_spark.operators.decontam import contamination_report
+
+        flagged_ids = (
+            contamination_report(
+                survivors, benchmark, text_col, id_col, n=decontam_ngram
+            )
+            .select(F.col(id_col))
+            .persist()
+        )
+        n_decontam_dropped = flagged_ids.count()
+        survivors = survivors.join(flagged_ids, id_col, "left_anti")
+
     # scrub + token accounting on the final survivor set only
     clean = survivors.withColumn(text_col, scrub_pii(text_col)).withColumn(
         "n_tokens", token_count(text_col)
@@ -217,6 +253,14 @@ def run_corpus(
         (F.countDistinct("chunk_id")).alias("chunks"),
     ).first()
 
+    shard_manifest = None
+    if shards_path is not None:
+        from geoestate_etl_spark.sources.shards import write_shards
+
+        shard_manifest = write_shards(
+            packed, shards_path, rows_per_shard, order_col=id_col
+        )
+
     return CorpusResult(
         packed=packed,
         cached=clean,
@@ -227,4 +271,6 @@ def run_corpus(
         n_near_unique=n_near,
         total_tokens=totals["toks"] or 0,
         n_chunks=totals["chunks"],
+        n_decontam_dropped=n_decontam_dropped,
+        shard_manifest=shard_manifest,
     )

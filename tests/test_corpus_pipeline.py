@@ -147,3 +147,54 @@ def test_gate_is_a_pure_pushable_expression(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_full_hygiene_run_normalize_decontam_shards(spark, tmp_path):
+    """The composed end-to-end: Unicode normalization unifies a
+    mojibake variant into the exact-dedup stage, benchmark
+    decontamination drops the leaked doc, and the packed output lands
+    in verified shards."""
+    from geoestate_etl_spark.sources.shards import verify_shards
+
+    rows = [
+        (1, GOOD),
+        # mojibake + zero-width variant of GOOD: only exact-dups with
+        # normalize=True (caf\xc3\xa9-style UTF-8-as-cp1252 is absent
+        # here, but zero-width + NBSP break the md5 without repair)
+        (2, GOOD.replace(" ", "\xa0", 3) + "​"),
+        (10, OTHER),
+        (11, PII_DOC),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, OTHER)], ["doc_id", "text"])
+
+    shards = str(tmp_path / "shards")
+    res = run_corpus(
+        docs,
+        normalize=True,
+        benchmark=bench,
+        shards_path=shards,
+        rows_per_shard=2,
+        jaccard_threshold=0.7,
+    )
+    try:
+        kept = {r.doc_id for r in res.packed.select("doc_id").collect()}
+        # 2 exact-dedups into 1 (normalization), OTHER decontaminated
+        assert kept == {1, 11}
+        assert res.n_exact_unique == 3          # {1, 10, 11}
+        assert res.n_decontam_dropped == 1      # OTHER
+        assert res.n_near_unique == 2
+        assert res.shard_manifest["total_rows"] == 2
+        rep = verify_shards(spark, shards).collect()
+        assert rep and all(r.rows_match and r.checksum_match for r in rep)
+
+        # without normalization the variant survives as its own doc
+        res2 = run_corpus(docs, benchmark=bench, jaccard_threshold=0.7)
+        try:
+            # near-dup LSH may or may not merge the variant (word
+            # shingles are NBSP-mangled) — but exact dedup must NOT
+            assert res2.n_exact_unique == 4
+        finally:
+            res2.unpersist()
+    finally:
+        res.unpersist()
