@@ -50,10 +50,15 @@ def scalable_cumsum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = parted.withColumn("_local", F.sum(value_col).over(w_local))
-    # per-partition totals -> offsets (tiny frame: one row per partition)
+    # per-partition totals -> offsets (tiny frame: one row per input
+    # partition). The window is single-partition ON PURPOSE — ≤P rows —
+    # and partitionBy(lit) states that, instead of tripping Spark's
+    # "no partition defined" global-window warning on every compile
     totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
     w_off = (
-        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.withColumn(
         "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
