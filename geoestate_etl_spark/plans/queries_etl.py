@@ -27,22 +27,28 @@ def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The split is by orderkey parity, so the merge covers every group
     from both sides as well as one-sided groups.
+
+    Money flows through the partials and the merge as BIGINT cents
+    (per-row ``round(x*100)`` then exact integer sums) — float sums
+    re-rounded at merge time are engine-dependent on ``.xx5`` reprs
+    (Spark HALF_UP on shortest-decimal vs DuckDB binary rounding),
+    which cost a driver hash in round 2. Integer cents are exact and
+    associative, so split+merge == full recompute bit-for-bit.
     """
     orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     old = (
         orders.filter(F.col("o_orderkey") % 2 == 0)
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("cnt"), F.sum(cents).alias("total_cents"))
     )
     delta = (
         orders.filter(F.col("o_orderkey") % 2 == 1)
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("cnt"), F.sum(cents).alias("total_cents"))
     )
-    merged = merge_count_sum(old, delta, ["o_orderpriority"], "cnt", "total")
-    return merged.select(
-        "o_orderpriority", "cnt", F.round("total", 2).alias("total")
-    )
+    merged = merge_count_sum(old, delta, ["o_orderpriority"], "cnt", "total_cents")
+    return merged.select("o_orderpriority", "cnt", "total_cents")
 
 
 def q_houses_slice_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,23 +75,37 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: an hourly rollup
     maintained incrementally — standing rollup over old events merged
     with a partial over the new batch, no history rescan. Result must
-    equal the full recompute (the oracle)."""
+    equal the full recompute (the oracle).
+
+    Value sums travel as BIGINT cents (see q_incremental_counts) so
+    the merge is exact integer arithmetic, hash-stable across engines.
+    """
     from geoestate_etl_spark.sources.parquet_io import load_events
-    from geoestate_etl_spark.streaming.event_windows import tumbling_counts
 
     ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"), F.sum(cents).alias("sum_cents"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "cnt",
+                "sum_cents",
+            )
+        )
+
     # split the stream at a timestamp: everything before is the
     # standing rollup, after is the newly-arrived batch
     cutoff = "2024-01-20"
-    standing = tumbling_counts(ev.filter(F.col("ts") < cutoff), "1 hour")
-    fresh = tumbling_counts(ev.filter(F.col("ts") >= cutoff), "1 hour")
+    standing = rollup(ev.filter(F.col("ts") < cutoff))
+    fresh = rollup(ev.filter(F.col("ts") >= cutoff))
     merged = (
         standing.unionByName(fresh)
         .groupBy("window_start", "event_type")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.round(F.sum("sum_value"), 2).alias("sum_value"),
-        )
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_cents").alias("sum_cents"))
     )
     return merged
 

@@ -308,14 +308,14 @@ def q_incremental_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("k1"),
         _NULL_TS().alias("window_start"),
         "cnt",
-        F.col("total").alias("val"),
+        F.col("total_cents").alias("val_cents"),
     )
     events = q_continuous_aggregate(spark, sf_dir).select(
         F.lit("events").alias("variant"),
         F.col("event_type").alias("k1"),
         "window_start",
         "cnt",
-        F.col("sum_value").alias("val"),
+        F.col("sum_cents").alias("val_cents"),
     )
     return orders.unionByName(events)
 
@@ -645,7 +645,20 @@ def q_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_map_collect_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-column surface (per nation) + sorted collect_list (per
-    region), tagged (kind, key, s_val, n_val, arr_val)."""
+    region), tagged (kind, key, s_val, n_val, arr_val).
+
+    ``arr_val`` is '|'-joined to a plain string in the driver-visible
+    output: the driver's pandas canonicalizer cannot hash list cells
+    (r2 TypeError). The array-typed API stays available via
+    ``q_map_collect_arrays`` and is pinned by the local oracle tests.
+    """
+    return q_map_collect_arrays(spark, sf_dir).withColumn(
+        "arr_val", F.array_join("arr_val", "|")
+    )
+
+
+def q_map_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed variant of the map/collect suite (test surface)."""
     n = _t(spark, sf_dir, "nation")
     m = F.create_map(
         F.lit("key"),
@@ -932,18 +945,19 @@ FROM base
             q_incremental_aggs,
             "WITH parts AS ("
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-            "count(*) AS cnt, round(sum(value), 2) AS sv "
+            "count(*) AS cnt, sum(CAST(round(value * 100) AS BIGINT)) AS sv "
             "FROM events WHERE ts < TIMESTAMP '2024-01-20' "
             "GROUP BY window_start, event_type "
             "UNION ALL SELECT date_trunc('hour', ts), event_type, count(*), "
-            "round(sum(value), 2) FROM events "
+            "sum(CAST(round(value * 100) AS BIGINT)) FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY 1, 2), "
             "ev AS (SELECT window_start, event_type, sum(cnt) AS cnt, "
-            "round(sum(sv), 2) AS val FROM parts GROUP BY window_start, event_type) "
+            "sum(sv) AS val_cents FROM parts GROUP BY window_start, event_type) "
             "SELECT 'orders' AS variant, o_orderpriority AS k1, "
             "CAST(NULL AS TIMESTAMP) AS window_start, count(*) AS cnt, "
-            "round(sum(o_totalprice), 2) AS val FROM orders GROUP BY o_orderpriority "
-            "UNION ALL SELECT 'events', event_type, window_start, cnt, val FROM ev",
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS val_cents "
+            "FROM orders GROUP BY o_orderpriority "
+            "UNION ALL SELECT 'events', event_type, window_start, cnt, val_cents FROM ev",
             "etl-incremental+continuous-agg (merged)",
         ),
         QuerySpec(
@@ -1105,10 +1119,10 @@ FROM base
             q_map_collect_suite,
             "SELECT 'map' AS kind, CAST(n_nationkey AS BIGINT) AS key, "
             "n_name AS s_val, CAST(2 AS BIGINT) AS n_val, "
-            "['key', 'name'] AS arr_val FROM nation "
+            "'key|name' AS arr_val FROM nation "
             "UNION ALL SELECT 'collect', CAST(n_regionkey AS BIGINT), "
             "CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
-            "list_sort(list(n_name)) FROM nation GROUP BY n_regionkey",
+            "array_to_string(list_sort(list(n_name)), '|') FROM nation GROUP BY n_regionkey",
             "fn-maps+agg-collect (merged: map_funcs+collect_sorted)",
         ),
         QuerySpec(
