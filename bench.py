@@ -30,11 +30,21 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_houses_pipeline(spark, n_rows: int = 330_000) -> float:
+def bench_houses_pipeline(
+    spark, n_rows: int = 330_000, reps: int = 3
+) -> tuple[float, dict]:
     """The reference's own e2e workload at its full-dataset scale
     (~329k valid rows, README.md:95): dirty-CSV ingest → validate →
     renumber → cast → all four analytics → sorted serving write →
-    top-25. One number for 'same pipeline, Spark-native'."""
+    top-25. One number for 'same pipeline, Spark-native'.
+
+    Runs ``reps`` times (cache cleared between reps) and reports the
+    MEDIAN with per-stage timings — the r2 driver run regressed +68%
+    on a single cold execution that the repo could not reproduce
+    (r3 profiling: warm reps 9.7-12.0s vs 42s session-cold), so one
+    sample of this line is noise-dominated.
+    """
+    import statistics
     import sys
     import tempfile
 
@@ -45,21 +55,35 @@ def bench_houses_pipeline(spark, n_rows: int = 330_000) -> float:
 
     d = tempfile.mkdtemp(prefix="bench_houses_")
     fx = generate(os.path.join(d, "houses.csv"), n_rows=n_rows, seed=42)
-    t0 = time.perf_counter()
-    res = run_pipeline(spark, fx.path, serving_path=os.path.join(d, "serving"))
-    # force every analytics output (the reference's four queries + top25)
-    for df in (
-        res.year_stats,
-        res.top_regions,
-        res.top_localities,
-        res.min_max_square,
-        res.decade_histogram,
-        res.top25_by_square,
-    ):
-        df.collect()
-    elapsed = round(time.perf_counter() - t0, 3)
-    assert res.n_valid + res.n_invalid == n_rows
-    return elapsed
+    runs: list[dict] = []
+    for rep in range(reps):
+        spark.catalog.clearCache()  # comparable reps: no carryover cache
+        t0 = time.perf_counter()
+        res = run_pipeline(
+            spark, fx.path, serving_path=os.path.join(d, f"serving{rep}")
+        )  # actions inside: validate counts + serving write (materializes clean)
+        t1 = time.perf_counter()
+        # force every analytics output (the reference's four queries + top25)
+        for df in (
+            res.year_stats,
+            res.top_regions,
+            res.top_localities,
+            res.min_max_square,
+            res.decade_histogram,
+            res.top25_by_square,
+        ):
+            df.collect()
+        t2 = time.perf_counter()
+        assert res.n_valid + res.n_invalid == n_rows
+        runs.append(
+            {
+                "ingest_validate_write": round(t1 - t0, 3),
+                "analytics": round(t2 - t1, 3),
+                "total": round(t2 - t0, 3),
+            }
+        )
+    median = round(statistics.median(r["total"] for r in runs), 3)
+    return median, {"reps": runs, "median": median}
 
 
 def bench_corpus_pipeline(spark) -> float:
@@ -115,7 +139,8 @@ def main() -> None:
         force(spec.fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    timings["houses_pipeline_330k"] = bench_houses_pipeline(spark)
+    houses_median, houses_detail = bench_houses_pipeline(spark)
+    timings["houses_pipeline_330k"] = houses_median
     timings["corpus_pipeline"] = bench_corpus_pipeline(spark)
 
     total = round(sum(timings.values()), 3)
@@ -128,6 +153,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "houses_pipeline_330k_detail": houses_detail,
             }
         )
     )

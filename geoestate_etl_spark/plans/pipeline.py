@@ -30,10 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geoestate_etl_spark.functions.validation import (
-    houses_valid_predicate,
-    split_valid_invalid,
-)
+from geoestate_etl_spark.functions.validation import houses_valid_predicate
 from geoestate_etl_spark.operators.aggregates import (
     global_mean,
     global_median,
@@ -81,13 +78,21 @@ def validate_stage(raw: DataFrame, scalable: bool = True) -> tuple[DataFrame, in
     rebalance.)
     """
     parallelism = raw.sparkSession.sparkContext.defaultParallelism
-    raw = raw.repartition(parallelism).persist()
+    # Evaluate the ~20-regex predicate ONCE into a cached boolean: the
+    # counts agg, the range-partitioner sampling job inside
+    # renumber_scalable, and the main pass would otherwise each re-run
+    # the full regex battery over every row.
     pred = houses_valid_predicate(raw)
-    valid, invalid = split_valid_invalid(raw, pred)
+    flagged = (
+        raw.repartition(parallelism)
+        .withColumn("_valid", F.coalesce(pred, F.lit(False)))
+        .persist()
+    )
+    valid = flagged.filter(F.col("_valid")).drop("_valid")
     # both counts in ONE pass (conditional aggregation) instead of two
-    # filter+count scans — the predicate is ~20 regex ops per row
-    counts = raw.agg(
-        F.sum(F.when(F.coalesce(pred, F.lit(False)), 1).otherwise(0)).alias("v"),
+    # filter+count scans; this action also materializes the cache
+    counts = flagged.agg(
+        F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("v"),
         F.count("*").alias("n"),
     ).collect()[0]
     n_valid, n_invalid = int(counts.v or 0), int(counts.n) - int(counts.v or 0)
