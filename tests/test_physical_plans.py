@@ -93,3 +93,15 @@ def test_decontaminate_corpus_side_no_shuffle(spark):
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_doc_filter_pushed_to_scan(spark):
+    """The top-terms doc subset (doc_id < 50) must reach the TF-side
+    parquet scan — TF over 50 docs, not the whole corpus — while the
+    DF branch still scans everything (corpus-wide document frequency
+    is the semantics). Top-3-per-doc must prune via WindowGroupLimit
+    before the final shuffle."""
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "LessThan(doc_id,50)" in plan  # pushed filter on the TF branch
+    assert "WindowGroupLimit" in plan  # rank<=3 pruned pre-shuffle
+    assert "CartesianProduct" not in plan
