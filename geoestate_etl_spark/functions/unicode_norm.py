@@ -33,10 +33,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-# C0 (minus \t\n) + DEL + C1 + zero-width/format chars + BOM + SHY
-_CTRL = re.compile(
-    "[\x00-\x08\x0b-\x1f\x7f-\x9f\u200b-\u200f\u2060\ufeff\xad]"
-)
+# Stripped BEFORE mojibake repair: C0 (minus \t\n) + DEL + zero-width/
+# format chars + BOM. None of these are cp1252 renderings of UTF-8
+# continuation bytes, but they DO break the repair's strict cp1252
+# round-trip, so removing them first lets the repair fire.
+_CTRL_PRE = re.compile("[\x00-\x08\x0b-\x1f\x7f\u200b-\u200f\u2060\ufeff]")
+# Stripped AFTER repair: the C1 range and U+00AD (soft hyphen) ARE how
+# cp1252/latin-1 render UTF-8 continuation bytes 0x80-0x9F and 0xAD \u2014
+# e.g. '\u00ed' (0xC3 0xAD) mis-decodes to '\u00c3' + SHY. Stripping them first
+# would destroy the continuation char and leave a stray lead byte.
+_CTRL_POST = re.compile("[\x80-\x9f\xad]")
 # exotic horizontal whitespace -> plain space
 _WS = re.compile("[\xa0\u1680\u2000-\u200a\u202f\u205f\u3000]")
 _PUNCT = {
@@ -63,10 +69,9 @@ def _fix_mojibake(s: str) -> str:
 def _norm_one(s: str | None) -> str | None:
     if s is None:
         return None
-    # controls/zero-width first: they are never part of a valid
-    # mojibake byte run but DO break its cp1252 round-trip check
-    s = _CTRL.sub("", s)
+    s = _CTRL_PRE.sub("", s)
     s = _fix_mojibake(s)
+    s = _CTRL_POST.sub("", s)
     s = unicodedata.normalize("NFC", s)
     s = _WS.sub(" ", s)
     for k, v in _PUNCT.items():

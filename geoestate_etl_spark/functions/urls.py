@@ -113,8 +113,15 @@ def dedup_by_url(
     """One row per canonical URL — the keeper is the min ``order_col``
     (default: min of ``url_col`` itself, deterministic). Same
     hash-groupBy shape as ``dedup.dedup_by_key``: shuffles only the
-    canonical-url key + keeper id, resolves via one self-semi-join."""
-    key = F.xxhash64(canonical_url(F.col(url_col))).alias("_curl_hash")
+    canonical-url key + keeper id, resolves via one self-semi-join.
+
+    Unparseable URLs (``canonical_url`` → NULL) fall back to their raw
+    string as the key, so they dedup only on exact raw equality —
+    keying the NULL itself would hash every malformed URL into one
+    group and silently drop all but one row."""
+    key = F.xxhash64(
+        F.coalesce(canonical_url(F.col(url_col)), F.col(url_col))
+    ).alias("_curl_hash")
     order = F.col(order_col) if order_col else F.col(url_col)
     with_key = df.withColumn("_curl_hash", key).withColumn("_ord", order)
     keepers = with_key.groupBy("_curl_hash").agg(F.min("_ord").alias("_keep_ord"))

@@ -87,6 +87,8 @@ def stratified_sample(
     ``sampleBy`` without its partition-order nondeterminism.
 
     Strata not listed in ``fractions`` keep ``default_fraction``.
+    A ``None`` key in ``fractions`` matches NULL-stratum rows (a plain
+    ``==`` predicate would silently route them to the default).
     Up/down-weighting sources or languages in a training mix is exactly
     this operator.
     """
@@ -94,7 +96,9 @@ def stratified_sample(
     threshold = None
     for value, frac in fractions.items():
         t = int(round(frac * _BUCKETS))
-        cond = F.col(stratum) == value
+        cond = (
+            F.col(stratum).isNull() if value is None else F.col(stratum) == value
+        )
         threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
     default_t = int(round(default_fraction * _BUCKETS))
     threshold = (

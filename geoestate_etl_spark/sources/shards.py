@@ -59,21 +59,31 @@ def write_shards(
     re-verify a shard without caring about row order within it. (XOR
     cancels even-multiplicity duplicate rows against each other; the
     paired row count catches cardinality changes.)
-    """
-    sharded = assign_shards(df, rows_per_shard, order_col)
-    sharded.repartition("shard").write.partitionBy("shard").mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "data"))
 
-    stats = (
-        sharded.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),
+    The sharded frame is persisted so the data write and the manifest
+    aggregate share ONE shard assignment: ``assign_shards``'s rank is
+    tie-order-dependent for a non-unique ``order_col``, and two
+    independent computations could place a boundary row in different
+    shards — intact data failing its own checksum. (For re-run-stable
+    shard ids across separate invocations, use a unique ``order_col``.)
+    """
+    sharded = assign_shards(df, rows_per_shard, order_col).persist()
+    try:
+        sharded.repartition("shard").write.partitionBy("shard").mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "data"))
+
+        stats = (
+            sharded.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),
+            )
+            .orderBy("shard")
+            .collect()
         )
-        .orderBy("shard")
-        .collect()
-    )
+    finally:
+        sharded.unpersist()
     manifest = {
         "rows_per_shard": rows_per_shard,
         "order_col": order_col,
@@ -109,12 +119,19 @@ def verify_shards(spark: SparkSession, path: str) -> DataFrame:
         [(s["shard"], s["rows"], s["checksum"]) for s in manifest["shards"]],
         "shard long, exp_rows long, exp_checksum long",
     )
+    # coalesce to False: a shard present only in the manifest (missing
+    # on disk) or only on disk (not in the manifest) yields NULLs from
+    # the outer join — it must report as corruption, not NULL.
     return (
         actual.join(expected, "shard", "full_outer")
         .select(
             "shard",
-            (F.col("rows") == F.col("exp_rows")).alias("rows_match"),
-            (F.col("checksum") == F.col("exp_checksum")).alias("checksum_match"),
+            F.coalesce(
+                F.col("rows") == F.col("exp_rows"), F.lit(False)
+            ).alias("rows_match"),
+            F.coalesce(
+                F.col("checksum") == F.col("exp_checksum"), F.lit(False)
+            ).alias("checksum_match"),
         )
         .orderBy("shard")
     )

@@ -132,3 +132,22 @@ def test_temperature_mix_endpoints_and_shape(spark):
     a = {r.id for r in kept5.collect()}
     b = {r.id for r in again.collect()}
     assert a == b
+
+
+def test_temperature_mix_null_stratum_not_dropped(spark):
+    """NULL-stratum rows must be sampled at their returned fraction,
+    not silently dropped (ADVICE r2)."""
+    from geoestate_etl_spark.operators.sampling import temperature_mix
+
+    rows = [(i, None if i % 2 else "en") for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    kept, fr = temperature_mix(df, "id", "src", alpha=1.0)
+    # alpha=1 keeps natural proportions: every row, including NULLs
+    assert fr[None] == 1.0
+    assert kept.filter("src IS NULL").count() == 200
+
+    kept0, fr0 = temperature_mix(df, "id", "src", alpha=0.0)
+    n_null = kept0.filter("src IS NULL").count()
+    # equalized: NULL stratum keeps ~its fraction of 200, not zero
+    assert n_null > 0
+    assert abs(n_null / 200 - fr0[None]) < 0.15

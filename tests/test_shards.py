@@ -68,3 +68,31 @@ def test_rewrite_is_deterministic(spark, tmp_path):
     m1 = write_shards(docs, str(tmp_path / "a"), rows_per_shard=128)
     m2 = write_shards(docs, str(tmp_path / "b"), rows_per_shard=128)
     assert m1["shards"] == m2["shards"]
+
+
+def test_verify_reports_false_for_missing_shard(spark, tmp_path):
+    """A shard in the manifest but missing on disk (or vice versa)
+    must report False, never NULL (ADVICE r2)."""
+    import json
+    import os
+    import shutil
+
+    from geoestate_etl_spark.sources.shards import verify_shards, write_shards
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "shards_missing")
+    write_shards(df, path, rows_per_shard=25, order_col="doc_id")
+    shutil.rmtree(os.path.join(path, "data", "shard=2"))
+    res = {r.shard: r for r in verify_shards(spark, path).collect()}
+    assert res[2].rows_match is False and res[2].checksum_match is False
+    # the other shards still verify clean
+    assert all(res[k].rows_match and res[k].checksum_match for k in (0, 1, 3))
+
+    # shard on disk but absent from the manifest: also False, not NULL
+    with open(os.path.join(path, "manifest.json")) as f:
+        m = json.load(f)
+    m["shards"] = [s for s in m["shards"] if s["shard"] != 3]
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    res2 = {r.shard: r for r in verify_shards(spark, path).collect()}
+    assert res2[3].rows_match is False and res2[3].checksum_match is False

@@ -59,3 +59,16 @@ def test_unifies_variants_for_dedup(spark):
         .count()
     )
     assert fps == 1
+
+
+def test_mojibake_with_continuation_rendered_as_soft_hyphen():
+    """0xAD (soft hyphen) IS the cp1252 rendering of UTF-8 continuation
+    byte 0xAD — 'í' (0xC3 0xAD) mis-decodes to 'Ã\\xad'. The repair
+    must see the SHY before any strip (ADVICE r2)."""
+    assert _norm_one("\xc3\xadndice") == "índice"
+    # a FREE-STANDING SHY alongside mojibake breaks the lossless
+    # round-trip (stray 0xAD is invalid UTF-8), so the repair correctly
+    # declines and the SHY is stripped after
+    assert _norm_one("caf\xc3\xa9 x\xady") == "cafÃ© xy"
+    # plain text with a soft hyphen still just loses the SHY
+    assert _norm_one("hy\xadphen") == "hyphen"

@@ -144,3 +144,19 @@ FROM c
 """
     want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_dedup_by_url_keeps_distinct_unparseable(spark):
+    """Unparseable URLs must NOT collapse into one NULL-canonical
+    group: each distinct raw malformed URL survives (ADVICE r2)."""
+    rows = [
+        (1, "not a url"),
+        (2, "also :: not a url"),
+        (3, "///relative/only"),
+        (4, "http://ok.com/a"),
+        (5, "http://OK.com/a"),  # canonical-dups with 4
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    out = dedup_by_url(df, "url", order_col="id")
+    kept = sorted(r.id for r in out.collect())
+    assert kept == [1, 2, 3, 4]
