@@ -476,6 +476,97 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf).unionByName(hybrid)
 
 
+def q_ann_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-certifiable slice of the ANN machinery (VERDICT r2 #5) —
+    unlike the approximate serving paths in ``similarity_ann``, every
+    row here is exactly reproducible by the DuckDB oracle:
+
+    - ``ivf_full``: probe the MATERIALIZED float IVF index with
+      n_probe = n_cells and no k cutoff. The output is every vector
+      exactly once with its exact cosine — a missing/duplicated cell
+      assignment, a broken cell-selection step, or a wrong score
+      breaks rows or hash vs plain SQL brute force over the table.
+    - ``lsh_cand``: the full multi-probe candidate set (probe bucket +
+      hamming<=2 neighborhood) with exact cosines. The oracle rebuilds
+      the sign-bit buckets from the same deterministic hyperplane
+      literals, certifying bucketize + neighborhood enumeration.
+    """
+    from geoestate_etl_spark.operators import similarity as SIM
+    from geoestate_etl_spark.plans.queries_ext import _ivf_index_path, _probe
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    n_cells = 16
+    path = _ivf_index_path(sf_dir, n_cells)
+    if not os.path.exists(os.path.join(path, "centroids.json")):
+        SIM.ivf_write_index(emb, path, n_cells=n_cells)
+    assigned, centroids = SIM.ivf_read_index(spark, path)
+    probe1 = (
+        emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    )
+    probe1 = [float(x) for x in probe1]
+    n_vecs = emb.count()
+    ivf_full = SIM.ivf_probe(
+        assigned, centroids, probe1, k=int(n_vecs), n_probe=n_cells
+    ).select(F.lit("ivf_full").alias("variant"), "vec_id", "cos_sim")
+
+    probe0 = _probe(spark, sf_dir)
+    planes = SIM.make_hyperplanes(8, len(probe0))
+    probe_bits = "".join(
+        "1" if sum(p[i] * probe0[i] for i in range(len(probe0))) >= 0 else "0"
+        for p in planes
+    )
+    probe_col = F.array(*[F.lit(float(v)) for v in probe0])
+    from geoestate_etl_spark.functions.vectors import cosine
+
+    lsh_cand = (
+        SIM.bucketize(emb, planes)
+        .filter(F.col("bucket").isin(SIM._probe_buckets(probe_bits, 2)))
+        .select(
+            F.lit("lsh_cand").alias("variant"),
+            "vec_id",
+            F.round(cosine(F.col("embedding"), probe_col), 4).alias("cos_sim"),
+        )
+    )
+    return ivf_full.unionByName(lsh_cand)
+
+
+def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + token-id encoding as a driver-visible query
+    (VERDICT r2 #8: the LLM-pipeline ops deserve CORRECTNESS rows, not
+    just unit tests):
+
+    - ``vocab``: (token, count, dense frequency-ranked id) over the
+      documents table, min_count=3 — the scalable-renumber wordcount.
+    - ``encode``: docs 0..19 re-encoded against that vocabulary;
+      token-id arrays serialized to '|'-joined strings (driver-side
+      canonicalizers cannot hash list cells), empty docs encode to ''.
+    """
+    from geoestate_etl_spark.operators.vocab import build_vocab, encode_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, min_count=3)
+    v = vocab.select(
+        F.lit("vocab").alias("variant"),
+        "token",
+        F.col("n").cast(T.LongType()).alias("n"),
+        F.col("vocab_id").cast(T.LongType()).alias("vocab_id"),
+        _NULL_L().alias("doc_id"),
+        _NULL_S().alias("ids"),
+    )
+    enc = encode_docs(docs.filter(F.col("doc_id") < 20), vocab).select(
+        F.lit("encode").alias("variant"),
+        _NULL_S().alias("token"),
+        _NULL_L().alias("n"),
+        _NULL_L().alias("vocab_id"),
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda x: x.cast("string")), "|"
+        ).alias("ids"),
+    )
+    return v.unionByName(enc)
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (GK percentile sketch + HLL++ distinct),
     tagged 1-row results. Rows-only by nature (sketch internals are
@@ -537,25 +628,19 @@ def q_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_linestatus_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean/bitwise + conditional (FILTER-style) aggregates."""
-    li = _t(spark, sf_dir, "lineitem")
-    high = F.col("l_quantity") > 25
-    return li.groupBy("l_linestatus").agg(
-        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
-        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_disc"),
-        F.bit_and(F.col("l_linenumber")).alias("band"),
-        F.bit_or(F.col("l_linenumber")).alias("bor"),
-        F.count(F.when(high, 1)).alias("n_high"),
-        F.count(F.when(~high, 1)).alias("n_low"),
-        F.round(F.sum(F.when(high, F.col("l_extendedprice")).otherwise(0.0)), 2).alias(
-            "high_value"
-        ),
-    )
-
-
 def q_status_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-valued argmin/argmax + per-group top-3, tagged."""
+    """Row-valued argmin/argmax + per-group top-3 (orders) + boolean/
+    bitwise/conditional FILTER-style aggregates (lineitem; the former
+    linestatus_aggs entry, folded in r3 to free a registry slot).
+
+    Generalized tagged shape (kind, key, k1, k2, b1, b2, val, cents):
+    - argmax/argmin: key=o_orderstatus, k1=o_orderkey
+    - top3:          key=o_orderstatus, k1=o_orderkey, val=o_totalprice
+    - boolbit:       key=l_linestatus, k1=bit_and, k2=bit_or,
+                     b1=all_positive, b2=any_high_disc
+    - cond:          key=l_linestatus, k1=n_high, k2=n_low,
+                     cents=high-value revenue in integer cents
+    """
     from geoestate_etl_spark.operators.topk import top_k_per_group
 
     o = _t(spark, sf_dir, "orders")
@@ -567,25 +652,62 @@ def q_status_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getField("o_orderkey")
         .alias("mn"),
     )
-    argmax = mm.select(
-        F.lit("argmax").alias("kind"),
-        "o_orderstatus",
-        F.col("mx").alias("o_orderkey"),
-        _NULL_D().alias("o_totalprice"),
-    )
-    argmin = mm.select(
-        F.lit("argmin").alias("kind"),
-        "o_orderstatus",
-        F.col("mn").alias("o_orderkey"),
-        _NULL_D().alias("o_totalprice"),
-    )
+
+    def shape(kind, key, k1, k2=None, b1=None, b2=None, val=None, cents=None):
+        return [
+            F.lit(kind).alias("kind"),
+            key.alias("key"),
+            k1.cast(T.LongType()).alias("k1"),
+            (k2 if k2 is not None else _NULL_L()).cast(T.LongType()).alias("k2"),
+            (b1 if b1 is not None else F.lit(None)).cast(T.BooleanType()).alias("b1"),
+            (b2 if b2 is not None else F.lit(None)).cast(T.BooleanType()).alias("b2"),
+            (val if val is not None else _NULL_D()).alias("val"),
+            (cents if cents is not None else _NULL_L()).cast(T.LongType()).alias("cents"),
+        ]
+
+    argmax = mm.select(*shape("argmax", F.col("o_orderstatus"), F.col("mx")))
+    argmin = mm.select(*shape("argmin", F.col("o_orderstatus"), F.col("mn")))
     top3 = top_k_per_group(
         o.select("o_orderstatus", "o_orderkey", "o_totalprice"),
         ["o_orderstatus"],
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
         3,
-    ).select(F.lit("top3").alias("kind"), "o_orderstatus", "o_orderkey", "o_totalprice")
-    return argmax.unionByName(argmin).unionByName(top3)
+    ).select(
+        *shape(
+            "top3", F.col("o_orderstatus"), F.col("o_orderkey"),
+            val=F.col("o_totalprice"),
+        )
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("l_quantity") > 25
+    ls = li.groupBy("l_linestatus").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_disc"),
+        F.bit_and(F.col("l_linenumber")).alias("band"),
+        F.bit_or(F.col("l_linenumber")).alias("bor"),
+        F.count(F.when(high, 1)).alias("n_high"),
+        F.count(F.when(~high, 1)).alias("n_low"),
+        # integer cents, not round(sum, 2): float re-rounds are the
+        # cross-engine hash-risk class eliminated in r3
+        F.sum(
+            F.when(high, F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("high_cents"),
+    )
+    boolbit = ls.select(
+        *shape(
+            "boolbit", F.col("l_linestatus"), F.col("band"), k2=F.col("bor"),
+            b1=F.col("all_positive"), b2=F.col("any_high_disc"),
+        )
+    )
+    cond = ls.select(
+        *shape(
+            "cond", F.col("l_linestatus"), F.col("n_high"), k2=F.col("n_low"),
+            cents=F.col("high_cents"),
+        )
+    )
+    return argmax.unionByName(argmin).unionByName(top3).unionByName(boolbit).unionByName(cond)
 
 
 # --- scalar-function suites ------------------------------------------------
@@ -711,8 +833,14 @@ def q_window_frame_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Haversine top-k (probe point) + grid-bucketed radius join."""
+    """Full geo surface in one tagged union: haversine top-k (probe
+    point), grid-bucketed radius join, and per-customer point facts
+    (bbox membership + Morton Z-order key — the former geo_points
+    entry, folded in r3 to free a registry slot)."""
+    from geoestate_etl_spark.functions.geo import in_bbox
+    from geoestate_etl_spark.functions.zorder import morton_key_2d
     from geoestate_etl_spark.plans.queries_geo import (
+        _with_coords,
         q_geo_distance_topk,
         q_geo_radius_join,
     )
@@ -722,31 +850,33 @@ def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id_a"),
         _NULL_L().alias("id_b"),
         "dist_km",
+        _NULL_D().alias("lat"),
+        _NULL_D().alias("lon"),
+        F.lit(None).cast(T.BooleanType()).alias("in_box"),
+        _NULL_L().alias("zkey"),
     )
     radius = q_geo_radius_join(spark, sf_dir).select(
         F.lit("radius").alias("kind"),
         F.col("c_custkey").alias("id_a"),
         F.col("s_suppkey").alias("id_b"),
         "dist_km",
+        _NULL_D().alias("lat"),
+        _NULL_D().alias("lon"),
+        F.lit(None).cast(T.BooleanType()).alias("in_box"),
+        _NULL_L().alias("zkey"),
     )
-    return topk.unionByName(radius)
-
-
-def q_geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer synthetic coordinates with bbox membership flag +
-    Morton Z-order locality key — point-level geo surface on every row."""
-    from geoestate_etl_spark.functions.geo import in_bbox
-    from geoestate_etl_spark.functions.zorder import morton_key_2d
-    from geoestate_etl_spark.plans.queries_geo import _with_coords
-
     cust = _with_coords(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
-    return cust.select(
-        "c_custkey",
+    points = cust.select(
+        F.lit("point").alias("kind"),
+        F.col("c_custkey").alias("id_a"),
+        _NULL_L().alias("id_b"),
+        _NULL_D().alias("dist_km"),
         "lat",
         "lon",
         in_bbox("lat", "lon", 40.0, 60.0, 20.0, 60.0).alias("in_box"),
         morton_key_2d("lat", "lon", -70.0, 70.0, -170.0, 170.0, 16).alias("zkey"),
     )
+    return topk.unionByName(radius).unionByName(points)
 
 
 # --- oracle SQL -------------------------------------------------------------
@@ -758,6 +888,56 @@ def _specs() -> list[QuerySpec]:
 
     hav_probe = _HAVERSINE.format(la1="lat", lo1="lon", la2="55.75", lo2="37.62")
     hav_pair = _HAVERSINE.format(la1="clat", lo1="clon", la2="slat", lo2="slon")
+
+    # ann_certify oracle: the hyperplanes are deterministic literals
+    # (same LCG the Spark path uses), inlined as DuckDB list values so
+    # SQL can rebuild the sign-bit buckets bit-for-bit; ±1 coefficients
+    # and left-to-right dot accumulation make the float arithmetic
+    # identical across engines.
+    from geoestate_etl_spark.operators.similarity import make_hyperplanes
+
+    plane_rows = ", ".join(
+        f"({j}, {p})" for j, p in enumerate(make_hyperplanes(8, 64))
+    )
+    ann_certify_sql = (
+        "WITH emb AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+        "p1 AS (SELECT e FROM emb WHERE vec_id = 1), "
+        f"pl AS (SELECT * FROM (VALUES {plane_rows}) AS t(pid, plane)), "
+        "bits AS (SELECT vec_id, string_agg("
+        "CASE WHEN list_dot_product(e, plane) >= 0 THEN '1' ELSE '0' END, "
+        "'' ORDER BY pid) AS bucket FROM emb CROSS JOIN pl GROUP BY vec_id), "
+        "p0 AS (SELECT e FROM emb WHERE vec_id = 0), "
+        "pb AS (SELECT bucket FROM bits WHERE vec_id = 0) "
+        "SELECT 'ivf_full' AS variant, vec_id, "
+        "round(list_cosine_similarity(e, (SELECT e FROM p1)), 4) AS cos_sim "
+        "FROM emb "
+        "UNION ALL SELECT 'lsh_cand', b.vec_id, "
+        "round(list_cosine_similarity(emb.e, (SELECT e FROM p0)), 4) "
+        "FROM bits b JOIN emb ON emb.vec_id = b.vec_id "
+        "WHERE hamming(b.bucket, (SELECT bucket FROM pb)) <= 2"
+    )
+
+    vocab_sql = (
+        f"WITH toks AS (SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE}')) "
+        "AS token FROM documents), "
+        "c AS (SELECT token, count(*) AS n FROM toks GROUP BY token "
+        "HAVING count(*) >= 3), "
+        "v AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) "
+        "AS vocab_id FROM c), "
+        "dt AS (SELECT doc_id, "
+        f"generate_subscripts(regexp_extract_all(text, '{_TOKEN_RE}'), 1) AS pos, "
+        f"unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS token "
+        "FROM documents WHERE doc_id < 20), "
+        "enc AS (SELECT dt.doc_id, string_agg("
+        "CAST(COALESCE(v.vocab_id, 0) AS VARCHAR), '|' ORDER BY dt.pos) AS ids "
+        "FROM dt LEFT JOIN v ON dt.token = v.token GROUP BY dt.doc_id) "
+        "SELECT 'vocab' AS variant, token, n, vocab_id, "
+        "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS ids FROM v "
+        "UNION ALL SELECT 'encode', NULL, NULL, NULL, d.doc_id, "
+        "COALESCE(e.ids, '') FROM documents d LEFT JOIN enc e "
+        "ON d.doc_id = e.doc_id WHERE d.doc_id < 20"
+    )
 
     text_metrics_sql = f"""
 WITH base AS (
@@ -1046,19 +1226,6 @@ FROM base
             "distinct_counts+quantiles_by_group+salted_counts)",
         ),
         QuerySpec(
-            "linestatus_aggs",
-            q_linestatus_aggs,
-            "SELECT l_linestatus, bool_and(l_quantity > 0) AS all_positive, "
-            "bool_or(l_discount > 0.09) AS any_high_disc, "
-            "bit_and(l_linenumber) AS band, bit_or(l_linenumber) AS bor, "
-            "count(*) FILTER (l_quantity > 25) AS n_high, "
-            "count(*) FILTER (NOT l_quantity > 25) AS n_low, "
-            "round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice "
-            "ELSE 0.0 END), 2) AS high_value "
-            "FROM lineitem GROUP BY l_linestatus",
-            "agg-bool-bit+conditional (merged: bool_bit_aggs+conditional_agg)",
-        ),
-        QuerySpec(
             "status_extrema",
             q_status_extrema,
             "WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice, "
@@ -1067,16 +1234,31 @@ FROM base
             "row_number() OVER (PARTITION BY o_orderstatus "
             "ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin, "
             "row_number() OVER (PARTITION BY o_orderstatus "
-            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rtop FROM orders) "
-            "SELECT 'argmax' AS kind, o_orderstatus, "
-            "max(CASE WHEN rmax = 1 THEN o_orderkey END) AS o_orderkey, "
-            "CAST(NULL AS DOUBLE) AS o_totalprice FROM r GROUP BY o_orderstatus "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rtop FROM orders), "
+            "ls AS (SELECT l_linestatus, bool_and(l_quantity > 0) AS all_positive, "
+            "bool_or(l_discount > 0.09) AS any_high_disc, "
+            "bit_and(l_linenumber) AS band, bit_or(l_linenumber) AS bor, "
+            "count(*) FILTER (l_quantity > 25) AS n_high, "
+            "count(*) FILTER (NOT l_quantity > 25) AS n_low, "
+            "sum(CASE WHEN l_quantity > 25 "
+            "THEN CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "ELSE 0 END) AS high_cents FROM lineitem GROUP BY l_linestatus) "
+            "SELECT 'argmax' AS kind, o_orderstatus AS key, "
+            "max(CASE WHEN rmax = 1 THEN o_orderkey END) AS k1, "
+            "CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BOOLEAN) AS b1, "
+            "CAST(NULL AS BOOLEAN) AS b2, CAST(NULL AS DOUBLE) AS val, "
+            "CAST(NULL AS BIGINT) AS cents FROM r GROUP BY o_orderstatus "
             "UNION ALL SELECT 'argmin', o_orderstatus, "
-            "max(CASE WHEN rmin = 1 THEN o_orderkey END), CAST(NULL AS DOUBLE) "
-            "FROM r GROUP BY o_orderstatus "
-            "UNION ALL SELECT 'top3', o_orderstatus, o_orderkey, o_totalprice "
-            "FROM r WHERE rtop <= 3",
-            "agg-argminmax+topk-per-group (merged: minby_maxby+top3_per_group)",
+            "max(CASE WHEN rmin = 1 THEN o_orderkey END), NULL, NULL, NULL, "
+            "NULL, NULL FROM r GROUP BY o_orderstatus "
+            "UNION ALL SELECT 'top3', o_orderstatus, o_orderkey, NULL, NULL, "
+            "NULL, o_totalprice, NULL FROM r WHERE rtop <= 3 "
+            "UNION ALL SELECT 'boolbit', l_linestatus, band, bor, "
+            "all_positive, any_high_disc, NULL, NULL FROM ls "
+            "UNION ALL SELECT 'cond', l_linestatus, n_high, n_low, NULL, "
+            "NULL, NULL, high_cents FROM ls",
+            "agg-argminmax+topk-per-group+bool-bit+conditional (merged r3: "
+            "minby_maxby+top3_per_group+linestatus_aggs)",
         ),
         QuerySpec(
             "string_suite",
@@ -1149,20 +1331,31 @@ FROM base
             f"cc AS ({_coords_cte('customer', 'c_custkey', 'clat', 'clon')}), "
             f"s AS ({_coords_cte('supplier', 's_suppkey', 'slat', 'slon')}) "
             "SELECT 'topk' AS kind, c_custkey AS id_a, CAST(NULL AS BIGINT) AS id_b, "
-            "dist_km FROM (SELECT c_custkey, round(" + hav_probe + ", 3) AS dist_km "
+            "dist_km, CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon, "
+            "CAST(NULL AS BOOLEAN) AS in_box, CAST(NULL AS BIGINT) AS zkey "
+            "FROM (SELECT c_custkey, round(" + hav_probe + ", 3) AS dist_km "
             "FROM c ORDER BY dist_km ASC, c_custkey ASC LIMIT 25) "
             "UNION ALL SELECT 'radius', c_custkey, s_suppkey, "
-            "round(" + hav_pair + ", 3) FROM cc JOIN s ON round(" + hav_pair + ", 3) <= 200.0",
-            "geo-topk+radius-join (merged: geo_distance_topk+geo_radius_join)",
+            "round(" + hav_pair + ", 3), NULL, NULL, NULL, NULL "
+            "FROM cc JOIN s ON round(" + hav_pair + ", 3) <= 200.0 "
+            "UNION ALL SELECT 'point', c_custkey, NULL, NULL, lat, lon, "
+            "(lat BETWEEN 40.0 AND 60.0 AND lon BETWEEN 20.0 AND 60.0), "
+            f"{_morton_sql()} FROM c",
+            "geo-topk+radius-join+bbox+zorder (merged r3: geo_distance_topk+"
+            "geo_radius_join+geo_points)",
         ),
         QuerySpec(
-            "geo_points",
-            q_geo_points,
-            f"WITH c AS ({_coords_cte('customer', 'c_custkey')}) "
-            "SELECT c_custkey, lat, lon, "
-            "(lat BETWEEN 40.0 AND 60.0 AND lon BETWEEN 20.0 AND 60.0) AS in_box, "
-            f"{_morton_sql()} AS zkey FROM c",
-            "geo-bbox+zorder (merged: geo_bbox+morton_geo)",
+            "ann_certify",
+            q_ann_certify,
+            ann_certify_sql,
+            "ext-ann-certification (full-probe IVF == brute force; LSH "
+            "candidate set == SQL bucket rebuild)",
+        ),
+        QuerySpec(
+            "vocab_suite",
+            q_vocab_suite,
+            vocab_sql,
+            "ext-vocab-build+encode (LLM-pipeline op, driver-oracled r3)",
         ),
     ]
 
