@@ -168,14 +168,22 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same file. That upgrades the clustering from rows-only to a
     full hash-match gate (round-1 verdict #4), exactly like
     ``graph_components`` but on the real near-dup graph.
+
+    The committed artifact is written ONCE and then reused (a blind
+    per-run overwrite would let the green row certify whatever the
+    current code emits, and dirty the tree on every driver run —
+    VERDICT r2 #6). Drift between the committed pairs and the current
+    MinHash code is caught by
+    ``tests/test_derived_artifacts.py::test_committed_pairs_match_current_code``.
     """
     from geoestate_etl_spark.operators.components import dedup_clusters
 
-    pairs = DD.minhash_near_dups(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", jaccard_threshold=0.2
-    )
     path = dedup_pairs_path(sf_dir)
-    pairs.select("id_a", "id_b").write.mode("overwrite").parquet(path)
+    if not os.path.exists(path):
+        pairs = DD.minhash_near_dups(
+            _t(spark, sf_dir, "documents"), "text", "doc_id", jaccard_threshold=0.2
+        )
+        pairs.select("id_a", "id_b").write.mode("overwrite").parquet(path)
     return dedup_clusters(spark.read.parquet(path))
 
 

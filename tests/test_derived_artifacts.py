@@ -1,0 +1,46 @@
+"""Drift gate for committed derived artifacts (VERDICT r2 #6).
+
+``components_suite``'s oracle reads the committed MinHash pair table
+(``data/derived/dedup_pairs_*.parquet``). The query reuses that file
+instead of regenerating per run, so if the dedup code ever drifts from
+the committed parquet, the driver's green row would silently certify
+stale pairs — UNLESS this test fails first: it regenerates the pairs
+from the current code and asserts exact set equality with the artifact.
+
+On drift: delete the artifact, rerun (the query rewrites it), commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from geoestate_etl_spark.operators import dedup as DD
+from geoestate_etl_spark.plans.queries_ext import dedup_pairs_path
+from tests.conftest import SF_ORACLE
+
+
+def test_committed_pairs_match_current_code(spark):
+    path = dedup_pairs_path(SF_ORACLE)
+    if not os.path.exists(path):
+        pytest.skip("no committed artifact for this sf (first run writes it)")
+    committed = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(path).collect()
+    }
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+    fresh = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_near_dups(
+            docs, "text", "doc_id", jaccard_threshold=0.2
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    only_committed = committed - fresh
+    only_fresh = fresh - committed
+    assert not only_committed and not only_fresh, (
+        f"committed dedup pairs drifted from current code: "
+        f"{len(only_committed)} stale, {len(only_fresh)} missing — "
+        f"delete {path}, rerun components_suite, and commit the rewrite"
+    )
