@@ -51,9 +51,10 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join_bucketed(
         orders.select("o_orderkey", "o_totalprice"), bands, "o_totalprice", "lo", "hi", 50_000.0
     )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         joined.groupBy("band_id")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("band_total"))
+        .agg(F.count("*").alias("cnt"), F.sum(cents).alias("band_cents"))
         .orderBy("band_id")
     )
 
@@ -84,21 +85,40 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    # money columns travel as scaled BIGINTs (cents / 1e-4 / 1e-6
+    # units — each per-row value is an exact decimal rational at that
+    # scale), averages as round-to-integer of the scaled mean: both
+    # formulations are cross-engine hash-stable, unlike round(agg, k)
+    agged = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(F.round(disc_price * 10_000).cast("long")).alias("sum_disc_e4"),
+            F.sum(F.round(charge * 1_000_000).cast("long")).alias("sum_charge_e6"),
+            F.sum(F.round(F.col("l_discount") * 10_000).cast("long")).alias("_disc_e4"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    # averages derive from the EXACT integer sums (double(S)/double(n)
+    # is the same computation on both engines; a raw double-sum mean
+    # can differ in ulps at the .5 rounding boundary)
+    n = F.col("count_order")
+    return agged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_cents",
+        "sum_disc_e4",
+        "sum_charge_e6",
+        F.round(F.col("sum_qty") * 10_000 / n).cast("long").alias("avg_qty_e4"),
+        F.round(F.col("sum_base_cents") / n).cast("long").alias("avg_price_cents"),
+        F.round(F.col("_disc_e4") / n).cast("long").alias("avg_disc_e4"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def q_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,12 +181,16 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row subquery broadcast, certifying the subquery surface too
     (absorbed the former scalar_subquery entry, r2)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    # integer-cents means from exact cents sums (r3 float discipline)
     return spark.sql(
         """
         SELECT o_orderstatus,
                count(*) AS cnt,
-               round(avg(o_totalprice), 2) AS avg_price,
-               round((SELECT avg(o_totalprice) FROM orders_v), 2) AS global_avg
+               CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / count(*))
+                    AS BIGINT) AS avg_cents,
+               (SELECT CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                  / count(*)) AS BIGINT)
+                FROM orders_v) AS global_avg_cents
         FROM orders_v
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
@@ -191,7 +215,8 @@ SPECS = [
         q_range_join_bands,
         "WITH bands AS (SELECT i AS band_id, i * 50000.0 AS lo, "
         "(i + 1) * 50000.0 AS hi FROM range(10) t(i)) "
-        "SELECT band_id, count(*) AS cnt, round(sum(o_totalprice), 2) AS band_total "
+        "SELECT band_id, count(*) AS cnt, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS band_cents "
         "FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi "
         "GROUP BY band_id ORDER BY band_id",
         "range-join",
@@ -199,17 +224,23 @@ SPECS = [
     QuerySpec(
         "tpch_q1",
         q_tpch_q1,
-        "SELECT l_returnflag, l_linestatus, "
+        "WITH a AS (SELECT l_returnflag, l_linestatus, "
         "sum(l_quantity) AS sum_qty, "
-        "round(sum(l_extendedprice), 2) AS sum_base_price, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
-        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
-        "round(avg(l_quantity), 4) AS avg_qty, "
-        "round(avg(l_extendedprice), 2) AS avg_price, "
-        "round(avg(l_discount), 4) AS avg_disc, "
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents, "
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "AS sum_disc_e4, "
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) "
+        "AS BIGINT)) AS sum_charge_e6, "
+        "sum(CAST(round(l_discount * 10000) AS BIGINT)) AS disc_e4, "
         "count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
-        "GROUP BY l_returnflag, l_linestatus "
+        "GROUP BY l_returnflag, l_linestatus) "
+        "SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents, "
+        "sum_disc_e4, sum_charge_e6, "
+        "CAST(round(sum_qty * 10000 / count_order) AS BIGINT) AS avg_qty_e4, "
+        "CAST(round(sum_base_cents / count_order) AS BIGINT) AS avg_price_cents, "
+        "CAST(round(disc_e4 / count_order) AS BIGINT) AS avg_disc_e4, "
+        "count_order FROM a "
         "ORDER BY l_returnflag, l_linestatus",
         "tpch-q1-wide-agg",
     ),
@@ -239,9 +270,12 @@ SPECS = [
     QuerySpec(
         "sql_api",
         q_sql_api,
-        "SELECT o_orderstatus, count(*) AS cnt, round(avg(o_totalprice), 2) "
-        "AS avg_price, round((SELECT avg(o_totalprice) FROM orders), 2) "
-        "AS global_avg FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        "SELECT o_orderstatus, count(*) AS cnt, "
+        "CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / count(*)) "
+        "AS BIGINT) AS avg_cents, "
+        "(SELECT CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+        "/ count(*)) AS BIGINT) FROM orders) AS global_avg_cents "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
         "S8-sql-api + scalar subquery (absorbed scalar_subquery, r2)",
     ),
 ]

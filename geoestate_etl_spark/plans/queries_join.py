@@ -42,10 +42,14 @@ def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
     joined = broadcast_dim_join(joined, nation, on=[joined.c_nationkey == nation.n_nationkey])
     joined = broadcast_dim_join(joined, region, on=[joined.n_regionkey == region.r_regionkey])
+    # revenue as BIGINT cents: per-row round-to-integer then an exact
+    # integer sum — round(sum(double), 2) re-rounds are the r2/r3
+    # cross-engine hash-risk class (see docs/ORACLE_NOTES.md)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         joined.groupBy("r_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(cents).alias("revenue_cents"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("r_name")
@@ -88,19 +92,24 @@ def q_parts_top_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     joined = broadcast_dim_join(li, part, on=[li.l_partkey == part.p_partkey])
     joined = broadcast_dim_join(joined, supp, on=[joined.l_suppkey == supp.s_suppkey])
+    # per-row discounted price is an exact 4-decimal rational (2dp
+    # price x (1 - 2dp discount)); carry it as integer hundredths of a
+    # cent so the sum is exact and hash-stable across engines
+    hcents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+    ).cast("long")
     rev = joined.groupBy("p_partkey", "p_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "part_revenue"
-        )
+        F.sum(hcents).alias("part_revenue_hc")
     )
-    return rev.orderBy(F.desc("part_revenue"), F.asc("p_partkey")).limit(20)
+    return rev.orderBy(F.desc("part_revenue_hc"), F.asc("p_partkey")).limit(20)
 
 
 SPECS = [
     QuerySpec(
         "star_revenue",
         q_star_revenue,
-        "SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders "
+        "SELECT r_name, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents, "
+        "count(*) AS n_orders "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
@@ -120,11 +129,12 @@ SPECS = [
         "parts_top_value",
         q_parts_top_value,
         "SELECT p_partkey, p_name, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_revenue "
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "AS part_revenue_hc "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "JOIN supplier ON l_suppkey = s_suppkey "
         "GROUP BY p_partkey, p_name "
-        "ORDER BY part_revenue DESC, p_partkey ASC LIMIT 20",
+        "ORDER BY part_revenue_hc DESC, p_partkey ASC LIMIT 20",
         "join-3way-topk",
     ),
 ]

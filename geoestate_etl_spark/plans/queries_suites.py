@@ -56,11 +56,17 @@ def _NULL_S():
 
 
 def q_global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 count + A1 mean + A2 exact median in one 1-row result."""
+    """S4 count + A1 mean + A2 exact median in one 1-row result.
+
+    Money stats emit as integer cents: the mean derives from the exact
+    cents sum, the median is a round-to-integer of (a+b)/2 on the same
+    doubles both engines see — both cross-engine hash-stable, unlike
+    round(avg, 2)."""
     cnt = _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("lineitem_cnt"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     stats = _t(spark, sf_dir, "orders").agg(
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
-        F.median("o_totalprice").alias("median_price"),
+        F.round(F.sum(cents) / F.count("*")).cast("long").alias("avg_price_cents"),
+        F.round(F.median("o_totalprice") * 100).cast("long").alias("median_cents"),
     )
     return cnt.crossJoin(stats)  # 1x1
 
@@ -122,9 +128,11 @@ def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(wd).cast(T.LongType()).alias("dense_rnk"),
         F.lag("c_acctbal", 1).over(wd).alias("prev_value"),
         F.lead("c_acctbal", 1).over(wd).alias("next_value"),
-        F.round(
-            F.sum("c_acctbal").over(wd.rowsBetween(Window.unboundedPreceding, 0)), 2
-        ).alias("running_sum"),
+        # integer cents (r3): a rounded double running sum is the
+        # cross-engine .xx5-repr hash-risk class
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_cents"),
         F.ntile(4).over(wa).cast(T.LongType()).alias("quartile"),
         pct_micro.alias("pct_rank_micro"),
         cd_micro.alias("cdist_micro"),
@@ -218,16 +226,24 @@ def q_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cube = (
         orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("val"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
         .select(
             F.lit("cube").alias("variant"),
             F.col("o_orderstatus").alias("k1"),
             F.col("o_orderpriority").alias("k2"),
             "cnt",
-            "val",
+            _NULL_D().alias("val"),
+            "cents",
         )
     )
-    return rollup.unionByName(gsets).unionByName(cube)
+    return (
+        rollup.withColumn("cents", _NULL_L())
+        .unionByName(gsets.withColumn("cents", _NULL_L()))
+        .unionByName(cube)
+    )
 
 
 def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,7 +290,7 @@ def q_event_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").alias("t_start"),
         _NULL_TS().alias("t_end"),
         "cnt",
-        F.col("sum_value").alias("val"),
+        F.col("sum_cents").alias("val_cents"),
     )
     slide = sliding_counts(ev, "1 hour", "30 minutes").select(
         F.lit("sliding").alias("kind"),
@@ -282,7 +298,7 @@ def q_event_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").alias("t_start"),
         _NULL_TS().alias("t_end"),
         "cnt",
-        _NULL_D().alias("val"),
+        _NULL_L().alias("val_cents"),
     )
     sess = session_windows(ev, "5 minutes").select(
         F.lit("session").alias("kind"),
@@ -290,7 +306,7 @@ def q_event_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_start").alias("t_start"),
         F.col("session_end").alias("t_end"),
         F.col("n_events").alias("cnt"),
-        _NULL_D().alias("val"),
+        _NULL_L().alias("val_cents"),
     )
     return tumb.unionByName(slide).unionByName(sess)
 
@@ -977,8 +993,10 @@ FROM base
             "global_aggs",
             q_global_aggs,
             "SELECT (SELECT count(*) FROM lineitem) AS lineitem_cnt, "
-            "round(avg(o_totalprice), 2) AS avg_price, "
-            "median(o_totalprice) AS median_price FROM orders",
+            "CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / count(*)) "
+            "AS BIGINT) AS avg_price_cents, "
+            "CAST(round(median(o_totalprice) * 100) AS BIGINT) AS median_cents "
+            "FROM orders",
             "S4,A1,A2-exact (merged: scan_count+global_mean+global_median)",
         ),
         QuerySpec(
@@ -1007,16 +1025,17 @@ FROM base
             "dense_rank() OVER wd AS dense_rnk, "
             "lag(c_acctbal, 1) OVER wd AS prev_value, "
             "lead(c_acctbal, 1) OVER wd AS next_value, "
-            "round(sum(c_acctbal) OVER (PARTITION BY c_nationkey "
+            "sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER "
+            "(PARTITION BY c_nationkey "
             "ORDER BY c_acctbal DESC, c_custkey ASC "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum, "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents, "
             "ntile(4) OVER wa AS quartile, rank() OVER wa AS rnk_a, "
             "count(*) OVER (PARTITION BY c_nationkey) AS n FROM customer "
             "WINDOW wd AS (PARTITION BY c_nationkey "
             "ORDER BY c_acctbal DESC, c_custkey ASC), "
             "wa AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)) "
             "SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk, dense_rnk, "
-            "prev_value, next_value, running_sum, quartile, "
+            "prev_value, next_value, running_cents, quartile, "
             "CASE WHEN n = 1 THEN 0 ELSE CAST(floor((2 * (rnk_a - 1) * 1000000 "
             "+ (n - 1)) / (2 * (n - 1))) AS BIGINT) END AS pct_rank_micro, "
             "CAST(floor((2 * rnk_a * 1000000 + n) / (2 * n)) AS BIGINT) AS cdist_micro "
@@ -1063,13 +1082,15 @@ FROM base
             "grouping_suite",
             q_grouping_suite,
             "SELECT 'rollup' AS variant, l_returnflag AS k1, l_linestatus AS k2, "
-            "count(*) AS cnt, sum(l_quantity) AS val FROM lineitem "
+            "count(*) AS cnt, sum(l_quantity) AS val, "
+            "CAST(NULL AS BIGINT) AS cents FROM lineitem "
             "GROUP BY ROLLUP (l_returnflag, l_linestatus) "
             "UNION ALL SELECT 'gsets', l_returnflag, l_linestatus, count(*), "
-            "CAST(NULL AS DOUBLE) FROM lineitem "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT) FROM lineitem "
             "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) "
             "UNION ALL SELECT 'cube', o_orderstatus, o_orderpriority, count(*), "
-            "round(sum(o_totalprice), 2) FROM orders "
+            "CAST(NULL AS DOUBLE), "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) FROM orders "
             "GROUP BY CUBE (o_orderstatus, o_orderpriority)",
             "rollup+gsets+cube (merged: rollup_lineitem+grouping_sets+cube_orders)",
         ),
@@ -1108,16 +1129,17 @@ FROM base
             "max(ts) + INTERVAL '5 minutes' AS session_end, count(*) AS n_events "
             "FROM sessions GROUP BY user_id, sid) "
             "SELECT 'tumbling' AS kind, event_type AS grp, ws AS t_start, "
-            "CAST(NULL AS TIMESTAMP) AS t_end, cnt, val FROM ("
+            "CAST(NULL AS TIMESTAMP) AS t_end, cnt, val_cents FROM ("
             "SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt, "
-            "round(sum(value), 2) AS val FROM events GROUP BY ws, event_type) "
+            "sum(CAST(round(value * 100) AS BIGINT)) AS val_cents "
+            "FROM events GROUP BY ws, event_type) "
             "UNION ALL SELECT 'sliding', event_type, ws, CAST(NULL AS TIMESTAMP), "
-            "cnt, CAST(NULL AS DOUBLE) FROM ("
+            "cnt, CAST(NULL AS BIGINT) FROM ("
             "SELECT time_bucket(INTERVAL '30 minutes', ts) - to_minutes(off.m) AS ws, "
             "event_type, count(*) AS cnt FROM events "
             "CROSS JOIN (VALUES (0), (30)) AS off(m) GROUP BY ws, event_type) "
             "UNION ALL SELECT 'session', CAST(user_id AS VARCHAR), session_start, "
-            "session_end, n_events, CAST(NULL AS DOUBLE) FROM sess",
+            "session_end, n_events, CAST(NULL AS BIGINT) FROM sess",
             "stream-tumbling+sliding+session (merged)",
         ),
         QuerySpec(

@@ -26,8 +26,17 @@ def tumbling_counts(
     keys = keys if keys is not None else ["event_type"]
     return (
         events.groupBy(F.window("ts", width).alias("w"), *keys)
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), *keys, "cnt", "sum_value")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact integer variant for hash-gated consumers: a rounded
+            # double sum is engine-dependent on .xx5 shortest reprs
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), *keys, "cnt", "sum_value",
+            "sum_cents",
+        )
     )
 
 

@@ -1,0 +1,85 @@
+"""Float-output discipline for oracled queries (VERDICT r2 #7).
+
+``round(aggregate_of_money, k)`` re-rounds are cross-engine hash
+coin-flips: money sums land on short decimal representations, and
+Spark (BigDecimal HALF_UP on the shortest repr) and DuckDB (binary
+scale-and-round) disagree exactly on ``.xx5`` reprs (~0.5% of exact
+3-decimal values, measured r3). Such columns must travel as scaled
+BIGINTs (cents / 1e-4 / 1e-6 units) built from per-row round-to-integer
+— round-to-integer agrees between the engines on every double.
+
+A double output column is allowed ONLY in the safe classes:
+- raw passthrough of a stored column (identical bits on both sides)
+- sums of integer-valued doubles (exact in binary)
+- "messy-repr" values — quotients/products of already-inexact doubles
+  (cosines, ln terms, len ratios, haversine, variance moments) whose
+  shortest repr essentially never terminates at the rounding cut.
+
+Every allowed (query, column) pair is listed here explicitly so adding
+a new rounded money aggregate fails this test until it is either
+converted to fixed-point or consciously allowlisted.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from geoestate_etl_spark.plans import all_queries
+from tests.conftest import SF_ORACLE
+
+#: (query, column) double outputs that are cross-engine-safe by class.
+ALLOWED_DOUBLES = {
+    # raw passthrough
+    ("filter_project", "l_quantity"),
+    ("filter_project", "l_extendedprice"),
+    ("filtered_topk", "o_totalprice"),
+    ("minmax_by_group", "max_price"),   # min/max select stored values
+    ("minmax_by_group", "min_price"),
+    ("upsert_customers", "c_acctbal"),  # stored value (+1000.0 exact)
+    ("window_rank_suite", "c_acctbal"),
+    ("window_rank_suite", "prev_value"),  # lag/lead passthrough
+    ("window_rank_suite", "next_value"),
+    ("status_extrema", "val"),          # o_totalprice passthrough
+    ("orders_scalar_suite", "capped"),  # passthrough or NULL
+    ("orders_scalar_suite", "price_round"),  # 2dp->1dp: measured 0 diverge/1M
+    ("array_suite", "v"),               # float32 elements + stats (messy reprs)
+    ("geo_distance_radius", "lat"),     # same synthetic-coord formula both sides
+    ("geo_distance_radius", "lon"),
+    # sums of integer-valued doubles (exact)
+    ("lineitem_orders_join", "sum_qty"),
+    ("tpch_q1", "sum_qty"),
+    ("grouping_suite", "val"),          # rollup sum(l_quantity)
+    # messy-repr computed values (quotients/irrationals; repr never
+    # terminates at the cut) — evidenced green since r1/r2
+    ("tfidf_top_terms", "tfidf"),
+    ("similarity_bruteforce", "cos_sim"),
+    ("ann_certify", "cos_sim"),
+    ("pair_similarity", "value"),
+    ("text_metrics", "punct_ratio"),
+    ("text_metrics", "stop_ratio"),
+    ("text_metrics", "quality"),
+    ("geo_distance_radius", "dist_km"),
+    ("returnflag_stats", "sd_qty"),
+    ("returnflag_stats", "var_qty"),
+    ("returnflag_stats", "corr_qp"),
+    ("returnflag_stats", "covar_qd"),
+    ("returnflag_stats", "p50"),   # integer-valued interpolation
+    ("returnflag_stats", "p90"),
+    ("returnflag_stats", "price_p95"),
+}
+
+SPECS = {n: s for n, s in all_queries().items() if s.oracle}
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_no_unvetted_double_outputs(spark, name):
+    df = SPECS[name].fn(spark, SF_ORACLE)
+    doubles = {
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "float")
+    }
+    unvetted = {c for c in doubles if (name, c) not in ALLOWED_DOUBLES}
+    assert not unvetted, (
+        f"{name} emits unvetted double column(s) {sorted(unvetted)} — convert "
+        "to scaled BIGINT (see docs/ORACLE_NOTES.md) or allowlist with a "
+        "safe-class justification"
+    )
