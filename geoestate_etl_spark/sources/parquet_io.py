@@ -100,11 +100,14 @@ def write_zordered_table(
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table loader, normalizing nanosecond timestamps.
 
-    The testdata writes ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark 4 refuses to read natively; ``nanosAsLong`` surfaces it as
-    ns-since-epoch longs and we rebuild a microsecond timestamp with
+    Earlier driver testdata wrote ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark 4 refuses to read natively; ``nanosAsLong`` surfaces it
+    as ns-since-epoch longs and we rebuild a microsecond timestamp with
     *integer* division (ns epoch values exceed double's 2^53 exact
-    range, so float division would corrupt timestamps by ±1 µs).
+    range, so float division would corrupt timestamps by ±1 µs). The
+    r3 testdata writes plain tz-less timestamp[us], which reads
+    directly (as TIMESTAMP_NTZ); the rebuild path stays for nanos
+    inputs.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -112,6 +115,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks/event-time ops require TIMESTAMP; with the UTC
+        # session timezone the cast preserves every wall-clock value
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -9,8 +9,14 @@ def test_load_tables_all(spark):
         "orders", "lineitem", "events", "documents", "embeddings",
     }
     assert tables["region"].count() == 5
-    # events loader normalized the ns timestamp to a usable type
-    assert str(tables["events"].schema["ts"].dataType) == "TimestampType()"
+    # events ts must land on a usable timestamp type whichever way the
+    # driver generated the file: TIMESTAMP(NANOS) -> rebuilt micros
+    # (TimestampType), plain tz-less timestamp[us] -> TimestampNTZType
+    # (Spark 4 infers NTZ, matching DuckDB's tz-less TIMESTAMP)
+    assert str(tables["events"].schema["ts"].dataType) in (
+        "TimestampType()",
+        "TimestampNTZType()",
+    )
 
 
 def test_load_tables_subset(spark):
