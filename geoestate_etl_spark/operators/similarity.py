@@ -15,6 +15,11 @@ Two paths:
 
 Hyperplanes are deterministic (seeded LCG, not ``random``) so plans
 are reproducible across runs and cluster sizes.
+
+Rounded cosine outputs add ``+ 0.0``: a score rounding to zero from
+below yields IEEE ``-0.0``, which equals ``0.0`` numerically but not
+byte-wise — string/byte-level result hashers (the driver's) would flag
+a false mismatch (caught in the r3 sf0.1 drill).
 """
 
 from __future__ import annotations
@@ -65,7 +70,7 @@ def brute_force_topk(
     probe_col = F.array(*[F.lit(float(v)) for v in probe])
     scored = embeddings.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), probe_col), scale).alias("cos_sim"),
+        (F.round(cosine(F.col(vec_col), probe_col), scale) + 0.0).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
@@ -95,7 +100,7 @@ def brute_force_topk_batch(
     scored = embeddings.crossJoin(F.broadcast(probes)).select(
         F.col(probe_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(probe_vec_col)), scale).alias("cos_sim"),
+        (F.round(cosine(F.col(vec_col), F.col(probe_vec_col)), scale) + 0.0).alias("cos_sim"),
     )
     return top_k_per_group_partial(scored, [probe_id_col], "cos_sim", id_col, k)
 
@@ -166,7 +171,7 @@ def lsh_topk(
     probe_col = F.array(*[F.lit(float(v)) for v in probe])
     scored = candidates.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), probe_col), scale).alias("cos_sim"),
+        (F.round(cosine(F.col(vec_col), probe_col), scale) + 0.0).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
@@ -233,7 +238,7 @@ def lsh_topk_batch(
     scored = bucketed.join(F.broadcast(probe_exp), "_b").select(
         F.col(probe_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(probe_vec_col)), scale).alias("cos_sim"),
+        (F.round(cosine(F.col(vec_col), F.col(probe_vec_col)), scale) + 0.0).alias("cos_sim"),
     )
     return top_k_per_group_partial(scored, [probe_id_col], "cos_sim", id_col, k)
 
@@ -342,7 +347,7 @@ def ivf_probe(
         vec = F.col(vec_col)
     scored = candidates.select(
         F.col(id_col),
-        F.round(cosine(vec, probe_col), scale).alias("cos_sim"),
+        (F.round(cosine(vec, probe_col), scale) + 0.0).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
@@ -406,7 +411,7 @@ def ivf_probe_batch(
     scored = candidates.join(F.broadcast(probe_cells), "cell").select(
         F.col(probe_id_col),
         F.col(id_col),
-        F.round(cosine(vec, F.col(probe_vec_col)), scale).alias("cos_sim"),
+        (F.round(cosine(vec, F.col(probe_vec_col)), scale) + 0.0).alias("cos_sim"),
     )
     return top_k_per_group_partial(scored, [probe_id_col], "cos_sim", id_col, k)
 
@@ -489,7 +494,7 @@ def hybrid_topk(
     probe_col = F.array(*[F.lit(float(v)) for v in probe])
     scored = cands.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), probe_col), scale).alias("cos_sim"),
+        (F.round(cosine(F.col(vec_col), probe_col), scale) + 0.0).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 

@@ -255,7 +255,7 @@ SPECS = [
         "FROM embeddings WHERE vec_id = 0), "
         "scored AS (SELECT vec_id, round(list_cosine_similarity("
         "list_transform(embedding, x -> CAST(x AS DOUBLE)), (SELECT p FROM probe)"
-        "), 4) AS cos_sim FROM embeddings) "
+        "), 4) + 0 AS cos_sim FROM embeddings) "
         "SELECT vec_id, cos_sim FROM scored "
         "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10",
         "ext-similarity-exact",

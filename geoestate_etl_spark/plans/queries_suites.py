@@ -541,7 +541,10 @@ def q_ann_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("lsh_cand").alias("variant"),
             "vec_id",
-            F.round(cosine(F.col("embedding"), probe_col), 4).alias("cos_sim"),
+            # + 0.0 normalizes IEEE -0.0 (hash-visible) to 0.0
+            (F.round(cosine(F.col("embedding"), probe_col), 4) + 0.0).alias(
+                "cos_sim"
+            ),
         )
     )
     return ivf_full.unionByName(lsh_cand)
@@ -627,8 +630,10 @@ def q_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qd"),
+        # + 0.0: corr/covar can round to zero from below -> IEEE -0.0,
+        # which byte-level result hashers see as != 0.0
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias("corr_qp"),
+        (F.round(F.covar_samp("l_quantity", "l_discount"), 4) + 0.0).alias("covar_qd"),
         F.percentile("l_quantity", 0.5).alias("p50"),
         F.percentile("l_quantity", 0.9).alias("p90"),
         F.percentile("l_extendedprice", 0.95).alias("price_p95"),
@@ -926,10 +931,10 @@ def _specs() -> list[QuerySpec]:
         "p0 AS (SELECT e FROM emb WHERE vec_id = 0), "
         "pb AS (SELECT bucket FROM bits WHERE vec_id = 0) "
         "SELECT 'ivf_full' AS variant, vec_id, "
-        "round(list_cosine_similarity(e, (SELECT e FROM p1)), 4) AS cos_sim "
+        "round(list_cosine_similarity(e, (SELECT e FROM p1)), 4) + 0 AS cos_sim "
         "FROM emb "
         "UNION ALL SELECT 'lsh_cand', b.vec_id, "
-        "round(list_cosine_similarity(emb.e, (SELECT e FROM p0)), 4) "
+        "round(list_cosine_similarity(emb.e, (SELECT e FROM p0)), 4) + 0 "
         "FROM bits b JOIN emb ON emb.vec_id = b.vec_id "
         "WHERE hamming(b.bucket, (SELECT bucket FROM pb)) <= 2"
     )
@@ -1236,8 +1241,8 @@ FROM base
             "SELECT l_returnflag, count(*) AS cnt, "
             "round(stddev_samp(l_quantity), 4) AS sd_qty, "
             "round(var_samp(l_quantity), 4) AS var_qty, "
-            "round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, "
-            "round(covar_samp(l_quantity, l_discount), 4) AS covar_qd, "
+            "round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qp, "
+            "round(covar_samp(l_quantity, l_discount), 4) + 0 AS covar_qd, "
             "count(DISTINCT l_partkey) AS n_parts, "
             "count(DISTINCT l_suppkey) AS n_supps, "
             "quantile_cont(l_quantity, 0.5) AS p50, "
