@@ -560,7 +560,11 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``encode``: docs 0..19 re-encoded against that vocabulary;
       token-id arrays serialized to '|'-joined strings (driver-side
       canonicalizers cannot hash list cells), empty docs encode to ''.
+    - ``pack``: sequence packing (concat-and-chunk, 512-token budget)
+      of every document — the scalable two-phase cumsum vs the
+      oracle's plain window cumsum, certified row-for-row.
     """
+    from geoestate_etl_spark.operators.prefix import pack_sequences
     from geoestate_etl_spark.operators.vocab import build_vocab, encode_docs
 
     docs = _t(spark, sf_dir, "documents")
@@ -572,6 +576,8 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vocab_id").cast(T.LongType()).alias("vocab_id"),
         _NULL_L().alias("doc_id"),
         _NULL_S().alias("ids"),
+        _NULL_L().alias("chunk_id"),
+        _NULL_L().alias("chunk_offset"),
     )
     enc = encode_docs(docs.filter(F.col("doc_id") < 20), vocab).select(
         F.lit("encode").alias("variant"),
@@ -582,8 +588,27 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(F.col("token_ids"), lambda x: x.cast("string")), "|"
         ).alias("ids"),
+        _NULL_L().alias("chunk_id"),
+        _NULL_L().alias("chunk_offset"),
     )
-    return v.unionByName(enc)
+    from geoestate_etl_spark.functions.text import token_count
+
+    packed = pack_sequences(
+        docs.select("doc_id", token_count("text").alias("n_toks")),
+        "doc_id",
+        "n_toks",
+        budget=512,
+    ).select(
+        F.lit("pack").alias("variant"),
+        _NULL_S().alias("token"),
+        F.col("n_toks").cast(T.LongType()).alias("n"),
+        _NULL_L().alias("vocab_id"),
+        "doc_id",
+        _NULL_S().alias("ids"),
+        "chunk_id",
+        "chunk_offset",
+    )
+    return v.unionByName(enc).unionByName(packed)
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,12 +977,21 @@ def _specs() -> list[QuerySpec]:
         "FROM documents WHERE doc_id < 20), "
         "enc AS (SELECT dt.doc_id, string_agg("
         "CAST(COALESCE(v.vocab_id, 0) AS VARCHAR), '|' ORDER BY dt.pos) AS ids "
-        "FROM dt LEFT JOIN v ON dt.token = v.token GROUP BY dt.doc_id) "
+        "FROM dt LEFT JOIN v ON dt.token = v.token GROUP BY dt.doc_id), "
+        "pk AS (SELECT doc_id, n_toks, "
+        "sum(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_toks "
+        "AS tape_start FROM (SELECT doc_id, "
+        f"len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_toks FROM documents)) "
         "SELECT 'vocab' AS variant, token, n, vocab_id, "
-        "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS ids FROM v "
+        "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS ids, "
+        "CAST(NULL AS BIGINT) AS chunk_id, CAST(NULL AS BIGINT) AS chunk_offset "
+        "FROM v "
         "UNION ALL SELECT 'encode', NULL, NULL, NULL, d.doc_id, "
-        "COALESCE(e.ids, '') FROM documents d LEFT JOIN enc e "
-        "ON d.doc_id = e.doc_id WHERE d.doc_id < 20"
+        "COALESCE(e.ids, ''), NULL, NULL FROM documents d LEFT JOIN enc e "
+        "ON d.doc_id = e.doc_id WHERE d.doc_id < 20 "
+        "UNION ALL SELECT 'pack', NULL, n_toks, NULL, doc_id, NULL, "
+        "CAST(floor(tape_start / 512) AS BIGINT), "
+        "CAST(tape_start - floor(tape_start / 512) * 512 AS BIGINT) FROM pk"
     )
 
     text_metrics_sql = f"""
