@@ -1,3 +1,8 @@
+from geoestate_etl_spark.sources.columnar import (
+    read_columnar,
+    write_columnar,
+    write_sorted,
+)
 from geoestate_etl_spark.sources.csv_source import read_dirty_csv
 from geoestate_etl_spark.sources.jsonl_source import (
     read_jsonl,
@@ -12,6 +17,9 @@ from geoestate_etl_spark.sources.parquet_io import (
 )
 
 __all__ = [
+    "read_columnar",
+    "write_columnar",
+    "write_sorted",
     "read_dirty_csv",
     "read_jsonl",
     "split_corrupt",
