@@ -105,3 +105,41 @@ def test_tfidf_doc_filter_pushed_to_scan(spark):
     assert "LessThan(doc_id,50)" in plan  # pushed filter on the TF branch
     assert "WindowGroupLimit" in plan  # rank<=3 pruned pre-shuffle
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_no_product_join(spark):
+    """The as-of join must compile to window/union machinery or an
+    equi-join — never a cartesian or nested-loop product."""
+    plan = plan_of(spark, "asof_last_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_bucketed_equi(spark):
+    """Bucketed range join: bands replicate per covered bucket so the
+    join is a hash equi-join on the bucket key, not a nested-loop
+    range scan."""
+    plan = plan_of(spark, "range_join_bands")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ann_certify_probe_path_shuffle_free(spark):
+    """Full-probe IVF + LSH candidate scoring are scan+filter+local
+    top-k over the (cell-partitioned) index — no shuffle exchange in
+    the static plan, no product joins."""
+    plan = plan_of(spark, "ann_certify")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 1, f"expected shuffle-free probe path, saw {shuffles}"
+
+
+def test_upsert_no_extra_shuffle(spark):
+    """MERGE emulation (anti-join survivors + replacements) joins on
+    the key with the small update side broadcast — zero shuffle
+    exchanges in the static plan."""
+    plan = plan_of(spark, "upsert_customers")
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 0, plan
