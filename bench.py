@@ -159,10 +159,12 @@ def main() -> None:
     timings["houses_pipeline_330k"] = houses_median
     # best-of-2, same rationale as the query loop (cold-run codegen +
     # host throttle dominate a single sample; warm steady-state is the
-    # honest pipeline cost)
-    timings["corpus_pipeline"] = min(
-        bench_corpus_pipeline(spark), bench_corpus_pipeline(spark)
-    )
+    # honest pipeline cost) — second run under the same time guard
+    timings["corpus_pipeline"] = bench_corpus_pipeline(spark)
+    if time.perf_counter() - t_pass0 < 360:
+        timings["corpus_pipeline"] = min(
+            timings["corpus_pipeline"], bench_corpus_pipeline(spark)
+        )
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -216,7 +216,7 @@ SPECS = [
         "WITH bands AS (SELECT i AS band_id, i * 50000.0 AS lo, "
         "(i + 1) * 50000.0 AS hi FROM range(10) t(i)) "
         "SELECT band_id, count(*) AS cnt, "
-        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS band_cents "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS band_cents "
         "FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi "
         "GROUP BY band_id ORDER BY band_id",
         "range-join",
@@ -226,11 +226,11 @@ SPECS = [
         q_tpch_q1,
         "WITH a AS (SELECT l_returnflag, l_linestatus, "
         "sum(l_quantity) AS sum_qty, "
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents, "
-        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
-        "AS sum_disc_e4, "
-        "sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) "
-        "AS BIGINT)) AS sum_charge_e6, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "AS BIGINT) AS sum_disc_e4, "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) "
+        "AS BIGINT)) AS BIGINT) AS sum_charge_e6, "
         "sum(CAST(round(l_discount * 10000) AS BIGINT)) AS disc_e4, "
         "count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "

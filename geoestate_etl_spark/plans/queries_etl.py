@@ -81,20 +81,15 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge is exact integer arithmetic, hash-stable across engines.
     """
     from geoestate_etl_spark.sources.parquet_io import load_events
+    from geoestate_etl_spark.streaming.event_windows import tumbling_counts
 
     ev = load_events(spark, sf_dir)
-    cents = F.round(F.col("value") * 100).cast("long")
 
     def rollup(df: DataFrame) -> DataFrame:
-        return (
-            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("cnt"), F.sum(cents).alias("sum_cents"))
-            .select(
-                F.col("w.start").alias("window_start"),
-                "event_type",
-                "cnt",
-                "sum_cents",
-            )
+        # the shared tumbling-window operator; keep only the exact
+        # integer sum (the rounded-double twin is not hash-safe)
+        return tumbling_counts(df, "1 hour").select(
+            "window_start", "event_type", "cnt", "sum_cents"
         )
 
     # split the stream at a timestamp: everything before is the

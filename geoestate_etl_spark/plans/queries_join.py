@@ -108,7 +108,7 @@ SPECS = [
     QuerySpec(
         "star_revenue",
         q_star_revenue,
-        "SELECT r_name, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents, "
+        "SELECT r_name, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
         "count(*) AS n_orders "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
@@ -129,8 +129,8 @@ SPECS = [
         "parts_top_value",
         q_parts_top_value,
         "SELECT p_partkey, p_name, "
-        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
-        "AS part_revenue_hc "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "AS BIGINT) AS part_revenue_hc "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "JOIN supplier ON l_suppkey = s_suppkey "
         "GROUP BY p_partkey, p_name "

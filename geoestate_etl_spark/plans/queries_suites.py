@@ -568,7 +568,10 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoestate_etl_spark.operators.vocab import build_vocab, encode_docs
 
     docs = _t(spark, sf_dir, "documents")
-    vocab = build_vocab(docs, min_count=3)
+    # persisted: the 'vocab' branch and the encode join both consume it
+    # — without this the wordcount + scalable renumber (including its
+    # range-partition sampling job) runs twice
+    vocab = build_vocab(docs, min_count=3).persist()
     v = vocab.select(
         F.lit("vocab").alias("variant"),
         "token",
@@ -939,11 +942,27 @@ def _specs() -> list[QuerySpec]:
     # (same LCG the Spark path uses), inlined as DuckDB list values so
     # SQL can rebuild the sign-bit buckets bit-for-bit; ±1 coefficients
     # and left-to-right dot accumulation make the float arithmetic
-    # identical across engines.
+    # identical across engines. The dimension is read from the oracle
+    # scale's embeddings file (the Spark side derives it from the probe
+    # row) so a regenerated-testdata dim change can't silently desync
+    # the plane literals.
     from geoestate_etl_spark.operators.similarity import make_hyperplanes
 
+    def _emb_dim(default: int = 64) -> int:
+        try:
+            import pyarrow.parquet as pq
+
+            batch = next(
+                pq.ParquetFile(
+                    "/root/testdata/sf0.01/embeddings.parquet"
+                ).iter_batches(batch_size=1, columns=["embedding"])
+            )
+            return len(batch.column(0)[0])
+        except Exception:
+            return default
+
     plane_rows = ", ".join(
-        f"({j}, {p})" for j, p in enumerate(make_hyperplanes(8, 64))
+        f"({j}, {p})" for j, p in enumerate(make_hyperplanes(8, _emb_dim()))
     )
     ann_certify_sql = (
         "WITH emb AS (SELECT vec_id, "
@@ -1064,10 +1083,10 @@ FROM base
             "dense_rank() OVER wd AS dense_rnk, "
             "lag(c_acctbal, 1) OVER wd AS prev_value, "
             "lead(c_acctbal, 1) OVER wd AS next_value, "
-            "sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER "
+            "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER "
             "(PARTITION BY c_nationkey "
             "ORDER BY c_acctbal DESC, c_custkey ASC "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents, "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents, "
             "ntile(4) OVER wa AS quartile, rank() OVER wa AS rnk_a, "
             "count(*) OVER (PARTITION BY c_nationkey) AS n FROM customer "
             "WINDOW wd AS (PARTITION BY c_nationkey "
@@ -1129,7 +1148,7 @@ FROM base
             "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) "
             "UNION ALL SELECT 'cube', o_orderstatus, o_orderpriority, count(*), "
             "CAST(NULL AS DOUBLE), "
-            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) FROM orders "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM orders "
             "GROUP BY CUBE (o_orderstatus, o_orderpriority)",
             "rollup+gsets+cube (merged: rollup_lineitem+grouping_sets+cube_orders)",
         ),
@@ -1170,7 +1189,7 @@ FROM base
             "SELECT 'tumbling' AS kind, event_type AS grp, ws AS t_start, "
             "CAST(NULL AS TIMESTAMP) AS t_end, cnt, val_cents FROM ("
             "SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt, "
-            "sum(CAST(round(value * 100) AS BIGINT)) AS val_cents "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents "
             "FROM events GROUP BY ws, event_type) "
             "UNION ALL SELECT 'sliding', event_type, ws, CAST(NULL AS TIMESTAMP), "
             "cnt, CAST(NULL AS BIGINT) FROM ("
@@ -1192,11 +1211,11 @@ FROM base
             "UNION ALL SELECT date_trunc('hour', ts), event_type, count(*), "
             "sum(CAST(round(value * 100) AS BIGINT)) FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY 1, 2), "
-            "ev AS (SELECT window_start, event_type, sum(cnt) AS cnt, "
-            "sum(sv) AS val_cents FROM parts GROUP BY window_start, event_type) "
+            "ev AS (SELECT window_start, event_type, CAST(sum(cnt) AS BIGINT) AS cnt, "
+            "CAST(sum(sv) AS BIGINT) AS val_cents FROM parts GROUP BY window_start, event_type) "
             "SELECT 'orders' AS variant, o_orderpriority AS k1, "
             "CAST(NULL AS TIMESTAMP) AS window_start, count(*) AS cnt, "
-            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS val_cents "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS val_cents "
             "FROM orders GROUP BY o_orderpriority "
             "UNION ALL SELECT 'events', event_type, window_start, cnt, val_cents FROM ev",
             "etl-incremental+continuous-agg (merged)",
@@ -1301,9 +1320,9 @@ FROM base
             "bit_and(l_linenumber) AS band, bit_or(l_linenumber) AS bor, "
             "count(*) FILTER (l_quantity > 25) AS n_high, "
             "count(*) FILTER (NOT l_quantity > 25) AS n_low, "
-            "sum(CASE WHEN l_quantity > 25 "
+            "CAST(sum(CASE WHEN l_quantity > 25 "
             "THEN CAST(round(l_extendedprice * 100) AS BIGINT) "
-            "ELSE 0 END) AS high_cents FROM lineitem GROUP BY l_linestatus) "
+            "ELSE 0 END) AS BIGINT) AS high_cents FROM lineitem GROUP BY l_linestatus) "
             "SELECT 'argmax' AS kind, o_orderstatus AS key, "
             "max(CASE WHEN rmax = 1 THEN o_orderkey END) AS k1, "
             "CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BOOLEAN) AS b1, "

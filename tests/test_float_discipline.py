@@ -83,3 +83,29 @@ def test_no_unvetted_double_outputs(spark, name):
         "to scaled BIGINT (see docs/ORACLE_NOTES.md) or allowlist with a "
         "safe-class justification"
     )
+
+
+def test_oracle_pandas_dtypes_match_spark(spark, duck):
+    """DuckDB `sum(BIGINT)` returns HUGEINT, which pandas renders as
+    float64 — so a driver that canonicalizes both sides through pandas
+    sees 225000000.0 vs Spark's 225000000 and flags a phantom mismatch
+    on a value-identical column. Every integral Spark output column
+    must come back integral from the oracle too (unless it is nullable
+    AND actually contains NULLs, in which case BOTH sides coerce to
+    float64 and agree). Fix pattern: CAST(sum(...) AS BIGINT)."""
+    for name, spec in SPECS.items():
+        sdf = spec.fn(spark, SF_ORACLE)
+        stypes = {f.name: f.dataType.typeName() for f in sdf.schema.fields}
+        ddf = duck.execute(spec.oracle).df()
+        for col, dt in ddf.dtypes.items():
+            if stypes.get(col) not in ("long", "integer", "short"):
+                continue
+            if str(dt).startswith(("int", "uint")):
+                continue
+            # float64 is only acceptable when NULLs force the coercion
+            # (then Spark's toPandas coerces identically)
+            assert ddf[col].isna().any(), (
+                f"{name}.{col}: oracle dtype {dt} for a Spark "
+                f"{stypes[col]} column with no NULLs — wrap the "
+                "aggregate in CAST(... AS BIGINT)"
+            )
