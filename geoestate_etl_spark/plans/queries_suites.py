@@ -708,8 +708,11 @@ def q_status_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
             key.alias("key"),
             k1.cast(T.LongType()).alias("k1"),
             (k2 if k2 is not None else _NULL_L()).cast(T.LongType()).alias("k2"),
-            (b1 if b1 is not None else F.lit(None)).cast(T.BooleanType()).alias("b1"),
-            (b2 if b2 is not None else F.lit(None)).cast(T.BooleanType()).alias("b2"),
+            # 0/1 BIGINT, not BOOLEAN: a nullable bool renders None in
+            # Spark-pandas but NaN in DuckDB-pandas (string-level hash
+            # mismatch); nullable ints coerce to float64 identically
+            (b1 if b1 is not None else F.lit(None)).cast(T.BooleanType()).cast(T.LongType()).alias("b1"),
+            (b2 if b2 is not None else F.lit(None)).cast(T.BooleanType()).cast(T.LongType()).alias("b2"),
             (val if val is not None else _NULL_D()).alias("val"),
             (cents if cents is not None else _NULL_L()).cast(T.LongType()).alias("cents"),
         ]
@@ -901,7 +904,7 @@ def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist_km",
         _NULL_D().alias("lat"),
         _NULL_D().alias("lon"),
-        F.lit(None).cast(T.BooleanType()).alias("in_box"),
+        _NULL_L().alias("in_box"),
         _NULL_L().alias("zkey"),
     )
     radius = q_geo_radius_join(spark, sf_dir).select(
@@ -911,7 +914,7 @@ def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist_km",
         _NULL_D().alias("lat"),
         _NULL_D().alias("lon"),
-        F.lit(None).cast(T.BooleanType()).alias("in_box"),
+        _NULL_L().alias("in_box"),
         _NULL_L().alias("zkey"),
     )
     cust = _with_coords(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
@@ -922,7 +925,9 @@ def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_D().alias("dist_km"),
         "lat",
         "lon",
-        in_bbox("lat", "lon", 40.0, 60.0, 20.0, 60.0).alias("in_box"),
+        in_bbox("lat", "lon", 40.0, 60.0, 20.0, 60.0)
+        .cast(T.LongType())
+        .alias("in_box"),
         morton_key_2d("lat", "lon", -70.0, 70.0, -170.0, 170.0, 16).alias("zkey"),
     )
     return topk.unionByName(radius).unionByName(points)
@@ -1325,8 +1330,8 @@ FROM base
             "ELSE 0 END) AS BIGINT) AS high_cents FROM lineitem GROUP BY l_linestatus) "
             "SELECT 'argmax' AS kind, o_orderstatus AS key, "
             "max(CASE WHEN rmax = 1 THEN o_orderkey END) AS k1, "
-            "CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BOOLEAN) AS b1, "
-            "CAST(NULL AS BOOLEAN) AS b2, CAST(NULL AS DOUBLE) AS val, "
+            "CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS b1, "
+            "CAST(NULL AS BIGINT) AS b2, CAST(NULL AS DOUBLE) AS val, "
             "CAST(NULL AS BIGINT) AS cents FROM r GROUP BY o_orderstatus "
             "UNION ALL SELECT 'argmin', o_orderstatus, "
             "max(CASE WHEN rmin = 1 THEN o_orderkey END), NULL, NULL, NULL, "
@@ -1334,7 +1339,8 @@ FROM base
             "UNION ALL SELECT 'top3', o_orderstatus, o_orderkey, NULL, NULL, "
             "NULL, o_totalprice, NULL FROM r WHERE rtop <= 3 "
             "UNION ALL SELECT 'boolbit', l_linestatus, band, bor, "
-            "all_positive, any_high_disc, NULL, NULL FROM ls "
+            "CAST(all_positive AS BIGINT), CAST(any_high_disc AS BIGINT), "
+            "NULL, NULL FROM ls "
             "UNION ALL SELECT 'cond', l_linestatus, n_high, n_low, NULL, "
             "NULL, NULL, high_cents FROM ls",
             "agg-argminmax+topk-per-group+bool-bit+conditional (merged r3: "
@@ -1412,14 +1418,14 @@ FROM base
             f"s AS ({_coords_cte('supplier', 's_suppkey', 'slat', 'slon')}) "
             "SELECT 'topk' AS kind, c_custkey AS id_a, CAST(NULL AS BIGINT) AS id_b, "
             "dist_km, CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon, "
-            "CAST(NULL AS BOOLEAN) AS in_box, CAST(NULL AS BIGINT) AS zkey "
+            "CAST(NULL AS BIGINT) AS in_box, CAST(NULL AS BIGINT) AS zkey "
             "FROM (SELECT c_custkey, round(" + hav_probe + ", 3) AS dist_km "
             "FROM c ORDER BY dist_km ASC, c_custkey ASC LIMIT 25) "
             "UNION ALL SELECT 'radius', c_custkey, s_suppkey, "
             "round(" + hav_pair + ", 3), NULL, NULL, NULL, NULL "
             "FROM cc JOIN s ON round(" + hav_pair + ", 3) <= 200.0 "
             "UNION ALL SELECT 'point', c_custkey, NULL, NULL, lat, lon, "
-            "(lat BETWEEN 40.0 AND 60.0 AND lon BETWEEN 20.0 AND 60.0), "
+            "CAST((lat BETWEEN 40.0 AND 60.0 AND lon BETWEEN 20.0 AND 60.0) AS BIGINT), "
             f"{_morton_sql()} FROM c",
             "geo-topk+radius-join+bbox+zorder (merged r3: geo_distance_topk+"
             "geo_radius_join+geo_points)",

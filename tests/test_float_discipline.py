@@ -109,3 +109,27 @@ def test_oracle_pandas_dtypes_match_spark(spark, duck):
                 f"{stypes[col]} column with no NULLs — wrap the "
                 "aggregate in CAST(... AS BIGINT)"
             )
+
+
+def test_pandas_string_hash_driver_emulation(spark, duck):
+    """Second comparator, emulating a pandas+stringify driver harness:
+    toPandas both sides, sort columns/rows, hash str-rendered cells.
+    Catches representation divergences the tuple compare can't —
+    None-vs-NaN on nullable booleans, int64-vs-float64 from HUGEINT,
+    '-0.0'-vs-'0.0' — each of which was a real r2/r3 finding."""
+    import pandas as pd
+
+    def canon(df: pd.DataFrame):
+        df = df[sorted(df.columns)]
+        df = df.sort_values(
+            by=list(df.columns), kind="mergesort", na_position="last"
+        ).reset_index(drop=True)
+        return pd.util.hash_pandas_object(df.astype(str), index=False).sum()
+
+    bad = []
+    for name, spec in SPECS.items():
+        if canon(spec.fn(spark, SF_ORACLE).toPandas()) != canon(
+            duck.execute(spec.oracle).df()
+        ):
+            bad.append(name)
+    assert not bad, f"string-level canonicalization mismatch: {bad}"
