@@ -1,0 +1,87 @@
+"""Character n-gram language-model scoring — the perplexity-style
+quality signal of a training-data pipeline: documents whose character
+statistics diverge from the corpus (binary spill, wrong language,
+boilerplate soup) score low and can be gated out.
+
+Spark shape (all JVM-side, two shuffles):
+
+- ``char_ngram_counts``: one explode + one hash aggregation over the
+  corpus — the model is just a (gram, count) table. At 100 TB this is
+  the canonical wordcount shape; the model table is many orders of
+  magnitude smaller than the corpus (bounded by alphabet^n).
+- ``ngram_logprob``: re-explode each document, join the model on the
+  gram (broadcast when the model is small — alphabet^3 usually is;
+  AQE decides), and average add-alpha-smoothed log-probabilities per
+  document. OOV grams get the smoothed floor instead of -inf.
+
+Citing the reference scope: the reference has no text-model surface
+(`dags/main.py` is numeric/geo ETL); this extends the engine's
+training-data toolkit alongside quality_score/lang_id
+(``functions/text.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sliding_char_ngrams(c: Column | str, n: int = 3) -> Column:
+    """ALL sliding character n-grams (with multiplicity — unlike
+    ``text.char_ngrams``' distinct set, an LM needs counts).
+    Strings shorter than ``n`` yield their whole (short) text as the
+    single gram."""
+    col = F.col(c) if isinstance(c, str) else c
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+
+
+def char_ngram_counts(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Corpus n-gram model: (gram, cnt) via explode + hash agg."""
+    return (
+        df.select(F.explode(sliding_char_ngrams(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def ngram_logprob(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(id_col, n_grams, avg_logprob) per document under the corpus
+    model with add-``alpha`` smoothing:
+
+    ``P(g) = (cnt(g) + alpha) / (total + alpha * vocab)``
+
+    Documents with fewer than one gram get NULL avg_logprob (nothing
+    to score). The two model scalars (total mass, vocab size) ride in
+    as a broadcast 1-row frame — no driver round-trip in the plan.
+    """
+    totals = model.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_vocab")
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(sliding_char_ngrams(text_col, n)).alias("gram")
+    )
+    scored = (
+        grams.join(model.withColumnRenamed("cnt", "_cnt"), "gram", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("_cnt"), F.lit(0)) + F.lit(alpha))
+                / (F.col("_total") + F.lit(alpha) * F.col("_vocab"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.round(F.avg("_lp"), 4).alias("avg_logprob"),
+    )
