@@ -9,6 +9,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_ORACLE
+
 
 def _final_plan(df) -> str:
     # collect() executes THIS DataFrame's QueryExecution (a .write
@@ -78,3 +80,46 @@ def test_aqe_downgrades_smj_to_broadcast(aqe_tuned):
     assert "isFinalPlan=true" in plan
     # at runtime AQE sees the 200-row side's true size and broadcasts
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark):
+    """With a selective filter on one join side, Spark injects a
+    runtime Bloom filter (`might_contain`) on the probe side — at
+    100 TB this prunes most of the fact scan's rows before the shuffle.
+    Pinned here because the session factory leaves the feature on and
+    a conf regression would silently drop it."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # force a shuffle join and drop the probe-side size floor so
+        # toy data qualifies (at real scale the defaults qualify)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+            F.col("o_totalprice") > 400_000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
