@@ -226,8 +226,53 @@ _WC_SQL = (
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 )
 
+def _pagerank_sql(iters: int = 6) -> str:
+    """The same 6 fixed PageRank iterations, unrolled as chained CTEs.
+
+    Float discipline: every constant is written EXACTLY as the Spark
+    plan computes it — ``(1.0 - 0.85)`` not ``0.15`` (different
+    doubles), damping multiplications in the same association order —
+    so per-iteration arithmetic is bit-for-bit modulo summation order,
+    and round(pr, 6) collapses the summation-order ulps (pr values are
+    messy-repr quotient sums, not short decimals; see ORACLE_NOTES).
+    """
+    head = (
+        "WITH e AS (SELECT s_suppkey AS src, s_nationkey + 1000000 AS dst "
+        "FROM supplier), "
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), "
+        "p AS (SELECT count(*) AS n FROM nodes), "
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM p) AS pr FROM nodes)"
+    )
+    its = []
+    for k in range(1, iters + 1):
+        prev = f"r{k-1}"
+        its.append(
+            f", c{k} AS (SELECT e.dst AS id, sum(r.pr / d.deg) AS contrib "
+            f"FROM e JOIN {prev} r ON r.id = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+            f", d{k} AS (SELECT COALESCE(sum(pr), 0.0) AS dm FROM {prev} "
+            "WHERE id NOT IN (SELECT src FROM deg))"
+            f", r{k} AS (SELECT nodes.id, "
+            "(1.0 - 0.85) / (SELECT n FROM p) "
+            f"+ 0.85 * (SELECT dm FROM d{k}) / (SELECT n FROM p) "
+            f"+ 0.85 * COALESCE(c{k}.contrib, 0.0) AS pr "
+            f"FROM nodes LEFT JOIN c{k} ON c{k}.id = nodes.id)"
+        )
+    return (
+        head
+        + "".join(its)
+        + f" SELECT id, round(pr, 6) AS pr FROM r{iters}"
+    )
+
+
 SPECS = [
-    QuerySpec("pagerank_suppliers", q_pagerank_suppliers, None, "iterative-pagerank"),
+    QuerySpec(
+        "pagerank_suppliers",
+        q_pagerank_suppliers,
+        _pagerank_sql(6),
+        "iterative-pagerank (r3: oracled via 6 unrolled CTE iterations)",
+    ),
     QuerySpec(
         "tfidf_top_terms",
         q_tfidf_top_terms,

@@ -66,6 +66,7 @@ ALLOWED_DOUBLES = {
     ("returnflag_stats", "p50"),   # integer-valued interpolation
     ("returnflag_stats", "p90"),
     ("returnflag_stats", "price_p95"),
+    ("pagerank_suppliers", "pr"),  # messy-repr quotient sums, round 6dp
 }
 
 SPECS = {n: s for n, s in all_queries().items() if s.oracle}
