@@ -77,3 +77,73 @@ def running_user_totals_batch(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# --- transformWithStateInPandas (Spark 4 stateful-processor API) -----------
+
+
+def _twst_available() -> bool:
+    """transformWithStateInPandas needs BOTH the Spark 4 API and the
+    protobuf wire library its state-server protocol uses. protobuf is
+    not in this container (same policy as the multimodal pixel codecs:
+    the operator code is real, the environment gap is declared)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        return True
+    except ImportError:  # older Spark or no protobuf in the container
+        return False
+
+
+if _twst_available():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-user running totals on the Spark 4 stateful-processor
+        API — the successor of applyInPandasWithState with typed state
+        handles (ValueState/ListState/MapState), timers, and TTL.
+        Same semantics as :func:`running_user_totals_stream`, so the
+        two APIs certify each other in tests."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total = self._agg.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, round(total, 2)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
+        """Streaming per-user running totals via
+        ``transformWithStateInPandas``. Requires the RocksDB state
+        store provider (set by ``session.streaming_state_conf``)."""
+        return (
+            events_stream.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotalsProcessor(),
+                outputStructType=RUNNING_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )

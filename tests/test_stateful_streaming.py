@@ -56,3 +56,64 @@ def test_stateful_stream_converges_to_batch(spark, tmp_path):
     for uid, (n, _total) in expected.items():
         assert last[uid][0] == n
         assert last[uid][1] == pytest.approx(expected[uid][1], abs=0.02)
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """The Spark 4 stateful-processor API (transformWithStateInPandas,
+    typed state handles on RocksDB) must converge to the same per-user
+    totals as the batch groupBy — and as the older
+    applyInPandasWithState operator it succeeds."""
+    import pytest as _pytest
+
+    from geoestate_etl_spark.streaming import stateful as ST
+
+    if not ST._twst_available():
+        _pytest.skip(
+            "transformWithStateInPandas needs google.protobuf, absent from "
+            "this container (operator gated like the multimodal codecs)"
+        )
+
+    from geoestate_etl_spark.session import streaming_state_conf
+    from tests.conftest import SF_SMOKE
+
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    from geoestate_etl_spark.sources.parquet_io import load_events
+
+    events = load_events(spark, SF_SMOKE)
+    p = str(tmp_path / "events_tws")
+    events.write.parquet(p)
+    batch_df = spark.read.parquet(p)
+
+    expected = {
+        (r.user_id): (r.n_events, r.total_value)
+        for r in ST.running_user_totals_batch(batch_df).collect()
+    }
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    for k, v in streaming_state_conf().items():
+        spark.conf.set(k, v)
+    try:
+        stream = spark.readStream.schema(batch_df.schema).parquet(p)
+        q = (
+            ST.running_user_totals_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.user_id: (r.n_events, r.total_value)
+                for r in spark.sql(
+                    "SELECT * FROM tws_out ORDER BY user_id"
+                ).collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert got == expected
