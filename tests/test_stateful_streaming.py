@@ -76,7 +76,6 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
     from geoestate_etl_spark.session import streaming_state_conf
     from tests.conftest import SF_SMOKE
 
-    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     from geoestate_etl_spark.sources.parquet_io import load_events
 
     events = load_events(spark, SF_SMOKE)
