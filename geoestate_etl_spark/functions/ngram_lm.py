@@ -29,11 +29,15 @@ from pyspark.sql import functions as F
 def sliding_char_ngrams(c: Column | str, n: int = 3) -> Column:
     """ALL sliding character n-grams (with multiplicity — unlike
     ``text.char_ngrams``' distinct set, an LM needs counts).
-    Strings shorter than ``n`` yield their whole (short) text as the
-    single gram."""
+    Non-empty strings shorter than ``n`` yield their whole (short)
+    text as the single gram; empty or NULL text yields an EMPTY array
+    (no phantom '' gram polluting the model or scoring)."""
     col = F.col(c) if isinstance(c, str) else c
     idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+    grams = F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+    return F.when(
+        col.isNull() | (F.length(col) == 0), F.array().cast("array<string>")
+    ).otherwise(grams)
 
 
 def char_ngram_counts(
@@ -60,10 +64,14 @@ def ngram_logprob(
 
     ``P(g) = (cnt(g) + alpha) / (total + alpha * vocab)``
 
-    Documents with fewer than one gram get NULL avg_logprob (nothing
-    to score). The two model scalars (total mass, vocab size) ride in
-    as a broadcast 1-row frame — no driver round-trip in the plan.
+    Empty/NULL documents produce no rows (nothing to score). The two
+    model scalars (total mass, vocab size) ride in as a broadcast
+    1-row frame — no driver round-trip in the plan. The model is
+    persisted here: the totals aggregate and the gram join would
+    otherwise each re-evaluate its corpus-wide explode+agg lineage
+    (the model table itself is small — bounded by alphabet^n).
     """
+    model = model.persist()
     totals = model.agg(
         F.sum("cnt").alias("_total"), F.count("*").alias("_vocab")
     )

@@ -136,8 +136,9 @@ def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the supplier→nation graph (iterative; rows-only —
-    semantics pinned against a numpy reference in test_pagerank)."""
+    """PageRank over the supplier→nation graph. Oracled since r3 via
+    six unrolled CTE iterations (:func:`_pagerank_sql`); semantics
+    additionally pinned against a numpy reference in test_pagerank."""
     from geoestate_etl_spark.operators.pagerank import pagerank
 
     supp = _t(spark, sf_dir, "supplier")
@@ -229,12 +230,15 @@ _WC_SQL = (
 def _pagerank_sql(iters: int = 6) -> str:
     """The same 6 fixed PageRank iterations, unrolled as chained CTEs.
 
-    Float discipline: every constant is written EXACTLY as the Spark
-    plan computes it — ``(1.0 - 0.85)`` not ``0.15`` (different
-    doubles), damping multiplications in the same association order —
-    so per-iteration arithmetic is bit-for-bit modulo summation order,
-    and round(pr, 6) collapses the summation-order ulps (pr values are
-    messy-repr quotient sums, not short decimals; see ORACLE_NOTES).
+    Float discipline: the damping constants are CAST to DOUBLE so
+    DuckDB performs the same IEEE ops as the Spark plan's Python-
+    computed literals (bare ``(1.0 - 0.85)`` would be a DECIMAL
+    subtraction — exactly 0.15, a DIFFERENT double than Python's
+    0.15000000000000002). Association order matches the Column
+    expressions. Residual divergence (summation order, the r0
+    ``1.0/n`` DECIMAL division) is ~1e-16 relative and absorbed by
+    round(pr, 6) — pr values are messy-repr quotient sums, never
+    short decimals (see ORACLE_NOTES).
     """
     head = (
         "WITH e AS (SELECT s_suppkey AS src, s_nationkey + 1000000 AS dst "
@@ -254,9 +258,9 @@ def _pagerank_sql(iters: int = 6) -> str:
             f", d{k} AS (SELECT COALESCE(sum(pr), 0.0) AS dm FROM {prev} "
             "WHERE id NOT IN (SELECT src FROM deg))"
             f", r{k} AS (SELECT nodes.id, "
-            "(1.0 - 0.85) / (SELECT n FROM p) "
-            f"+ 0.85 * (SELECT dm FROM d{k}) / (SELECT n FROM p) "
-            f"+ 0.85 * COALESCE(c{k}.contrib, 0.0) AS pr "
+            "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM p) "
+            f"+ CAST(0.85 AS DOUBLE) * (SELECT dm FROM d{k}) / (SELECT n FROM p) "
+            f"+ CAST(0.85 AS DOUBLE) * COALESCE(c{k}.contrib, 0.0) AS pr "
             f"FROM nodes LEFT JOIN c{k} ON c{k}.id = nodes.id)"
         )
     return (

@@ -38,19 +38,30 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def _fold(n: int, total: float, pdfs) -> tuple[int, float]:
+    """Shared accumulation semantics for BOTH stateful APIs — one
+    definition so they cannot silently diverge."""
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    return n, round(total, 2)
+
+
+def _out_row(key: tuple, n: int, total: float) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
 def _accumulate(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, round(total, 2)))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-    )
+    n, total = _fold(n, total, pdfs)
+    state.update((n, total))
+    yield _out_row(key, n, total)
 
 
 def running_user_totals_stream(events_stream: DataFrame) -> DataFrame:
@@ -118,17 +129,9 @@ if _twst_available():
                 n, total = self._agg.get()
             else:
                 n, total = 0, 0.0
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._agg.update((n, round(total, 2)))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "total_value": [round(total, 2)],
-                }
-            )
+            n, total = _fold(n, total, rows)
+            self._agg.update((n, total))
+            yield _out_row(key, n, total)
 
         def close(self) -> None:
             pass

@@ -16,6 +16,7 @@ WITH g AS (
   SELECT doc_id, substr(text, i, 3) AS gram
   FROM documents, LATERAL (
     SELECT unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i)
+  WHERE text IS NOT NULL AND length(text) > 0
 ), model AS (
   SELECT gram, count(*) AS cnt FROM g GROUP BY gram
 ), tot AS (
@@ -65,5 +66,6 @@ def test_short_and_empty_docs_do_not_crash(spark):
     model = char_ngram_counts(_docs(spark), "text", 3)
     out = ngram_logprob(probe, model, "doc_id", "text")
     rows = {r.doc_id: r.n_grams for r in out.collect()}
-    # 'ab' scores its single short gram; ''/'NULL' produce no rows
-    assert rows.get(1) == 1
+    # 'ab' scores its single short gram; ''/NULL docs yield NO rows
+    # (no phantom '' gram — they have nothing to score)
+    assert rows == {1: 1}

@@ -74,25 +74,29 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
         )
 
     from geoestate_etl_spark.session import streaming_state_conf
-    from tests.conftest import SF_SMOKE
 
-    from geoestate_etl_spark.sources.parquet_io import load_events
-
-    events = load_events(spark, SF_SMOKE)
+    events = load_events(spark, SF_SMOKE).select("user_id", "value")
     p = str(tmp_path / "events_tws")
-    events.write.parquet(p)
+    # several files + maxFilesPerTrigger=1: state must carry across
+    # real micro-batches, exactly like the sibling test above
+    events.repartition(4).write.parquet(p)
     batch_df = spark.read.parquet(p)
 
     expected = {
-        (r.user_id): (r.n_events, r.total_value)
-        for r in ST.running_user_totals_batch(batch_df).collect()
+        r.user_id: (r.n_events, r.total_value)
+        for r in running_user_totals_batch(batch_df).collect()
     }
 
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    for k, v in streaming_state_conf().items():
+    conf_keys = streaming_state_conf()
+    prev = {k: spark.conf.get(k, None) for k in conf_keys}
+    for k, v in conf_keys.items():
         spark.conf.set(k, v)
     try:
-        stream = spark.readStream.schema(batch_df.schema).parquet(p)
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(p)
+        )
         q = (
             ST.running_user_totals_tws(stream)
             .writeStream.outputMode("update")
@@ -102,17 +106,24 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
         )
         try:
             q.processAllAvailable()
-            got = {
-                r.user_id: (r.n_events, r.total_value)
-                for r in spark.sql(
-                    "SELECT * FROM tws_out ORDER BY user_id"
-                ).collect()
-            }
+            assert q.lastProgress["batchId"] >= 2  # multiple batches ran
+            rows = spark.sql(
+                "SELECT user_id, n_events, total_value FROM tws_out"
+            ).collect()
         finally:
             q.stop()
     finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-    assert got == expected
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    last = {}
+    for r in rows:  # memory sink appends in batch order: last wins
+        last[r.user_id] = (r.n_events, r.total_value)
+    assert set(last) == set(expected)
+    for uid, (n, total) in expected.items():
+        assert last[uid][0] == n
+        # processor rounds with Python (pairwise sum, banker's) vs the
+        # batch side's F.round(F.sum) — compare within a cent band
+        assert last[uid][1] == pytest.approx(total, abs=0.02)
