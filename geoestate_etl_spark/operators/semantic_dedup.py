@@ -1,0 +1,148 @@
+"""Semantic (embedding-space) deduplication — SemDeDup-style.
+
+Method (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", arXiv:2303.09540): cluster
+the corpus embeddings with k-means, then examine pairs ONLY within a
+cluster — two documents whose embeddings land in different clusters
+are assumed not to be semantic duplicates (the paper's documented
+approximation). Inside a cluster, an item is a duplicate when its
+cosine similarity to an EARLIER item (in a fixed deterministic order)
+meets the threshold; earlier items win. The published implementation
+orders by distance-to-centroid — here the order is ascending id, which
+keeps the rule deterministic, join-expressible, and SQL-oracle-able
+without changing the structure of the algorithm.
+
+100 TB shape:
+
+- Clustering reuses the IVF coarse quantizer
+  (:func:`operators.similarity.ivf_build` — deterministic Lloyd,
+  Arrow-batched numpy assignment). The assigned table is tiny per row
+  (id + cell) and is materialized once per corpus snapshot, exactly
+  like the IVF serving index.
+- The pair scan is an equi-self-join on ``cell``: cost is
+  Σ_c n_c², bounded by choosing n_cells ∝ N so occupancy stays
+  constant — never a crossJoin. A ``max_cluster_size`` cap skips
+  degenerate clusters (zero vectors, templated embeddings) the same
+  way the text-LSH paths cap hot buckets, with the skipped clusters
+  available for audit.
+- The keep/drop decision is one distinct + one left-anti join on id —
+  no window over the corpus, no driver-side state.
+
+The reference has no embedding surface (dags/main.py is a tabular
+CSV→ClickHouse DAG); this operator is part of the added
+training-data-pipeline tier (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.functions.vectors import cosine
+
+__all__ = [
+    "cluster_embeddings",
+    "semantic_pairs",
+    "semantic_dedup",
+]
+
+
+def cluster_embeddings(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means cluster assignment ``(id, cell)``.
+
+    Thin wrapper over the IVF coarse quantizer: same centroids a probe
+    index would use, so a corpus that already maintains an IVF index
+    gets semantic dedup clustering for free (one shared artifact).
+    """
+    from geoestate_etl_spark.operators.similarity import ivf_build
+
+    assigned, _ = ivf_build(embeddings, n_cells, iters, id_col, vec_col)
+    return assigned.select(id_col, "cell")
+
+
+def _capped(clustered: DataFrame, max_cluster_size: int | None) -> DataFrame:
+    if max_cluster_size is None:
+        return clustered
+    from geoestate_etl_spark.operators.dedup import cap_hot_buckets
+
+    return cap_hot_buckets(clustered, ["cell"], max_cluster_size)
+
+
+def semantic_pairs(
+    clustered: DataFrame,
+    cosine_threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+    max_cluster_size: int | None = 4096,
+) -> DataFrame:
+    """Within-cluster duplicate pairs ``(id_a, id_b, cell, cos_e{scale})``.
+
+    ``clustered`` must carry ``cell`` (see :func:`cluster_embeddings`)
+    plus the id and vector columns. ``id_a < id_b`` always; the score
+    is the exact cosine, rounded to ``scale`` decimals and emitted as
+    a scaled BIGINT (``cos * 10^scale``) so downstream hashes never
+    touch a float (docs/ORACLE_NOTES.md float discipline).
+    """
+    b = _capped(clustered, max_cluster_size)
+    left, right = b.alias("l"), b.alias("r")
+    cos = cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+    cos_i = F.round(cos * (10**scale)).cast("bigint")
+    return (
+        left.join(
+            right,
+            (F.col("l.cell") == F.col("r.cell"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.cell").cast("bigint").alias("cell"),
+            cos_i.alias(f"cos_e{scale}"),
+        )
+        .filter(
+            F.col(f"cos_e{scale}")
+            >= int(round(cosine_threshold * (10**scale)))
+        )
+    )
+
+
+def semantic_dedup(
+    clustered: DataFrame,
+    cosine_threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+    max_cluster_size: int | None = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(pairs, decisions)``.
+
+    ``decisions`` has one row per input item: ``(id, cell, kept)``.
+    ``kept`` is false exactly when the item has a within-cluster
+    earlier (smaller-id) neighbor at/above the threshold — the
+    published SemDeDup rule with id as the fixed order, so an item can
+    be dropped because of a neighbor that was itself dropped (a~b,
+    b~c, a≁c drops BOTH b and c; dedup is against the ordering, not
+    against the surviving set).
+    """
+    pairs = semantic_pairs(
+        clustered, cosine_threshold, id_col, vec_col, scale, max_cluster_size
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    decisions = (
+        clustered.join(
+            dropped.withColumn("_dropped", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.col("cell").cast("bigint").alias("cell"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+    return pairs, decisions

@@ -203,6 +203,79 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_clusters_path(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        _repo_root(), "data", "derived", f"semantic_clusters_{tag}.parquet"
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (semantic near-dup removal).
+
+    The k-means cluster assignment is deterministic but iterative
+    (Lloyd) — not SQL-expressible — so like the MinHash pair graph it
+    is materialized ONCE to a committed parquet both engines read:
+    Spark joins it back to the vectors and runs the within-cluster
+    pair scan + greedy keeper rule; the DuckDB oracle reproduces both
+    from the same file with ``list_cosine_similarity``. Drift between
+    the committed clusters and the current k-means code is caught by
+    ``tests/test_derived_artifacts.py``.
+
+    The threshold (0.40) is calibrated to the synthetic testdata —
+    near-random embeddings top out around cos 0.51, so the paper's
+    0.9x would certify an empty relation. Semantics are
+    threshold-independent; production defaults stay in the operator.
+    """
+    from geoestate_etl_spark.operators.semantic_dedup import (
+        cluster_embeddings,
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = semantic_clusters_path(sf_dir)
+    if not os.path.exists(path):
+        cluster_embeddings(emb).write.mode("overwrite").parquet(path)
+    clustered = spark.read.parquet(path).join(emb, "vec_id")
+    pairs, decisions = semantic_dedup(clustered, cosine_threshold=0.40)
+    nl = F.lit(None).cast("bigint")
+    p = pairs.select(
+        F.lit("pair").alias("variant"),
+        "id_a",
+        "id_b",
+        "cell",
+        "cos_e4",
+        nl.alias("kept"),
+    )
+    d = decisions.select(
+        F.lit("keep").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        nl.alias("id_b"),
+        "cell",
+        nl.alias("cos_e4"),
+        F.col("kept").cast("bigint").alias("kept"),
+    )
+    return p.unionByName(d)
+
+
+_SEMANTIC_DEDUP_SQL = (
+    "WITH cl AS (SELECT vec_id, cell FROM read_parquet("
+    "'/root/repo/data/derived/semantic_clusters_sf0.01.parquet/*.parquet')), "
+    "e AS (SELECT cl.vec_id, cl.cell, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM cl JOIN embeddings USING (vec_id)), "
+    "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "CAST(a.cell AS BIGINT) AS cell, "
+    "CAST(round(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT) AS cos_e4 "
+    "FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id), "
+    "pp AS (SELECT * FROM p WHERE cos_e4 >= 4000) "
+    "SELECT 'pair' AS variant, id_a, id_b, cell, cos_e4, "
+    "CAST(NULL AS BIGINT) AS kept FROM pp "
+    "UNION ALL SELECT 'keep', e.vec_id, NULL, CAST(e.cell AS BIGINT), NULL, "
+    "CAST(e.vec_id NOT IN (SELECT id_b FROM pp) AS BIGINT) FROM e"
+)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over `documents`: docs where
     ``doc_id % 7 == 0`` stand in for the eval set; every other doc is
@@ -341,5 +414,12 @@ SPECS = [
         "SELECT t.doc_id, count(*) AS n_shared FROM train t "
         "JOIN bench b USING (g) GROUP BY t.doc_id ORDER BY t.doc_id",
         "llm-decontamination ngram-overlap",
+    ),
+    QuerySpec(
+        "semantic_dedup",
+        q_semantic_dedup,
+        _SEMANTIC_DEDUP_SQL,
+        "llm-semantic-dedup (SemDeDup: k-means clusters + within-cluster "
+        "cosine pairs + greedy min-id keeper)",
     ),
 ]

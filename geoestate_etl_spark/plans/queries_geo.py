@@ -87,14 +87,7 @@ _HAVERSINE = (
     "pow(sin((radians({lo2}) - radians({lo1})) / 2), 2)))"
 )
 
-SPECS = [
-    QuerySpec(
-        "geo_grid_count",
-        q_geo_grid_count,
-        f"WITH c AS ({_coords_cte('customer', 'c_custkey')}) "
-        "SELECT CAST(floor(lat / 10.0) AS BIGINT) || ':' || "
-        "CAST(floor(lon / 10.0) AS BIGINT) AS cell, count(*) AS cnt "
-        "FROM c GROUP BY cell",
-        "geo-grid-bucket",
-    ),
-]
+# geo_grid_count was a standalone registry entry through r3; folded into
+# the geo_distance_radius tagged union in r4 to free the slot the oracled
+# `semantic_dedup` entry took (registry window is exactly 50 names).
+SPECS: list[QuerySpec] = []

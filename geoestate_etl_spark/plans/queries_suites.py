@@ -886,17 +886,21 @@ def q_window_frame_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full geo surface in one tagged union: haversine top-k (probe
-    point), grid-bucketed radius join, and per-customer point facts
+    point), grid-bucketed radius join, per-customer point facts
     (bbox membership + Morton Z-order key — the former geo_points
-    entry, folded in r3 to free a registry slot)."""
+    entry, folded in r3 to free a registry slot), and grid-cell
+    density counts (the former geo_grid_count entry, folded in r4
+    to free the slot `semantic_dedup` took)."""
     from geoestate_etl_spark.functions.geo import in_bbox
     from geoestate_etl_spark.functions.zorder import morton_key_2d
     from geoestate_etl_spark.plans.queries_geo import (
         _with_coords,
         q_geo_distance_topk,
+        q_geo_grid_count,
         q_geo_radius_join,
     )
 
+    _NULL_STR = lambda: F.lit(None).cast(T.StringType())  # noqa: E731
     topk = q_geo_distance_topk(spark, sf_dir).select(
         F.lit("topk").alias("kind"),
         F.col("c_custkey").alias("id_a"),
@@ -906,6 +910,8 @@ def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_D().alias("lon"),
         _NULL_L().alias("in_box"),
         _NULL_L().alias("zkey"),
+        _NULL_STR().alias("cell"),
+        _NULL_L().alias("cnt"),
     )
     radius = q_geo_radius_join(spark, sf_dir).select(
         F.lit("radius").alias("kind"),
@@ -916,6 +922,8 @@ def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_D().alias("lon"),
         _NULL_L().alias("in_box"),
         _NULL_L().alias("zkey"),
+        _NULL_STR().alias("cell"),
+        _NULL_L().alias("cnt"),
     )
     cust = _with_coords(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
     points = cust.select(
@@ -929,8 +937,22 @@ def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(T.LongType())
         .alias("in_box"),
         morton_key_2d("lat", "lon", -70.0, 70.0, -170.0, 170.0, 16).alias("zkey"),
+        _NULL_STR().alias("cell"),
+        _NULL_L().alias("cnt"),
     )
-    return topk.unionByName(radius).unionByName(points)
+    grid = q_geo_grid_count(spark, sf_dir).select(
+        F.lit("grid").alias("kind"),
+        _NULL_L().alias("id_a"),
+        _NULL_L().alias("id_b"),
+        _NULL_D().alias("dist_km"),
+        _NULL_D().alias("lat"),
+        _NULL_D().alias("lon"),
+        _NULL_L().alias("in_box"),
+        _NULL_L().alias("zkey"),
+        "cell",
+        "cnt",
+    )
+    return topk.unionByName(radius).unionByName(points).unionByName(grid)
 
 
 # --- oracle SQL -------------------------------------------------------------
@@ -1418,17 +1440,22 @@ FROM base
             f"s AS ({_coords_cte('supplier', 's_suppkey', 'slat', 'slon')}) "
             "SELECT 'topk' AS kind, c_custkey AS id_a, CAST(NULL AS BIGINT) AS id_b, "
             "dist_km, CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon, "
-            "CAST(NULL AS BIGINT) AS in_box, CAST(NULL AS BIGINT) AS zkey "
+            "CAST(NULL AS BIGINT) AS in_box, CAST(NULL AS BIGINT) AS zkey, "
+            "CAST(NULL AS VARCHAR) AS cell, CAST(NULL AS BIGINT) AS cnt "
             "FROM (SELECT c_custkey, round(" + hav_probe + ", 3) AS dist_km "
             "FROM c ORDER BY dist_km ASC, c_custkey ASC LIMIT 25) "
             "UNION ALL SELECT 'radius', c_custkey, s_suppkey, "
-            "round(" + hav_pair + ", 3), NULL, NULL, NULL, NULL "
+            "round(" + hav_pair + ", 3), NULL, NULL, NULL, NULL, NULL, NULL "
             "FROM cc JOIN s ON round(" + hav_pair + ", 3) <= 200.0 "
             "UNION ALL SELECT 'point', c_custkey, NULL, NULL, lat, lon, "
             "CAST((lat BETWEEN 40.0 AND 60.0 AND lon BETWEEN 20.0 AND 60.0) AS BIGINT), "
-            f"{_morton_sql()} FROM c",
-            "geo-topk+radius-join+bbox+zorder (merged r3: geo_distance_topk+"
-            "geo_radius_join+geo_points)",
+            f"{_morton_sql()}, NULL, NULL FROM c "
+            "UNION ALL SELECT 'grid', NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            "cell, cnt FROM (SELECT CAST(floor(lat / 10.0) AS BIGINT) || ':' || "
+            "CAST(floor(lon / 10.0) AS BIGINT) AS cell, count(*) AS cnt "
+            "FROM c GROUP BY cell)",
+            "geo-topk+radius-join+bbox+zorder+grid-density (merged r3: "
+            "geo_distance_topk+geo_radius_join+geo_points; r4: geo_grid_count)",
         ),
         QuerySpec(
             "ann_certify",

@@ -44,3 +44,30 @@ def test_committed_pairs_match_current_code(spark):
         f"{len(only_committed)} stale, {len(only_fresh)} missing — "
         f"delete {path}, rerun components_suite, and commit the rewrite"
     )
+
+
+def test_committed_semantic_clusters_match_current_code(spark):
+    """Same drift gate for the `semantic_dedup` cluster artifact: the
+    oracle reads data/derived/semantic_clusters_sf0.01.parquet, so the
+    committed assignments must equal what the current deterministic
+    k-means produces."""
+    import os as _os
+
+    from geoestate_etl_spark.operators.semantic_dedup import cluster_embeddings
+    from geoestate_etl_spark.plans.queries_ext import semantic_clusters_path
+
+    path = semantic_clusters_path(SF_ORACLE)
+    if not _os.path.exists(path):
+        pytest.skip("no committed artifact for this sf (first run writes it)")
+    committed = {
+        (r.vec_id, r.cell) for r in spark.read.parquet(path).collect()
+    }
+    emb = spark.read.parquet(_os.path.join(SF_ORACLE, "embeddings.parquet"))
+    fresh = {
+        (r.vec_id, r.cell) for r in cluster_embeddings(emb).collect()
+    }
+    assert committed == fresh, (
+        f"committed semantic clusters drifted from current code "
+        f"({len(committed - fresh)} stale, {len(fresh - committed)} missing) — "
+        f"delete {path}, rerun semantic_dedup, and commit the rewrite"
+    )
