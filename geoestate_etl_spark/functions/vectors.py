@@ -89,3 +89,44 @@ def hyperplane_bits(c: Column | str, planes: list[list[float]]) -> Column:
         for p in planes
     ]
     return F.concat(*bits)
+
+
+def projection_matrix(
+    out_dim: int, in_dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic sign random-projection matrix, rows scaled by
+    1/sqrt(out_dim).
+
+    Johnson-Lindenstrauss with ±1 entries (Achlioptas 2003,
+    "Database-friendly random projections"): sign matrices carry the
+    same distance-preservation guarantee as Gaussian ones, and the
+    scaled-sign literals keep the per-dim arithmetic to one add/sub.
+    Same stateless LCG scheme as ``similarity.make_hyperplanes`` —
+    the matrix is a pure function of (seed, shape), identical on
+    every executor and every run, so projected vectors are join-stable
+    across pipelines without shipping matrix state anywhere.
+    """
+    import math
+
+    s = 1.0 / math.sqrt(out_dim)
+    rows = []
+    for j in range(out_dim):
+        row = []
+        x = (seed * 6364136223846793005 + (j + 1) * 2862933555777941757) % (1 << 64)
+        for _ in range(in_dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(s if (x >> 63) else -s)
+        rows.append(row)
+    return rows
+
+
+def project(c: Column | str, matrix: list[list[float]]) -> Column:
+    """Project an embedding onto ``matrix`` rows: ``array<double>`` of
+    ``out_dim`` dots. Pure higher-order-function Columns (JVM-side);
+    intended for modest out_dim (8-64) where the codegen tree stays
+    small — the standard ANN pre-filter shape: project 768→32, bucket
+    or index in the cheap space, exact-rescore survivors in the
+    original space (see ``operators.similarity``)."""
+    return F.array(
+        *[dot(c, F.array(*[F.lit(v) for v in row])) for row in matrix]
+    )

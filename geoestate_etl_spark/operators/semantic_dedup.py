@@ -35,10 +35,10 @@ training-data-pipeline tier (SURVEY §2 extensions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from geoestate_etl_spark.functions.vectors import cosine
+from geoestate_etl_spark.functions.vectors import to_double_array
 
 __all__ = [
     "cluster_embeddings",
@@ -74,6 +74,14 @@ def _capped(clustered: DataFrame, max_cluster_size: int | None) -> DataFrame:
     return cap_hot_buckets(clustered, ["cell"], max_cluster_size)
 
 
+def _dot_pre(x: Column, y: Column) -> Column:
+    """Dot of two ALREADY-double arrays — left-to-right fold, same
+    arithmetic order as ``vectors.dot`` (bit-identical results)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
 def semantic_pairs(
     clustered: DataFrame,
     cosine_threshold: float = 0.92,
@@ -89,10 +97,24 @@ def semantic_pairs(
     is the exact cosine, rounded to ``scale`` decimals and emitted as
     a scaled BIGINT (``cos * 10^scale``) so downstream hashes never
     touch a float (docs/ORACLE_NOTES.md float discipline).
+
+    Higher-order-function folds are interpreted, not codegen'd, so
+    per-PAIR vector math is the cost center of the whole operator.
+    The double-cast array and the norm are therefore computed once
+    per ROW before the self-join (N rows), leaving exactly one fold —
+    the cross dot — per PAIR; the arithmetic (cast → self-dot → sqrt
+    → dot/(na·nb)) keeps vectors.cosine's op order bit-for-bit, so
+    oracle parity at ``scale`` decimals is unchanged.
     """
-    b = _capped(clustered, max_cluster_size)
+    b = _capped(clustered, max_cluster_size).withColumn(
+        "_v", to_double_array(vec_col)
+    )
+    b = b.withColumn("_n", F.sqrt(_dot_pre(F.col("_v"), F.col("_v"))))
     left, right = b.alias("l"), b.alias("r")
-    cos = cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+    denom = F.col("l._n") * F.col("r._n")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        _dot_pre(F.col("l._v"), F.col("r._v")) / denom
+    )
     cos_i = F.round(cos * (10**scale)).cast("bigint")
     return (
         left.join(
@@ -120,6 +142,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     scale: int = 4,
     max_cluster_size: int | None = 4096,
+    pairs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(pairs, decisions)``.
 
@@ -130,10 +153,16 @@ def semantic_dedup(
     be dropped because of a neighbor that was itself dropped (a~b,
     b~c, a≁c drops BOTH b and c; dedup is against the ordering, not
     against the surviving set).
+
+    Pass a precomputed (possibly persisted) ``pairs`` frame when the
+    caller also consumes the pair relation — the pair scan is the
+    operator's cost center and Spark would otherwise run it once per
+    consumer.
     """
-    pairs = semantic_pairs(
-        clustered, cosine_threshold, id_col, vec_col, scale, max_cluster_size
-    )
+    if pairs is None:
+        pairs = semantic_pairs(
+            clustered, cosine_threshold, id_col, vec_col, scale, max_cluster_size
+        )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     decisions = (
         clustered.join(

@@ -73,6 +73,7 @@ class CorpusResult:
     total_tokens: int
     n_chunks: int
     n_decontam_dropped: int = 0
+    n_semantic_dropped: int = 0
     shard_manifest: dict | None = None
 
     def unpersist(self) -> None:
@@ -122,6 +123,9 @@ def run_corpus(
     normalize: bool = False,
     benchmark: DataFrame | None = None,
     decontam_ngram: int = 8,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.92,
+    semantic_cells: int = 16,
     shards_path: str | None = None,
     rows_per_shard: int = 100_000,
     **near_dup_kwargs,
@@ -221,6 +225,30 @@ def run_corpus(
         losers.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
 
+    # semantic (embedding-space) dedup on the textually-deduped
+    # survivors: SemDeDup removes paraphrases/translations that share
+    # no shingles, so it runs AFTER the text tiers (cheap drops first)
+    # and only over vectors the survivors still need. ``embeddings``
+    # must carry (id_col, 'embedding'); docs without a vector pass
+    # through untouched (coverage gaps must not silently drop data).
+    n_semantic_dropped = 0
+    if embeddings is not None:
+        from geoestate_etl_spark.operators.semantic_dedup import (
+            cluster_embeddings,
+            semantic_dedup,
+        )
+
+        emb_surv = embeddings.join(survivors.select(id_col), id_col)
+        clustered = cluster_embeddings(
+            emb_surv, n_cells=semantic_cells, id_col=id_col
+        ).join(emb_surv, id_col)
+        _, decisions = semantic_dedup(
+            clustered, semantic_threshold, id_col=id_col
+        )
+        sem_dropped = decisions.filter(~F.col("kept")).select(id_col).persist()
+        n_semantic_dropped = sem_dropped.count()
+        survivors = survivors.join(sem_dropped, id_col, "left_anti")
+
     # benchmark decontamination on the deduped survivors, BEFORE the
     # scrub (scrubbing rewrites text; overlap is defined on content as
     # deduped). The flagged set is tiny -> one cheap extra action.
@@ -272,5 +300,6 @@ def run_corpus(
         total_tokens=totals["toks"] or 0,
         n_chunks=totals["chunks"],
         n_decontam_dropped=n_decontam_dropped,
+        n_semantic_dropped=n_semantic_dropped,
         shard_manifest=shard_manifest,
     )

@@ -230,6 +230,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoestate_etl_spark.operators.semantic_dedup import (
         cluster_embeddings,
         semantic_dedup,
+        semantic_pairs,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -237,7 +238,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(path):
         cluster_embeddings(emb).write.mode("overwrite").parquet(path)
     clustered = spark.read.parquet(path).join(emb, "vec_id")
-    pairs, decisions = semantic_dedup(clustered, cosine_threshold=0.40)
+    # persisted: the 'pair' branch and the keep/drop decisions both
+    # consume the pair scan — the operator's cost center (one
+    # interpreted vector fold per candidate pair); without this the
+    # union runs it twice
+    pairs = semantic_pairs(clustered, cosine_threshold=0.40).persist()
+    _, decisions = semantic_dedup(clustered, cosine_threshold=0.40, pairs=pairs)
     nl = F.lit(None).cast("bigint")
     p = pairs.select(
         F.lit("pair").alias("variant"),

@@ -198,3 +198,39 @@ def test_full_hygiene_run_normalize_decontam_shards(spark, tmp_path):
             res2.unpersist()
     finally:
         res.unpersist()
+
+
+def test_semantic_dedup_stage_drops_planted_paraphrase(spark):
+    """Docs 1 and 10 share no shingles (text tiers keep both) but get
+    near-identical planted embeddings — the semantic stage must drop
+    the larger id and count it; doc 11's distinct vector and the
+    vectorless coverage gap pass through untouched."""
+    docs = _corpus(spark)
+    base = [1.0, 0.2, -0.3, 0.7]
+    emb = spark.createDataFrame(
+        [
+            (1, base),
+            (10, [v + 0.001 for v in base]),  # paraphrase of 1
+            # doc 11 intentionally has NO embedding (coverage gap)
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    # semantic_cells=1: with 2 surviving vectors, k-means at k=2 would
+    # seed the planted pair as two separate centroids (k ~ n degenerate
+    # case); production sizing is cells ∝ N/occupancy
+    res = run_corpus(
+        docs, embeddings=emb, semantic_threshold=0.95, semantic_cells=1
+    )
+    ids = {r.doc_id for r in res.cached.select("doc_id").collect()}
+    assert res.n_semantic_dropped == 1
+    assert 10 not in ids
+    assert {1, 11} <= ids
+    res.unpersist()
+
+
+def test_semantic_stage_off_by_default(spark):
+    """No embeddings argument -> stage disabled, counter zero (exact
+    backwards compatibility with the r2/r3 pipeline)."""
+    res = run_corpus(_corpus(spark))
+    assert res.n_semantic_dropped == 0
+    res.unpersist()
