@@ -147,3 +147,57 @@ def temperature_mix(
         s: min(1.0, (targets[s] * T) / counts[s]) for s in counts
     }
     return stratified_sample(df, key, stratum, fractions, salt=salt), fractions
+
+
+def grouped_split(
+    df: DataFrame,
+    group: Column | str,
+    fractions: dict[str, float],
+    fallback_key: str | None = None,
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: hash a GROUP key, not the row id, so every
+    member of a group lands in the same split.
+
+    Near-duplicates overwhelmingly share a group (pages of one site,
+    re-crawls of one URL, boilerplate variants of one template), so
+    splitting by row id leaks eval content into train through those
+    twins; the standard guard is to split by registrable domain —
+    ``functions.urls.registered_domain(url_parts(url).getField("host"))``
+    composes directly as ``group``. Same determinism contract as
+    :func:`hash_split` (pure function of the group value + salt;
+    incremental ingests never move an existing group).
+
+    NULL groups (no URL, unparseable host) all hash alike — as one
+    key they would land as a block in a single split, skewing its
+    size. Pass ``fallback_key`` (a STABLE per-row id column) to split
+    NULL-group rows individually like :func:`hash_split` would; the
+    fallback is tagged so a group whose string form equals an id can
+    never collide with it. Without a fallback, NULL groups raise —
+    silently mis-splitting is worse than failing (same philosophy as
+    the NULL-stratum fix in :func:`temperature_mix`).
+    """
+    g = F.col(group) if isinstance(group, str) else group
+    if fallback_key is None:
+        df = df.withColumn(
+            "_gkey",
+            F.when(
+                g.isNull(),
+                F.raise_error(
+                    F.lit(
+                        "grouped_split: NULL group value and no fallback_key "
+                        "given — pass a stable row-id column"
+                    )
+                ),
+            ).otherwise(g.cast("string")),
+        )
+    else:
+        df = df.withColumn(
+            "_gkey",
+            F.coalesce(
+                g.cast("string"),
+                F.concat(F.lit("\x00row:"), F.col(fallback_key).cast("string")),
+            ),
+        )
+    return hash_split(df, "_gkey", fractions, salt, split_col).drop("_gkey")

@@ -151,3 +151,84 @@ def test_temperature_mix_null_stratum_not_dropped(spark):
     # equalized: NULL stratum keeps ~its fraction of 200, not zero
     assert n_null > 0
     assert abs(n_null / 200 - fr0[None]) < 0.15
+
+
+# --- grouped (leakage-safe) splits ------------------------------------------
+
+
+def test_grouped_split_no_group_straddles(spark):
+    """Every member of a group lands in one split — the leakage guard."""
+    from geoestate_etl_spark.operators.sampling import grouped_split
+
+    rows = [(i, f"site{i % 37}.com") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    out = grouped_split(df, "domain", {"train": 0.7, "val": 0.15, "test": 0.15})
+    straddlers = (
+        out.groupBy("domain")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert straddlers == 0
+    # and all three splits are nonempty at 37 groups
+    assert out.select("split").distinct().count() == 3
+
+
+def test_grouped_split_deterministic_under_repartition(spark):
+    from geoestate_etl_spark.operators.sampling import grouped_split
+
+    rows = [(i, f"site{i % 37}.com") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    fr = {"train": 0.8, "test": 0.2}
+    a = {(r.doc_id, r.split) for r in grouped_split(df, "domain", fr).collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in grouped_split(df.repartition(13), "domain", fr).collect()
+    }
+    assert a == b
+
+
+def test_grouped_split_null_groups(spark):
+    from pyspark.sql.utils import PythonException
+
+    from geoestate_etl_spark.operators.sampling import grouped_split
+
+    rows = [(1, "a.com"), (2, None), (3, "b.com"), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    fr = {"train": 0.5, "test": 0.5}
+    # without a fallback: NULL groups must raise, not mis-split
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="fallback_key"):
+        grouped_split(df, "domain", fr).collect()
+    # with a fallback: NULL rows split independently (ids 2 and 4 may
+    # differ), non-NULL rows keep their group assignment
+    out = grouped_split(df, "domain", fr, fallback_key="doc_id")
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # the tagged fallback key cannot collide with a real domain equal
+    # to the id string
+    df2 = spark.createDataFrame([(5, "2")], ["doc_id", "domain"])
+    out2 = grouped_split(df2, "domain", fr, fallback_key="doc_id")
+    assert out2.count() == 1
+
+
+def test_grouped_split_domain_compose(spark):
+    """The documented compose: registrable domain from raw URLs keeps
+    every page of one site in one split."""
+    from geoestate_etl_spark.functions.urls import registered_domain, url_parts
+    from geoestate_etl_spark.operators.sampling import grouped_split
+
+    rows = [
+        (1, "https://news.example.co.uk/a?id=1"),
+        (2, "http://example.co.uk/b"),
+        (3, "https://blog.example.co.uk/c#x"),
+        (4, "https://other.org/d"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    dom = registered_domain(url_parts(F.col("url")).getField("host"))
+    out = grouped_split(
+        df.withColumn("_dom", dom), "_dom", {"train": 0.6, "test": 0.4}
+    )
+    splits = {r.doc_id: r.split for r in out.collect()}
+    assert splits[1] == splits[2] == splits[3]

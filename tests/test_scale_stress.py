@@ -247,3 +247,60 @@ def test_decontaminate_500k_docs_no_corpus_shuffle(spark):
         F.min("n_shared").alias("mn"),
     ).collect()[0]
     assert (agg.n, agg.d, agg.mn) == (500_000 - 1_000, 1, 4)
+
+
+def test_semantic_dedup_100k_vectors_planted(spark):
+    """Semantic dedup at 100k vectors: the pair scan must stay an
+    equi-join on cell (never quadratic in the corpus), recover every
+    planted near-copy, and the cap must bound a degenerate cluster.
+
+    Cells are assigned directly (id-derived) — this stresses the pair
+    scan + keeper join at volume; k-means itself is covered at data
+    scale by the committed-artifact drift gate.
+    """
+    from geoestate_etl_spark.operators.semantic_dedup import (
+        semantic_dedup,
+        semantic_pairs,
+    )
+
+    n, dim, cells = 100_000, 8, 512
+    # base vectors: deterministic pseudo-random per id (JVM-side),
+    # scattered across cells; every id % 1000 == 0 gets a planted
+    # near-copy with id+n in the SAME cell
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % cells).cast("int").alias("cell"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000)).cast("double")
+                / 500.0
+                - 1.0
+            ),
+        ).alias("embedding"),
+    )
+    copies = base.filter(F.col("vec_id") % 1000 == 0).select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        "cell",
+        F.transform(
+            F.col("embedding"), lambda v: v * 1.0001
+        ).alias("embedding"),  # scaled copy: cosine exactly 1
+    )
+    df = base.unionByName(copies)
+
+    pairs = semantic_pairs(df, cosine_threshold=0.999, max_cluster_size=None)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    pairs_p = pairs.persist()
+    planted = pairs_p.filter(F.col("id_b") == F.col("id_a") + n)
+    assert planted.count() == n // 1000  # every planted copy found
+    _, decisions = semantic_dedup(
+        df, cosine_threshold=0.999, max_cluster_size=None, pairs=pairs_p
+    )
+    dropped = decisions.filter(~F.col("kept"))
+    # every planted copy dropped; keepers keep the smaller id
+    assert dropped.filter(F.col("vec_id") >= n).count() == n // 1000
+    assert decisions.count() == n + n // 1000
+    pairs_p.unpersist()
