@@ -232,6 +232,7 @@ def run_corpus(
     # must carry (id_col, 'embedding'); docs without a vector pass
     # through untouched (coverage gaps must not silently drop data).
     n_semantic_dropped = 0
+    sem_dropped = None
     if embeddings is not None:
         from geoestate_etl_spark.operators.semantic_dedup import (
             cluster_embeddings,
@@ -253,6 +254,7 @@ def run_corpus(
     # scrub (scrubbing rewrites text; overlap is defined on content as
     # deduped). The flagged set is tiny -> one cheap extra action.
     n_decontam_dropped = 0
+    flagged_ids = None
     if benchmark is not None:
         from geoestate_etl_spark.operators.decontam import contamination_report
 
@@ -273,7 +275,14 @@ def run_corpus(
     clean = clean.persist()
     n_exact = exact.count()
     n_near = clean.count()
+    # clean is materialized now, so every upstream cache can go: the
+    # drop-list persists only existed to keep their counts and the
+    # survivor anti-joins on one computation each
     exact.unpersist()
+    if sem_dropped is not None:
+        sem_dropped.unpersist()
+    if flagged_ids is not None:
+        flagged_ids.unpersist()
 
     packed = pack_sequences(clean, id_col, "n_tokens", token_budget)
     totals = packed.agg(
