@@ -306,6 +306,174 @@ def simhash_batch(text_col: Column | str) -> Column:
     return _f(F.col(text_col) if isinstance(text_col, str) else text_col)
 
 
+def _rows_per_band(num_hashes: int, bands: int) -> int:
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop signature rows and change the "
+            "similarity threshold curve"
+        )
+    return num_hashes // bands
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    arrow: bool = True,
+) -> DataFrame:
+    """The materializable signature relation ``(id, sh, sig)`` — the
+    standing table an incremental near-dup deployment persists between
+    batches (see :func:`incremental_near_dups`).
+
+    ``sh`` is the shingle-id set (for the exact-Jaccard rescore),
+    ``sig`` the MinHash signature (for LSH banding). Both are pure
+    functions of the text content, so rows written by one batch match
+    rows recomputed by any later batch or cluster layout.
+    """
+    # the shingle/signature projection is the CPU-heavy stage; small or
+    # single-file inputs arrive as one partition, so spread it first
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if arrow:
+        return df.select(
+            F.col(id_col).alias("id"),
+            shingle_sig_batch(text_col, k_shingle, num_hashes).alias("_ss"),
+        ).select("id", F.col("_ss.sh").alias("sh"), F.col("_ss.sig").alias("sig"))
+    return df.select(
+        F.col(id_col).alias("id"), shingle_ids(text_col, k_shingle).alias("sh")
+    ).withColumn("sig", minhash_signature("sh", num_hashes))
+
+
+def band_explode(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """``(id, band_hash)`` — one row per (doc, band). The band hash
+    mixes the band INDEX with that band's signature slice, so equal
+    slices in different bands never collide into one bucket."""
+    rows_per_band = _rows_per_band(num_hashes, bands)
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.lit(b),
+                    *[
+                        F.col("sig").getItem(b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.withColumn("band_hash", F.explode(band_arr)).select(
+        "id", "band_hash"
+    )
+
+
+def incremental_near_dups(
+    batch: DataFrame,
+    standing_sigs: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
+    arrow: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """History-aware near-dup pairs: O(batch), not O(history).
+
+    Returns ``(pairs, batch_sigs)``. ``pairs`` are every near-dup pair
+    with AT LEAST ONE side in ``batch`` — batch-vs-batch and
+    batch-vs-history; history-vs-history pairs were already reported
+    when those batches arrived, so they are never recomputed (that is
+    the entire point: per-batch cost is the batch's bucket joins, not
+    a corpus-wide rescan). ``batch_sigs`` is the batch's signature
+    relation — union it into the standing table
+    (:func:`update_signatures`) to make the next batch incremental.
+
+    Contract: ids are unique across history ∪ batch (same id space),
+    and the standing table was built with the SAME
+    (k_shingle, num_hashes, arrow) parameters — signatures from
+    different parameterizations never produce comparable band hashes
+    (run-to-run determinism is the signature functions' contract).
+
+    100 TB shape: the standing table is a plain columnar table keyed
+    by id; the per-batch work is one signature scan of the batch, one
+    band-explode of each side, and an equi-join on ``band_hash``
+    whose LEFT side is only the batch — with the standing banded
+    relation bucketed/partitioned by ``band_hash`` at rest, that join
+    prunes to the batch's buckets. The hot-bucket cap bounds the
+    quadratic-in-bucket term exactly as in the full-corpus path
+    (capped on combined occupancy, so a bucket that went hot across
+    history stops generating pairs instead of blowing up).
+
+    Equivalence invariant (pinned in tests): full-corpus
+    ``minhash_near_dups(history ∪ batch)`` == pairs reported by the
+    batch sequence, for any split of the corpus into batches, modulo
+    pairs suppressed by a cap that fires at different times.
+    """
+    batch_sigs = minhash_signatures(
+        batch, text_col, id_col, k_shingle, num_hashes, arrow
+    ).persist()  # feeds banding + rescore + the returned standing-update
+    banded_new = band_explode(batch_sigs, num_hashes, bands)
+    if standing_sigs is None:
+        banded_all = banded_new
+        all_sigs = batch_sigs
+    else:
+        banded_all = banded_new.unionByName(
+            band_explode(standing_sigs, num_hashes, bands)
+        )
+        all_sigs = batch_sigs.unionByName(standing_sigs)
+    # cap on COMBINED occupancy; the batch side needs no separate cap —
+    # its rows in hot buckets match nothing once the right side drops
+    # the bucket, which is exactly the full-corpus path's behavior
+    banded_all = cap_hot_buckets(banded_all, ["band_hash"], max_bucket_size)
+    left, right = banded_new.alias("l"), banded_all.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(
+            F.least("l.id", "r.id").alias("id_a"),
+            F.greatest("l.id", "r.id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = all_sigs.select("id", "sh")
+    cands = pairs.join(
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    out = (
+        cands.withColumn(
+            "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4)
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out, batch_sigs
+
+
+def update_signatures(
+    standing: DataFrame | None, batch_sigs: DataFrame
+) -> DataFrame:
+    """Fold a batch's signatures into the standing table. Re-ingested
+    ids keep their FIRST row (min-id-free dedupe on the id itself):
+    signatures are content-deterministic, so a true re-crawl is
+    byte-identical anyway and the keeper choice is immaterial."""
+    if standing is None:
+        return batch_sigs
+    return standing.unionByName(
+        batch_sigs.join(standing.select("id"), "id", "left_anti")
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str,
@@ -336,25 +504,10 @@ def minhash_near_dups(
     ``arrow=False`` keeps the pure-built-in HOF path. Same banding,
     join, and exact-Jaccard rescore either way.
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
-            "a remainder would silently drop signature rows and change the "
-            "similarity threshold curve"
-        )
-    rows_per_band = num_hashes // bands
-    # the shingle/signature projection is the CPU-heavy stage; small or
-    # single-file inputs arrive as one partition, so spread it first
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    if arrow:
-        base = df.select(
-            F.col(id_col).alias("id"),
-            shingle_sig_batch(text_col, k_shingle, num_hashes).alias("_ss"),
-        ).select("id", F.col("_ss.sh").alias("sh"), F.col("_ss.sig").alias("sig"))
-    else:
-        base = df.select(
-            F.col(id_col).alias("id"), shingle_ids(text_col, k_shingle).alias("sh")
-        ).withColumn("sig", minhash_signature("sh", num_hashes))
+    rows_per_band = _rows_per_band(num_hashes, bands)
+    base = minhash_signatures(
+        df, text_col, id_col, k_shingle, num_hashes, arrow
+    )
     # the shingle/signature stage feeds three plan branches (banding +
     # both sides of the pair rejoin); persist so the expensive
     # normalize→shingle→hash scan runs once, mirroring the
@@ -366,27 +519,10 @@ def minhash_near_dups(
     # table instead of caching.
     base = base.persist()
 
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.lit(b),
-                    *[
-                        F.col("sig").getItem(b * rows_per_band + r)
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
     # band the ids WITHOUT the shingle arrays: the exploded (4x) rows and
     # the self-join shuffle then move only (id, band_hash) pairs — wide
     # array payloads rejoin once per side, keyed by id, after dedupe
-    banded = base.withColumn("band_hash", F.explode(band_arr)).select(
-        "id", "band_hash"
-    )
+    banded = band_explode(base, num_hashes, bands)
     banded = cap_hot_buckets(banded, ["band_hash"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")

@@ -136,11 +136,12 @@ def run_corpus(
     fingerprints (column ``fp``) from previously ingested batches;
     gated rows whose fingerprint already exists leave via a left-anti
     join before the in-batch dedup stages, so processing stays
-    O(batch), not O(history). (History-aware *near*-dup removal would
-    need the standing table to carry MinHash signatures too — an
-    explicit non-goal here; production systems usually re-cluster
-    near-dups corpus-wide on a slower cadence.) Maintain the table
-    with :meth:`CorpusResult.fingerprints`.
+    O(batch), not O(history). History-aware *near*-dup removal needs
+    the standing table to carry MinHash signatures too — that tier
+    lives in :func:`operators.dedup.incremental_near_dups` (and the
+    streaming ingest's ``sig_dir`` stage), keeping this corpus-wide
+    job the slower-cadence full re-cluster. Maintain the table with
+    :meth:`CorpusResult.fingerprints`.
 
     Four to five actions total: the gate-funnel aggregate, the unseen
     count (only when ``seen`` is given — otherwise it equals the gate

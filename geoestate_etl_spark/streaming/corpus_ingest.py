@@ -17,10 +17,14 @@ corpus_pipeline.quality_gate` by default),
    to ``fp_dir/epoch=N`` — both ``overwrite`` per epoch, so a retried
    micro-batch lands identically (idempotent, no dup rows).
 
-Near-dup (LSH) removal is deliberately NOT in the per-trigger path:
-clustering is a corpus-global operation, so production systems run it
-on a slower batch cadence over the accumulated corpus —
-``plans.corpus_pipeline.run_corpus`` is that job here.
+Near-dup (LSH) removal joins the per-trigger path OPT-IN via
+``sig_dir``: each epoch runs
+:func:`~geoestate_etl_spark.operators.dedup.incremental_near_dups`
+against the standing signature table — O(batch) bucket joins, never a
+rescan — dropping batch docs that near-match history (history is
+already served, so it always wins) or a smaller-id batch sibling.
+Without ``sig_dir``, near-dup stays a slower-cadence corpus job
+(``plans.corpus_pipeline.run_corpus``), the pre-r3 behavior.
 """
 
 from __future__ import annotations
@@ -46,6 +50,8 @@ def ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     gate: Column | None = None,
+    sig_dir: str | None = None,
+    jaccard_threshold: float = 0.7,
 ) -> None:
     """One micro-batch of the ingest (also callable on a plain batch
     DataFrame — the streaming/batch twin pattern used throughout)."""
@@ -73,12 +79,66 @@ def ingest_batch(
         .filter(F.col(id_col) == F.col("_keep"))
         .drop("_keep")
     )
+
+    batch_sigs = None
+    if sig_dir is not None:
+        from geoestate_etl_spark.operators.dedup import incremental_near_dups
+
+        try:
+            standing = (
+                spark.read.parquet(sig_dir)
+                .filter(F.col("epoch") != epoch_id)  # retry-safe, as above
+                .select("id", "sh", "sig")
+            )
+        except AnalysisException:  # first epoch: no standing signatures
+            standing = None
+        # banding matched to run_corpus's removal threshold (24 hashes /
+        # 8 bands -> S-curve midpoint 0.5; see run_corpus)
+        pairs, batch_sigs = incremental_near_dups(
+            exact, standing, text_col, id_col,
+            num_hashes=24, bands=8, jaccard_threshold=jaccard_threshold,
+        )
+        # keeper policy for a stream: history always wins (it is already
+        # served and immutable); within the batch, min id wins greedily.
+        # Tag each pair side by batch membership — a pair always has at
+        # least one batch side by construction.
+        ids = exact.select(F.col(id_col).alias("_bid"))
+        tagged = (
+            pairs.join(
+                ids.withColumnRenamed("_bid", "id_a").withColumn(
+                    "_a_new", F.lit(True)
+                ),
+                "id_a",
+                "left",
+            ).join(
+                ids.withColumnRenamed("_bid", "id_b").withColumn(
+                    "_b_new", F.lit(True)
+                ),
+                "id_b",
+                "left",
+            )
+        )
+        drops = tagged.select(
+            F.when(F.col("_a_new") & F.col("_b_new").isNull(), F.col("id_a"))
+            .otherwise(F.col("id_b"))  # vs-history (new side) or in-batch id_b
+            .alias(id_col)
+        ).distinct()
+        exact = exact.join(drops, id_col, "left_anti")
+
     clean = exact.withColumn(text_col, scrub_pii(text_col)).withColumn(
         "n_tokens", token_count(text_col)
     )
     # epoch-keyed overwrite = idempotent on micro-batch retry
     clean.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch_id}")
     clean.select("fp").write.mode("overwrite").parquet(f"{fp_dir}/epoch={epoch_id}")
+    if batch_sigs is not None:
+        # standing signatures carry SURVIVORS only: a dropped doc must
+        # not block a future twin whose kept representative is already
+        # in the table (the kept rep's signature does that)
+        batch_sigs.join(
+            clean.select(F.col(id_col).alias("id")), "id", "semi"
+        ).write.mode("overwrite").parquet(f"{sig_dir}/epoch={epoch_id}")
+        batch_sigs.unpersist()
 
 
 def start_corpus_ingest(
@@ -89,6 +149,8 @@ def start_corpus_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     gate: Column | None = None,
+    sig_dir: str | None = None,
+    jaccard_threshold: float = 0.7,
 ) -> StreamingQuery:
     """Attach the ingest to a streaming document source and start it."""
 
@@ -96,6 +158,7 @@ def start_corpus_ingest(
         ingest_batch(
             batch, epoch_id, corpus_dir, fp_dir,
             id_col=id_col, text_col=text_col, gate=gate,
+            sig_dir=sig_dir, jaccard_threshold=jaccard_threshold,
         )
 
     return (

@@ -69,3 +69,72 @@ def test_stream_wiring_end_to_end(spark, tmp_path):
     assert out.count() == 3  # 4 collapsed into 1's fingerprint (same batch)
     assert out.filter(F.col("text").contains("alice@example.com")).count() == 0
     assert out.agg(F.min("n_tokens")).first()[0] > 0
+
+
+def test_sig_dir_near_dup_across_epochs(spark, tmp_path):
+    """With sig_dir set, a later epoch's near-duplicate of an already-
+    served doc is dropped (history wins), in-batch near-dups keep the
+    min id, and a retried epoch still lands identically."""
+    from geoestate_etl_spark.streaming.corpus_ingest import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    sigs = str(tmp_path / "sigs")
+    kw = dict(sig_dir=sigs, jaccard_threshold=0.5)
+
+    b0 = spark.createDataFrame([(1, GOOD), (2, OTHER)], ["doc_id", "text"])
+    # 4 near-dups GOOD (history -> dropped); 5/6 are in-batch near twins
+    # of a text history has never seen (min id 5 kept); 7 unrelated
+    fresh = (
+        "deep in the ancient forest a narrow path wound between mossy "
+        "stones and towering pines where travelers rarely walked and "
+        "the silence was broken only by the call of distant birds "
+        "echoing through the misty air"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (4, GOOD + " tonight"),
+            (5, fresh + " maybe"),
+            (6, fresh + " perhaps"),
+            (7, PII_DOC),
+        ],
+        ["doc_id", "text"],
+    )
+    ingest_batch(b0, 0, corpus, fps, **kw)
+    ingest_batch(b1, 1, corpus, fps, **kw)
+
+    kept = {r.doc_id for r in _read(spark, corpus).collect()}
+    assert kept == {1, 2, 5, 7}
+    # standing signatures carry survivors only
+    assert {r.id for r in _read(spark, sigs).select("id").collect()} == kept
+
+    # retry epoch 1: history excludes the epoch's own partition, so the
+    # outcome is identical (idempotent)
+    before = sorted(map(str, _read(spark, corpus).collect()))
+    ingest_batch(b1, 1, corpus, fps, **kw)
+    assert sorted(map(str, _read(spark, corpus).collect())) == before
+
+
+def test_sig_dir_dropped_doc_does_not_shadow_future_twin(spark, tmp_path):
+    """A doc dropped as a near-dup must not linger in the standing
+    table: a future twin should match the KEPT representative (and be
+    dropped), which only works because survivors alone write sigs."""
+    from geoestate_etl_spark.streaming.corpus_ingest import ingest_batch
+
+    corpus, fps, sigs = (
+        str(tmp_path / "c"), str(tmp_path / "f"), str(tmp_path / "s")
+    )
+    kw = dict(sig_dir=sigs, jaccard_threshold=0.5)
+    ingest_batch(
+        spark.createDataFrame([(1, GOOD)], ["doc_id", "text"]),
+        0, corpus, fps, **kw,
+    )
+    ingest_batch(
+        spark.createDataFrame([(2, GOOD + " tonight")], ["doc_id", "text"]),
+        1, corpus, fps, **kw,
+    )
+    ingest_batch(
+        spark.createDataFrame([(3, GOOD + " tonight")], ["doc_id", "text"]),
+        2, corpus, fps, **kw,  # exact twin of the DROPPED 2 -> must still drop
+    )
+    assert {r.doc_id for r in _read(spark, corpus).collect()} == {1}
