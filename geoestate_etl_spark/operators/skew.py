@@ -71,3 +71,67 @@ def salted_skew_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return salted_fact.join(salted_dim, [*on, "_salt"], how).drop("_salt")
+
+
+def hot_keys(
+    df: DataFrame,
+    keys: list[str],
+    threshold_frac: float = 0.01,
+    sample_frac: float | None = None,
+) -> DataFrame:
+    """Keys carrying more than ``threshold_frac`` of the rows — the
+    candidates worth salting. One groupBy + a broadcast 1-row total;
+    with ``sample_frac`` the counts come from a Bernoulli sample (a key
+    over ~1% of 100 TB is overwhelmingly visible in a 0.1% sample, and
+    the sample groupBy is the only full-data pass avoided).
+
+    The result is a key list, not row data — bounded by
+    1/threshold_frac rows, so always broadcastable.
+    """
+    src = df.sample(fraction=sample_frac, seed=42) if sample_frac else df
+    counts = src.groupBy(*keys).agg(F.count("*").alias("_n"))
+    total = src.agg(F.sum(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("_n") >= F.col("_total") * threshold_frac)
+        .select(*keys)
+    )
+
+
+def adaptive_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+    hot: DataFrame | None = None,
+    threshold_frac: float = 0.01,
+    sample_frac: float | None = None,
+) -> DataFrame:
+    """Skew join that salts ONLY the hot keys.
+
+    :func:`salted_skew_join` replicates the whole dim ``salt_buckets``×
+    — the right call when most keys are skewed, a 16× dim-shuffle tax
+    when one key in a million is. This variant splits both sides by a
+    broadcast hot-key list (detected via :func:`hot_keys` or supplied
+    by the caller from standing table stats): hot strata take the
+    salted join, cold strata take the plain equi-join (which AQE may
+    still broadcast or skew-split). The strata are key-disjoint and
+    covering, so the union equals the plain join exactly — row
+    multiplicity included — for the supported preserved-fact variants
+    (inner/left, inherited from :func:`salted_skew_join`).
+
+    ``hot`` empty (no skew) degenerates to: empty salted join ∪ plain
+    join — i.e. the adaptive wrapper costs two broadcast anti/semi
+    probes when there is nothing to fix.
+    """
+    if hot is None:
+        hot = hot_keys(fact, on, threshold_frac, sample_frac)
+    hot = F.broadcast(hot.select(*on).distinct())
+    fact_hot = fact.join(hot, on, "semi")
+    fact_cold = fact.join(hot, on, "left_anti")
+    dim_hot = dim.join(hot, on, "semi")
+    dim_cold = dim.join(hot, on, "left_anti")
+    hot_joined = salted_skew_join(fact_hot, dim_hot, on, how, salt_buckets)
+    cold_joined = fact_cold.join(dim_cold, on, how)
+    return hot_joined.unionByName(cold_joined)

@@ -304,3 +304,42 @@ def test_semantic_dedup_100k_vectors_planted(spark):
     assert dropped.filter(F.col("vec_id") >= n).count() == n // 1000
     assert decisions.count() == n + n // 1000
     pairs_p.unpersist()
+
+
+def test_adaptive_skew_join_matches_direct_10m(spark, big):
+    """Hot-key-targeted salting == plain join on the skewed fixture
+    (key 0 holds half of 10M rows; 999 cold keys ride the plain path).
+    Also pins hot-key detection (exact and sampled) and the no-skew
+    degenerate case."""
+    from geoestate_etl_spark.operators.skew import adaptive_skew_join, hot_keys
+
+    dim = spark.range(900).select(
+        F.col("id").alias("key"), (F.col("id") * 7).alias("dval")
+    )
+
+    hot_exact = {r.key for r in hot_keys(big, ["key"], threshold_frac=0.01).collect()}
+    assert hot_exact == {0}  # only the planted hot key crosses 1%
+    hot_sampled = {
+        r.key
+        for r in hot_keys(big, ["key"], 0.01, sample_frac=0.001).collect()
+    }
+    assert 0 in hot_sampled  # a 50% key cannot hide from a 0.1% sample
+
+    def checksum(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("id", "key", "dval").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+
+    for how in ("inner", "left"):
+        direct = checksum(big.join(dim, ["key"], how))
+        adaptive = checksum(
+            adaptive_skew_join(big, dim, ["key"], how, salt_buckets=32)
+        )
+        assert (direct.n, direct.h) == (adaptive.n, adaptive.h), how
+
+    # no key crosses a 60% threshold -> empty hot list, pure plain join
+    none_hot = adaptive_skew_join(big, dim, ["key"], "inner", threshold_frac=0.6)
+    direct = checksum(big.join(dim, ["key"], "inner"))
+    got = checksum(none_hot)
+    assert (direct.n, direct.h) == (got.n, got.h)
