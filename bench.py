@@ -154,6 +154,22 @@ def main() -> None:
             timings[name] = min(
                 timings[name], round(time.perf_counter() - t0, 3)
             )
+        if "similarity_ann" in specs:
+            # best-of-2 for the build line too: drop the materialized
+            # index and rebuild (deterministic), same throttle-noise
+            # rationale as the query loop — a single cold sample of the
+            # Lloyd build swung 2x between otherwise-identical runs
+            import shutil
+
+            from geoestate_etl_spark.plans.queries_ext import _ivf_index_path
+
+            shutil.rmtree(_ivf_index_path(SF_DIR, 16), ignore_errors=True)
+            t0 = time.perf_counter()
+            force(specs["similarity_ann"].fn(spark, SF_DIR))
+            timings["similarity_index_build"] = min(
+                timings["similarity_index_build"],
+                round(time.perf_counter() - t0, 3),
+            )
 
     houses_median, houses_detail = bench_houses_pipeline(spark)
     timings["houses_pipeline_330k"] = houses_median
