@@ -267,31 +267,10 @@ def ivf_build(
         .collect()
     ]
 
-    def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
-        # nearest-centroid assignment as an Arrow-batched pandas_udf:
-        # a Column-expression argmin over k centroids compiles a huge
-        # codegen tree PER LLOYD ITERATION (centroid literals change),
-        # and that compile time dwarfs the math. numpy does the
-        # (n×dim)@(dim×k) scoring in one BLAS call per batch; the
-        # centroid matrix rides along in the closure (tiny, broadcast
-        # by pickling) — this is the sanctioned Python escape hatch.
-        from pyspark.sql.functions import pandas_udf
-
-        C = np.asarray(cents, dtype=np.float64)
-        c_norms = (C**2).sum(axis=1)
-
-        @pandas_udf(T.IntegerType())
-        def cell_of(vecs: pd.Series) -> pd.Series:
-            X = np.stack(vecs.to_numpy()).astype(np.float64)
-            # argmin_c |x-c|^2 == argmin_c (|c|^2 - 2 x.c); |x|^2 constant
-            scores = c_norms[None, :] - 2.0 * (X @ C.T)
-            return pd.Series(scores.argmin(axis=1).astype("int32"))
-
-        return df.withColumn("cell", cell_of(F.col(vec_col)))
-
+    assign = assign_cells
     dim = len(centroids[0])
     for _ in range(iters):
-        assigned = assign(embeddings, centroids)
+        assigned = assign(embeddings, centroids, vec_col)
         # per-dimension means via posexplode: this plan is IDENTICAL
         # every iteration (only the udf closure changes), so Spark's
         # codegen cache reuses the compiled stage instead of
@@ -307,7 +286,32 @@ def ivf_build(
             new_cents[r["cell"]][r["pos"]] = float(r["m"])
         centroids = [list(map(float, c)) for c in new_cents]
 
-    return assign(embeddings, centroids), centroids
+    return assign(embeddings, centroids, vec_col), centroids
+
+
+def assign_cells(
+    df: DataFrame, cents: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment (adds ``cell``) as an Arrow-batched
+    pandas_udf: a Column-expression argmin over k centroids compiles a
+    huge codegen tree PER centroid set (the literals change every Lloyd
+    iteration), and that compile time dwarfs the math. numpy does the
+    (n×dim)@(dim×k) scoring in one BLAS call per batch; the centroid
+    matrix rides along in the closure (tiny, broadcast by pickling) —
+    the sanctioned Python escape hatch."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+    c_norms = (C**2).sum(axis=1)
+
+    @pandas_udf(T.IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        # argmin_c |x-c|^2 == argmin_c (|c|^2 - 2 x.c); |x|^2 constant
+        scores = c_norms[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(scores.argmin(axis=1).astype("int32"))
+
+    return df.withColumn("cell", cell_of(F.col(vec_col)))
 
 
 def ivf_probe(
@@ -552,6 +556,77 @@ def ivf_read_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     with open(os.path.join(path, "centroids.json")) as f:
         centroids = json.load(f)
     return assigned, centroids
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """APPEND step: fold a new vector batch into a materialized IVF
+    index — O(batch), no retrain.
+
+    The standard serving-index lifecycle (FAISS `add` after `train`):
+    centroids stay FIXED, the batch is assigned to its nearest existing
+    cells with the same kernel the build used (:func:`assign_cells`),
+    and the rows land as new files inside the existing ``cell=<i>``
+    partitions. Probes see the union immediately — ``ivf_probe`` reads
+    the partition directories, and full-probe (n_probe = n_cells) stays
+    exactly equal to brute force over old ∪ new vectors regardless of
+    how well the frozen centroids fit the new data (pinned in tests).
+
+    Ids already present in the index are skipped (one anti-join on the
+    index's id column — a single-column scan), which also makes a
+    retried append a no-op. What appends canNOT do is keep cells
+    balanced as the data distribution drifts: the returned occupancy
+    census is the retrain signal — when max/avg cell occupancy grows
+    past ~2-4×, rebuild with :func:`ivf_write_index` (a full overwrite,
+    billed once, exactly like the initial build).
+    """
+    import os
+
+    assigned, centroids = ivf_read_index(spark, path)
+    batch = new_embeddings.select(id_col, vec_col).join(
+        assigned.select(id_col), id_col, "left_anti"
+    )
+    batch = assign_cells(batch, centroids, vec_col)
+    if _QUANT_COL in assigned.columns:
+        from geoestate_etl_spark.functions.vectors import quantize_int8
+
+        batch = batch.select(
+            id_col, "cell", quantize_int8(vec_col).alias(_QUANT_COL)
+        )
+    else:
+        batch = batch.select(id_col, "cell", vec_col)
+    # count via the write's own lineage would re-run the anti-join scan;
+    # one persisted pass feeds the write + the audit counts
+    batch = batch.persist()
+    n_appended = batch.count()
+    if n_appended:
+        batch.write.partitionBy("cell").mode("append").parquet(
+            os.path.join(path, "assigned")
+        )
+    occupancy = (
+        spark.read.parquet(os.path.join(path, "assigned"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum("n").alias("rows"),
+            F.max("n").alias("max_cell"),
+            F.avg("n").alias("avg_cell"),
+        )
+        .first()
+    )
+    batch.unpersist()
+    return {
+        "n_appended": n_appended,
+        "n_cells": len(centroids),
+        "rows_total": occupancy["rows"],
+        "max_cell": occupancy["max_cell"],
+        "avg_cell": float(occupancy["avg_cell"]),
+    }
 
 
 def planes_for_size(n_rows: int, target_occupancy: int = 16) -> int:

@@ -166,3 +166,55 @@ def test_ivf_probe_batch_matches_single_probes(emb, probe):
             assert len(got[pid]) == 5
     finally:
         assigned.unpersist()
+
+
+def test_ivf_append_equals_full_probe_and_is_idempotent(emb, probe, tmp_path, spark):
+    """Serving-index append lifecycle: build on half the corpus, append
+    the other half — full-probe over the appended index must equal
+    brute force over the WHOLE corpus (frozen centroids cannot break
+    exactness, only balance), and a retried append is a no-op."""
+    from geoestate_etl_spark.operators.similarity import (
+        ivf_append,
+        ivf_probe,
+        ivf_read_index,
+        ivf_write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    ivf_write_index(old, path, n_cells=8)
+
+    report = ivf_append(spark, path, new)
+    assert report["n_appended"] == new.count()
+    assert report["rows_total"] == emb.count()
+    assert report["max_cell"] >= report["avg_cell"] > 0
+
+    assigned, cents = ivf_read_index(spark, path)
+    got = [
+        r.vec_id
+        for r in ivf_probe(assigned, cents, probe, k=10, n_probe=8).collect()
+    ]
+    exact = [r.vec_id for r in brute_force_topk(emb, probe, k=10).collect()]
+    assert got == exact  # full probe == brute force over old ∪ new
+
+    # retry: same batch appends nothing and the census is unchanged
+    again = ivf_append(spark, path, new)
+    assert again["n_appended"] == 0
+    assert again["rows_total"] == emb.count()
+
+
+def test_ivf_append_quantized_index_keeps_code_layout(emb, tmp_path, spark):
+    from geoestate_etl_spark.operators.similarity import (
+        _QUANT_COL,
+        ivf_append,
+        ivf_read_index,
+        ivf_write_index,
+    )
+
+    path = str(tmp_path / "idx8")
+    ivf_write_index(emb.filter(F.col("vec_id") < 100), path, n_cells=4, quantize=True)
+    ivf_append(spark, path, emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)))
+    assigned, _ = ivf_read_index(spark, path)
+    assert _QUANT_COL in assigned.columns and "embedding" not in assigned.columns
+    assert assigned.count() == 200
