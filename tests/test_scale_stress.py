@@ -343,3 +343,49 @@ def test_adaptive_skew_join_matches_direct_10m(spark, big):
     direct = checksum(big.join(dim, ["key"], "inner"))
     got = checksum(none_hot)
     assert (direct.n, direct.h) == (got.n, got.h)
+
+
+def test_incremental_neardup_fold_at_10k_docs(spark):
+    """Fold invariant at working scale: 10k synthetic docs with planted
+    cross-batch near-dup families, split into 3 arrival batches —
+    per-batch pairs must sum to exactly the full-corpus rerun."""
+    from geoestate_etl_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_near_dups,
+        update_signatures,
+    )
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            # family = id//4: a 12-word template per family, drawn from
+            # a vocabulary keyed by the family itself (fam*13+j) so no
+            # two families share words -> high overlap within a family,
+            # none across, and no bucket ever nears the hot cap (the
+            # cap fires on arrival-time occupancy, which legitimately
+            # differs between full and incremental runs — out of scope
+            # here, covered by the cap-consistency unit test)
+            *[
+                F.concat(
+                    F.lit("w"),
+                    (F.col("id") / 4).cast("long") * 13 + j,
+                )
+                for j in range(12)
+            ],
+            # one per-doc word so family members are near, not exact
+            F.concat(F.lit("uniq"), F.col("id")),
+        ).alias("text"),
+    )
+    kw = dict(jaccard_threshold=0.5, num_hashes=24, bands=8)
+    full = minhash_near_dups(docs, "text", "doc_id", **kw)
+    n_full = full.count()
+    assert n_full > 5_000  # the planted families really produce pairs
+
+    standing, n_inc = None, 0
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == b)
+        pairs, sigs = incremental_near_dups(batch, standing, "text", "doc_id", **kw)
+        n_inc += pairs.count()
+        standing = update_signatures(standing, sigs)
+    assert n_inc == n_full
