@@ -114,3 +114,40 @@ def test_hot_bucket_cap_suppresses_pairs_consistently(spark):
         b1.unionByName(b2), "text", "doc_id", max_bucket_size=1, **KW
     )
     assert p2.count() == 0 and full.count() == 0
+
+
+# --- generative fold invariance ---------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# Small vocab forces real shingle collisions; doc length 3..8 words
+# straddles the k=3 shingle boundary (shorter docs exercise the
+# whole-doc-shingle path).
+_WORD = st.sampled_from([f"t{i}" for i in range(12)])
+_DOC = st.lists(_WORD, min_size=3, max_size=8).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(_DOC, min_size=4, max_size=10),
+    cut=st.integers(min_value=1, max_value=3),
+)
+def test_fold_invariant_on_random_corpora(spark, docs, cut):
+    """For ANY corpus and ANY 2-batch split: per-batch incremental
+    pairs partition the full-corpus pair set (values included). Cap
+    disabled — arrival-time cap divergence is documented behavior."""
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(jaccard_threshold=0.3, max_bucket_size=None)
+    full = _pairs(minhash_near_dups(df, "text", "doc_id", **kw))
+
+    cut = min(cut, len(rows) - 1)
+    b1 = spark.createDataFrame(rows[:cut], ["doc_id", "text"])
+    b2 = spark.createDataFrame(rows[cut:], ["doc_id", "text"])
+    p1, sigs1 = incremental_near_dups(b1, None, "text", "doc_id", **kw)
+    p2, _ = incremental_near_dups(
+        b2, update_signatures(None, sigs1), "text", "doc_id", **kw
+    )
+    got1, got2 = _pairs(p1), _pairs(p2)
+    assert not set(got1) & set(got2)
+    assert {**got1, **got2} == full
