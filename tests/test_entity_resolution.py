@@ -1,0 +1,88 @@
+"""Entity resolution (operators/entity_resolution.py): blocking,
+scoring, transitive clustering, survivorship."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.operators.entity_resolution import (
+    candidate_pairs,
+    resolve_entities,
+)
+
+PEOPLE = [
+    # (id, name, email, phone) — 1/2/3 are one person with typos and
+    # varying completeness; 4/5 one company; 6 a singleton; 7 null name
+    (1, "Jon Smith", None, None),
+    (2, "John Smith", "js@x.com", None),
+    (3, "John Smyth", "js@x.com", "555-0100"),
+    (4, "ACME Corporation", None, "555-0200"),
+    (5, "ACME Corporatian", "info@acme.com", "555-0200"),
+    (6, "Zelda Quux", "z@q.org", None),
+    (7, None, "mystery@x.com", None),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(PEOPLE, ["pid", "name", "email", "phone"])
+
+
+def test_candidate_pairs_score_and_block(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in candidate_pairs(_df(spark), "pid", "name", threshold=0.4).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs and (4, 5) in pairs
+    assert all(a < b for a, b in pairs)
+    # singleton and NULL-name rows pair with nothing
+    assert not any(6 in p or 7 in p for p in pairs)
+
+
+def test_resolve_entities_transitive_and_golden(spark):
+    df = _df(spark)
+    assignments, golden = resolve_entities(df, "pid", "name", threshold=0.4)
+    ent = {r.pid: r.entity_id for r in assignments.collect()}
+    # typo chain clusters transitively to the min id
+    assert ent[1] == ent[2] == ent[3] == 1
+    assert ent[4] == ent[5] == 4
+    assert ent[6] == 6 and ent[7] == 7  # unmatched rows are their own entity
+    assert assignments.count() == len(PEOPLE)  # nothing dropped
+
+    g = {r.entity_id: r for r in golden.collect()}
+    assert set(g) == {1, 4, 6, 7}
+    assert g[1].pid == 3  # most complete member wins (email + phone)
+    assert g[4].pid == 5
+    assert g[6].pid == 6
+
+
+def test_completeness_tie_breaks_to_min_id(spark):
+    rows = [(10, "Ann Lee", "a@x.com"), (11, "Anne Lee", "b@x.com")]
+    df = spark.createDataFrame(rows, ["pid", "name", "email"])
+    _, golden = resolve_entities(df, "pid", "name", threshold=0.3)
+    assert [r.pid for r in golden.collect()] == [10]
+
+
+def test_blocking_is_equi_join_and_capped(spark):
+    df = _df(spark)
+    pairs = candidate_pairs(df, "pid", "name", threshold=0.4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # a degenerate block (every record named alike) under a tiny cap
+    # produces no pairs instead of a quadratic blowup
+    same = spark.createDataFrame(
+        [(i, "placeholder name") for i in range(50)], ["pid", "name"]
+    )
+    assert candidate_pairs(same, "pid", "name", max_block_size=10).count() == 0
+
+
+def test_custom_blocking_key(spark):
+    # block on the name's first character instead of soundex: 1/2/3
+    # share 'j', 4/5 share 'a' — same clusters, different blocker
+    df = _df(spark)
+    key = F.substring(F.lower(F.col("name")), 1, 1)
+    assignments, _ = resolve_entities(
+        df, "pid", "name", blocking_key=key, threshold=0.4
+    )
+    ent = {r.pid: r.entity_id for r in assignments.collect()}
+    assert ent[1] == ent[2] == ent[3] == 1 and ent[4] == ent[5] == 4
