@@ -1,54 +1,145 @@
-"""Spatial join operators built on grid bucketing (functions.geo).
+"""Spatial join: point-in-polygon at scale, no cross join.
 
-``radius_join``: all (left, right) pairs within ``radius_km``. Right
-side gets its grid cell; left side explodes its 3x3 neighborhood and
-equi-joins on cell, then the exact haversine filter runs on the
-(locally small) candidate set. Cell size must be ≥ radius expressed
-in degrees at the highest latitude of interest — pass it explicitly.
-Shuffle volume is O(9·|left| + |right|), never |left|×|right|.
+Spark has no native spatial join; the scalable composition is the
+standard two-phase filter-and-refine:
+
+1. **Grid blocking (filter)** — each polygon registers every fixed-size
+   grid cell its bounding box covers (bbox from one pass over the
+   vertex array; cell enumeration is a 2-D ``sequence`` explode). Each
+   point lands in exactly ONE cell, so candidates come from an
+   EQUI-join on the cell id — and each (point, polygon) candidate pair
+   appears at most once, no post-join dedupe.
+2. **Exact refine** — even-odd ray casting evaluated as a pure
+   higher-order Column over the vertex array (count edges crossed by
+   the +x ray from the point; odd = inside). No UDF, no Python in the
+   hot path, codegen-friendly.
+
+Cell size is the caller's tuning knob: ~the median polygon diameter
+keeps the per-polygon cell fan-out O(1) while keeping cells selective.
+A polygon table with a few continent-sized outliers fans those out
+over many cells — cap with ``max_cells_per_poly`` (skipped polygons
+surface in the returned audit, the same honest-drop contract as the
+LSH hot-bucket caps).
+
+The reference stores lat/lon but never joins on geometry
+(``dags/main.py`` keeps coordinates as plain columns); this operator
+is part of the added geospatial tier with `geo_distance_radius` /
+`morton_geo` (SURVEY §2 extensions).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from geoestate_etl_spark.functions.geo import grid_cell, haversine_km, neighbor_cells
+__all__ = ["point_in_polygon", "polygon_cells", "spatial_join"]
 
 
-def radius_join(
-    left: DataFrame,
-    right: DataFrame,
-    radius_km: float,
-    cell_deg: float,
-    left_lat: str = "lat",
-    left_lon: str = "lon",
-    right_lat: str = "lat",
-    right_lon: str = "lon",
-    distance_alias: str = "distance_km",
-    scale: int = 3,
-) -> DataFrame:
-    """Pairs within ``radius_km``; distance attached, rounded to
-    ``scale`` dp (rounded in the oracle identically).
-
-    Left and right coordinate column names must be distinct — after
-    the cell equi-join both sides' columns coexist, so shared names
-    would make every downstream reference ambiguous.
+def point_in_polygon(px: Column, py: Column, poly: Column) -> Column:
+    """Even-odd ray-casting test; ``poly`` is ``array<struct<x,y>>``
+    (closing edge last→first implied). Boundary points follow the
+    half-open convention of the crossing rule (an edge counts when it
+    spans the point's y as [min, max) — consistent, not symmetric).
     """
-    if {left_lat, left_lon} & {right_lat, right_lon}:
-        raise ValueError(
-            "left and right lat/lon column names must differ (got "
-            f"left=({left_lat},{left_lon}) right=({right_lat},{right_lon})); "
-            "rename one side before joining"
+    n = F.size(poly)
+    idx = F.sequence(F.lit(1), n)
+
+    def crosses(i: Column) -> Column:
+        a = F.element_at(poly, i)
+        b = F.element_at(poly, F.when(i == n, 1).otherwise(i + 1))
+        ax, ay, bx, by = a["x"], a["y"], b["x"], b["y"]
+        spans = (ay > py) != (by > py)
+        # x of the edge at height py; (by-ay) != 0 whenever `spans`
+        x_at = (bx - ax) * (py - ay) / (by - ay) + ax
+        return spans & (px < x_at)
+
+    return F.size(F.filter(idx, crosses)) % 2 == 1
+
+
+def _cell_bounds(poly: Column, cell_size: float) -> tuple[Column, ...]:
+    xs = F.transform(poly, lambda p: p["x"])
+    ys = F.transform(poly, lambda p: p["y"])
+    return (
+        F.floor(F.array_min(xs) / cell_size),
+        F.floor(F.array_max(xs) / cell_size),
+        F.floor(F.array_min(ys) / cell_size),
+        F.floor(F.array_max(ys) / cell_size),
+    )
+
+
+def polygon_cell_count(poly: Column, cell_size: float) -> Column:
+    """How many grid cells the polygon's bbox covers — pure bbox
+    arithmetic, NO enumeration. The cap in :func:`spatial_join` must
+    test this BEFORE building the cell array: a degenerate polygon's
+    cell array is exactly the blowup the cap exists to prevent, so
+    size-of-the-materialized-array is the one predicate that cannot
+    guard it."""
+    cx0, cx1, cy0, cy1 = _cell_bounds(poly, cell_size)
+    return (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+
+
+def polygon_cells(
+    poly: Column, cell_size: float
+) -> Column:
+    """All grid-cell ids (``bigint``) covered by the polygon's bbox.
+    Cell id packs (cx, cy) as cx*2^21 + cy over offset-shifted floor
+    indices — collision-free for |coordinate/cell_size| < 2^20."""
+    cx0, cx1, cy0, cy1 = _cell_bounds(poly, cell_size)
+    return F.flatten(
+        F.transform(
+            F.sequence(cx0, cx1),
+            lambda cx: F.transform(
+                F.sequence(cy0, cy1), lambda cy: _cell_id(cx, cy)
+            ),
         )
-    l_cells = left.withColumn(
-        "_cell", F.explode(neighbor_cells(left_lat, left_lon, cell_deg))
     )
-    r_cells = right.withColumn("_cell", grid_cell(right_lat, right_lon, cell_deg))
-    joined = l_cells.join(r_cells, "_cell").drop("_cell")
-    dist = F.round(
-        haversine_km(left_lat, left_lon, right_lat, right_lon), scale
+
+
+def _cell_id(cx: Column, cy: Column) -> Column:
+    off = F.lit(1 << 20).cast("long")
+    return (cx.cast("long") + off) * F.lit(1 << 21).cast("long") + (
+        cy.cast("long") + off
     )
-    return joined.withColumn(distance_alias, dist).filter(
-        F.col(distance_alias) <= radius_km
+
+
+def point_cell(x: Column, y: Column, cell_size: float) -> Column:
+    return _cell_id(F.floor(x / cell_size), F.floor(y / cell_size))
+
+
+def spatial_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_col: str = "poly",
+    cell_size: float = 1.0,
+    max_cells_per_poly: int | None = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(joined, skipped)``: every (point row ⨝ polygon row)
+    pair where the point lies inside the polygon, plus the audit of
+    polygons skipped for covering more than ``max_cells_per_poly``
+    grid cells (degenerate/outlier geometries — re-run them at a
+    coarser ``cell_size`` or clip them upstream; silently joining them
+    would fan one row out over millions of cells).
+    """
+    n_cells = polygon_cell_count(F.col(poly_col), cell_size)
+    if max_cells_per_poly is not None:
+        skipped = polygons.filter(n_cells > max_cells_per_poly)
+        kept = polygons.filter(n_cells <= max_cells_per_poly)
+    else:
+        skipped = polygons.limit(0)
+        kept = polygons
+    blocked = kept.withColumn(
+        "_cell", F.explode(polygon_cells(F.col(poly_col), cell_size))
     )
+    pts = points.withColumn(
+        "_cell", point_cell(F.col(x_col), F.col(y_col), cell_size)
+    )
+    joined = (
+        pts.join(blocked, "_cell")
+        .filter(
+            point_in_polygon(F.col(x_col), F.col(y_col), F.col(poly_col))
+        )
+        .drop("_cell")
+    )
+    return joined, skipped
