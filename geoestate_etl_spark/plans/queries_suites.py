@@ -952,7 +952,52 @@ def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "cnt",
     )
-    return topk.unionByName(radius).unionByName(points).unionByName(grid)
+
+    # pip: grid-blocked spatial join, certified against an INDEPENDENT
+    # oracle formulation. Spark runs the generic ray-casting path over
+    # concave L-shape polygons synthesized per nation; the SQL oracle
+    # decides membership with the L-shape's half-plane algebra instead
+    # (outer box minus notch) — two algorithm families, one answer.
+    # Coordinates sit 0.05 off every integer edge, so the half-open
+    # crossing convention and BETWEEN can never disagree on a boundary.
+    from geoestate_etl_spark.operators.spatial import spatial_join
+
+    pts = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 2500) / 10.0 + 0.05).alias("x"),
+        ((F.col("c_custkey") * 7 % 500) / 10.0 + 0.05).alias("y"),
+    )
+    ax = (F.col("n_nationkey") % 5).cast("double") * 50.0
+    ay = F.floor(F.col("n_nationkey") / 5).cast("double") * 10.0
+    vert = lambda dx, dy: F.struct(  # noqa: E731
+        (ax + dx).alias("x"), (ay + dy).alias("y")
+    )
+    polys = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.array(
+            vert(1.0, 1.0), vert(9.0, 1.0), vert(9.0, 5.0),
+            vert(5.0, 5.0), vert(5.0, 9.0), vert(1.0, 9.0),
+        ).alias("poly"),
+    )
+    joined, _skipped = spatial_join(pts, polys, cell_size=4.0)
+    pip = joined.select(
+        F.lit("pip").alias("kind"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("n_nationkey").cast(T.LongType()).alias("id_b"),
+        _NULL_D().alias("dist_km"),
+        _NULL_D().alias("lat"),
+        _NULL_D().alias("lon"),
+        _NULL_L().alias("in_box"),
+        _NULL_L().alias("zkey"),
+        _NULL_STR().alias("cell"),
+        _NULL_L().alias("cnt"),
+    )
+    return (
+        topk.unionByName(radius)
+        .unionByName(points)
+        .unionByName(grid)
+        .unionByName(pip)
+    )
 
 
 # --- oracle SQL -------------------------------------------------------------
@@ -1453,9 +1498,23 @@ FROM base
             "UNION ALL SELECT 'grid', NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
             "cell, cnt FROM (SELECT CAST(floor(lat / 10.0) AS BIGINT) || ':' || "
             "CAST(floor(lon / 10.0) AS BIGINT) AS cell, count(*) AS cnt "
-            "FROM c GROUP BY cell)",
-            "geo-topk+radius-join+bbox+zorder+grid-density (merged r3: "
-            "geo_distance_topk+geo_radius_join+geo_points; r4: geo_grid_count)",
+            "FROM c GROUP BY cell) "
+            # pip oracle: INDEPENDENT membership formulation — the Spark
+            # side ray-casts the L-shape's vertex array; this decides by
+            # half-plane algebra (outer 8x8 box minus the notch quadrant).
+            # Points sit 0.05 off integer edges so conventions can't
+            # disagree on a boundary.
+            "UNION ALL SELECT 'pip', c_custkey, CAST(n_nationkey AS BIGINT), "
+            "NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM "
+            "(SELECT c_custkey, (c_custkey % 2500)/10.0 + 0.05 AS px, "
+            "((c_custkey * 7) % 500)/10.0 + 0.05 AS py FROM customer) p JOIN "
+            "(SELECT n_nationkey, (n_nationkey % 5)*50.0 AS ax, "
+            "floor(n_nationkey / 5)*10.0 AS ay FROM nation) g ON "
+            "px > ax+1 AND px < ax+9 AND py > ay+1 AND py < ay+9 "
+            "AND NOT (px > ax+5 AND py > ay+5)",
+            "geo-topk+radius-join+bbox+zorder+grid-density+spatial-join "
+            "(merged r3: geo_distance_topk+geo_radius_join+geo_points; "
+            "r4: geo_grid_count + oracled point-in-polygon)",
         ),
         QuerySpec(
             "ann_certify",
