@@ -423,9 +423,20 @@ def incremental_near_dups(
         banded_all = banded_new
         all_sigs = batch_sigs
     else:
-        banded_all = banded_new.unionByName(
-            band_explode(standing_sigs, num_hashes, bands)
+        # prune history to the buckets this batch actually touches
+        # BEFORE the cap groupBy and pair join — untouched buckets can
+        # produce no pairs, so semantics (incl. cap occupancy of the
+        # touched buckets) are unchanged while the join and cap stop
+        # scaling with history size. A deployment additionally stores
+        # the standing table PRE-banded and partitioned by band_hash,
+        # making this semi-join partition pruning at rest.
+        banded_hist = band_explode(standing_sigs, num_hashes, bands).join(
+            banded_new.select("band_hash").distinct(), "band_hash", "semi"
         )
+        banded_all = banded_new.unionByName(banded_hist)
+        # the rescore join prunes itself: only pair ids are looked up,
+        # and the session's runtime Bloom-filter injection keeps the
+        # standing side's shuffle bounded by the candidate set
         all_sigs = batch_sigs.unionByName(standing_sigs)
     # cap on COMBINED occupancy; the batch side needs no separate cap —
     # its rows in hot buckets match nothing once the right side drops
@@ -458,6 +469,38 @@ def incremental_near_dups(
         .select("id_a", "id_b", "jaccard")
     )
     return out, batch_sigs
+
+
+def batch_drop_ids(
+    pairs: DataFrame, batch_ids: DataFrame, id_col: str
+) -> DataFrame:
+    """Which BATCH ids a pair relation eliminates, under the streaming
+    keeper policy: history always wins (it is already served and
+    immutable), the smaller id wins within the batch — an id is never
+    resurrected by its eliminator itself being dropped (greedy against
+    the ordering, the SemDeDup rule).
+
+    ``pairs`` carries ``(id_a, id_b)`` with ``id_a < id_b`` and at
+    least one batch side; ``batch_ids`` is a one-column frame of this
+    batch's ids named ``id_col``. Shared by the streaming ingest's
+    near-dup stage and ``incremental_semantic_dedup`` so the policy
+    lives in exactly one place.
+    """
+    ids = batch_ids.select(F.col(id_col).alias("_bid"))
+    tagged = pairs.join(
+        ids.withColumnRenamed("_bid", "id_a").withColumn("_a_new", F.lit(True)),
+        "id_a",
+        "left",
+    ).join(
+        ids.withColumnRenamed("_bid", "id_b").withColumn("_b_new", F.lit(True)),
+        "id_b",
+        "left",
+    )
+    return tagged.select(
+        F.when(F.col("_a_new") & F.col("_b_new").isNull(), F.col("id_a"))
+        .otherwise(F.col("id_b"))  # vs-history (new side) or in-batch id_b
+        .alias(id_col)
+    ).distinct()
 
 
 def update_signatures(

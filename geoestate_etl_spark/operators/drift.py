@@ -70,39 +70,13 @@ def numeric_edges(
     return out
 
 
-def _numeric_bucket_counts(
-    df: DataFrame, edges: dict[str, list[float]]
-) -> dict[str, list[int]]:
-    """One wide aggregate: per column, count of rows per bucket
-    (len(edges)+1 value buckets + 1 NULL bucket)."""
-    aggs = []
-    for c, es in edges.items():
-        col = F.col(c).cast("double")
-        conds = []
-        lo = None
-        for e in es:
-            cond = col <= e if lo is None else (col > lo) & (col <= e)
-            conds.append(cond)
-            lo = e
-        conds.append(col > lo if lo is not None else col.isNotNull())
-        conds.append(col.isNull())
-        for i, cond in enumerate(conds):
-            aggs.append(
-                F.sum(F.when(cond, 1).otherwise(0)).alias(f"{c}__{i}")
-            )
-    row = df.agg(*aggs).first()
+def _top_categories(ref: DataFrame, cols: list[str], top_k: int) -> dict[str, list]:
+    """Reference's top-k values per categorical column. One bounded
+    groupBy per column — discovery needs a distinct grouping key, so
+    these C small scans are the one per-column cost; the COUNTING for
+    both snapshots rides the single shared aggregate below."""
     return {
-        c: [row[f"{c}__{i}"] or 0 for i in range(len(es) + 2)]
-        for c, es in edges.items()
-    }
-
-
-def _categorical_counts(
-    ref: DataFrame, cur: DataFrame, cols: list[str], top_k: int
-) -> dict[str, tuple[list[int], list[int]]]:
-    out = {}
-    for c in cols:
-        cats = [
+        c: [
             r[c]
             for r in ref.filter(F.col(c).isNotNull())
             .groupBy(c)
@@ -111,20 +85,51 @@ def _categorical_counts(
             .limit(top_k)
             .collect()
         ]
-        buckets = [F.col(c) == F.lit(v) for v in cats]
-        buckets.append(F.col(c).isNotNull() & ~F.col(c).isin(cats) if cats else F.col(c).isNotNull())
-        buckets.append(F.col(c).isNull())
-        counts = []
-        for d in (ref, cur):
-            row = d.agg(
-                *[
-                    F.sum(F.when(b, 1).otherwise(0)).alias(f"b{i}")
-                    for i, b in enumerate(buckets)
-                ]
-            ).first()
-            counts.append([row[f"b{i}"] or 0 for i in range(len(buckets))])
-        out[c] = (counts[0], counts[1])
-    return out
+        for c in cols
+    }
+
+
+def _bucket_conds(
+    edges: dict[str, list[float]], cats: dict[str, list]
+) -> dict[str, list]:
+    """Per column, the ordered list of bucket predicates (value buckets
+    + ``__other__`` for categoricals + NULL bucket last)."""
+    conds: dict[str, list] = {}
+    for c, es in edges.items():
+        col = F.col(c).cast("double")
+        cs, lo = [], None
+        for e in es:
+            cs.append(col <= e if lo is None else (col > lo) & (col <= e))
+            lo = e
+        cs.append(col > lo if lo is not None else col.isNotNull())
+        cs.append(col.isNull())
+        conds[c] = cs
+    for c, values in cats.items():
+        cs = [F.col(c) == F.lit(v) for v in values]
+        cs.append(
+            F.col(c).isNotNull() & ~F.col(c).isin(values)
+            if values
+            else F.col(c).isNotNull()
+        )
+        cs.append(F.col(c).isNull())
+        conds[c] = cs
+    return conds
+
+
+def _bucket_counts(
+    df: DataFrame, conds: dict[str, list]
+) -> dict[str, list[int]]:
+    """ONE wide aggregate for every column of both kinds."""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(f"{c}__{i}")
+        for c, cs in conds.items()
+        for i, cond in enumerate(cs)
+    ]
+    row = df.agg(*aggs).first()
+    return {
+        c: [row[f"{c}__{i}"] or 0 for i in range(len(cs))]
+        for c, cs in conds.items()
+    }
 
 
 def _psi(p_counts: list[int], q_counts: list[int]) -> float:
@@ -162,25 +167,19 @@ def drift_report(
         categorical_cols = [
             f.name for f in shared if f.dataType.typeName() == "string"
         ]
-    report: dict[str, dict] = {}
-    if numeric_cols:
-        edges = numeric_edges(ref, numeric_cols, bins)
-        pc = _numeric_bucket_counts(ref, edges)
-        qc = _numeric_bucket_counts(cur, edges)
-        for c in numeric_cols:
-            report[c] = {
-                "psi": _psi(pc[c], qc[c]),
-                "kind": "numeric",
-                "ref_rows": sum(pc[c]),
-                "cur_rows": sum(qc[c]),
-            }
-    for c, (p, q) in _categorical_counts(
-        ref, cur, categorical_cols, top_k
-    ).items():
-        report[c] = {
-            "psi": _psi(p, q),
-            "kind": "categorical",
-            "ref_rows": sum(p),
-            "cur_rows": sum(q),
+    edges = numeric_edges(ref, numeric_cols, bins) if numeric_cols else {}
+    cats = _top_categories(ref, categorical_cols, top_k)
+    conds = _bucket_conds(edges, cats)
+    if not conds:
+        return {}
+    pc = _bucket_counts(ref, conds)
+    qc = _bucket_counts(cur, conds)
+    return {
+        c: {
+            "psi": _psi(pc[c], qc[c]),
+            "kind": "numeric" if c in edges else "categorical",
+            "ref_rows": sum(pc[c]),
+            "cur_rows": sum(qc[c]),
         }
-    return report
+        for c in conds
+    }

@@ -128,12 +128,15 @@ def resolve_entities(
     completeness = sum(
         (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in cols), F.lit(0)
     )
+    # min_by on (−completeness, id): struct ordering is lexicographic
+    # and type-agnostic, so the id tiebreaker works for string ids too
+    # (negating the id column would ANSI-crash on non-numeric ids)
     ranked = assignments.withColumn(
-        "_rank", F.struct(completeness.alias("c"), (-F.col(id_col)).alias("t"))
+        "_rank", F.struct((-completeness).alias("c"), F.col(id_col).alias("t"))
     )
     golden = (
         ranked.groupBy("entity_id")
-        .agg(F.max_by(F.struct(*df.columns), "_rank").alias("_row"))
+        .agg(F.min_by(F.struct(*df.columns), "_rank").alias("_row"))
         .select("entity_id", "_row.*")
     )
     return assignments, golden

@@ -179,7 +179,15 @@ def incremental_semantic_dedup(
     if standing_clustered is None:
         everyone = new
     else:
-        everyone = new.unionByName(prep(standing_clustered))
+        # prune history to the batch's cells BEFORE the cast/norm prep:
+        # untouched cells produce no pairs, so this changes nothing
+        # semantically (cap occupancy of touched cells included) while
+        # keeping the per-batch fold cost O(touched history), not
+        # O(all history)
+        touched = batch_clustered.select("cell").distinct()
+        everyone = new.unionByName(
+            prep(standing_clustered.join(touched, "cell", "semi"))
+        )
     everyone = _capped(everyone, max_cluster_size)
     left, right = new.alias("l"), everyone.alias("r")
     denom = F.col("l._n") * F.col("r._n")
@@ -202,21 +210,9 @@ def incremental_semantic_dedup(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    batch_ids = batch_clustered.select(F.col(id_col).alias("_bid"))
-    tagged = pairs.join(
-        batch_ids.withColumnRenamed("_bid", "id_a").withColumn("_a_new", F.lit(True)),
-        "id_a",
-        "left",
-    ).join(
-        batch_ids.withColumnRenamed("_bid", "id_b").withColumn("_b_new", F.lit(True)),
-        "id_b",
-        "left",
-    )
-    dropped = tagged.select(
-        F.when(F.col("_a_new") & F.col("_b_new").isNull(), F.col("id_a"))
-        .otherwise(F.col("id_b"))  # vs-history (new side) or in-batch id_b
-        .alias(id_col)
-    ).distinct()
+    from geoestate_etl_spark.operators.dedup import batch_drop_ids
+
+    dropped = batch_drop_ids(pairs, batch_clustered.select(id_col), id_col)
     decisions = (
         batch_clustered.join(
             dropped.withColumn("_dropped", F.lit(True)), id_col, "left"

@@ -588,8 +588,15 @@ def ivf_append(
     import os
 
     assigned, centroids = ivf_read_index(spark, path)
-    batch = new_embeddings.select(id_col, vec_col).join(
-        assigned.select(id_col), id_col, "left_anti"
+    # dedupe the batch against the index AND against itself — a
+    # fanned-out upstream join or concatenated retry files would
+    # otherwise append the same id twice and break probe top-k
+    # uniqueness (review finding). Signatures are content-keyed by id,
+    # so which duplicate row wins is immaterial.
+    batch = (
+        new_embeddings.select(id_col, vec_col)
+        .dropDuplicates([id_col])
+        .join(assigned.select(id_col), id_col, "left_anti")
     )
     batch = assign_cells(batch, centroids, vec_col)
     if _QUANT_COL in assigned.columns:

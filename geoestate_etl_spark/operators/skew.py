@@ -126,7 +126,14 @@ def adaptive_skew_join(
     probes when there is nothing to fix.
     """
     if hot is None:
-        hot = hot_keys(fact, on, threshold_frac, sample_frac)
+        # materialize detection ONCE: the lazy plan would re-run the
+        # full-table aggregation as the build side of all four probe
+        # joins below (review finding). The list is bounded by
+        # 1/threshold_frac rows, so collecting it is a driver no-op.
+        detected = hot_keys(fact, on, threshold_frac, sample_frac)
+        hot = fact.sparkSession.createDataFrame(
+            detected.collect(), detected.schema
+        )
     hot = F.broadcast(hot.select(*on).distinct())
     fact_hot = fact.join(hot, on, "semi")
     fact_cold = fact.join(hot, on, "left_anti")

@@ -179,12 +179,17 @@ def spatial_join(
     would fan one row out over millions of cells).
     """
     n_cells = polygon_cell_count(F.col(poly_col), cell_size)
+    # NULL n_cells (NULL/empty geometry) must surface in the audit, not
+    # vanish between two filters that are both never-true for NULL
+    # (review finding — the honest-drop contract covers bad geometry too)
     if max_cells_per_poly is not None:
-        skipped = polygons.filter(n_cells > max_cells_per_poly)
+        skipped = polygons.filter(
+            (n_cells > max_cells_per_poly) | n_cells.isNull()
+        )
         kept = polygons.filter(n_cells <= max_cells_per_poly)
     else:
-        skipped = polygons.limit(0)
-        kept = polygons
+        skipped = polygons.filter(n_cells.isNull())
+        kept = polygons.filter(n_cells.isNotNull())
     blocked = kept.withColumn(
         "_cell", F.explode(polygon_cells(F.col(poly_col), cell_size))
     )

@@ -22,10 +22,14 @@ Design choices (vs. a naive ``coalesce().write``):
   is given — a compaction that silently destroys the sort/cluster
   layout also destroys row-group pruning (`functions/zorder.py`), so
   clustering is explicit, never incidental.
-- Output goes to a NEW directory (or ``overwrite_inplace=True``
-  rewrites after fully materializing the listing); compacting a live
-  table in place while readers hold the old listing is an operational
-  call the caller must make, not a default.
+- Output always goes to a NEW directory: Spark cannot overwrite a
+  path it is lazily reading from, and compacting a live table in
+  place while readers hold the old listing is an operational call
+  (write → verify → swap) the caller must orchestrate, not a default.
+- Hive-partitioned layouts (``epoch=N``, ``cell=N`` — the engine's
+  own standing tables) keep their layout via ``partition_by``; a bare
+  rewrite would flatten the partition column into the data files and
+  break both partition discovery and pruning for downstream readers.
 
 The reference has no maintenance surface (its ClickHouse MergeTree
 compacts itself, ``dags/main.py:113-129``); this module is that
@@ -84,6 +88,7 @@ def compact_table(
     target_file_bytes: int = 128 << 20,
     fmt: str = "parquet",
     cluster_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``path`` into ``out_path`` as ~``target_file_bytes``
     files. Returns the before/after census plus the partition count
@@ -93,6 +98,13 @@ def compact_table(
     on those columns — each file owns a disjoint key range, so footer
     min/max pruning survives the rewrite (and improves, since ranges
     no longer overlap across the old small files).
+
+    ``partition_by`` re-applies a Hive partition layout on write
+    (``epoch``/``cell``/date columns). Required when compacting a
+    partitioned table whose readers rely on the directory layout —
+    without it the partition column is flattened into the data files
+    (review finding). ``n_partitions`` then sizes files WITHIN the
+    shuffle, and actual file count is per-directory.
     """
     before = file_stats(spark, path)
     n_out = max(1, math.ceil(before.total_bytes / target_file_bytes))
@@ -103,7 +115,10 @@ def compact_table(
         )
     else:
         df = df.repartition(n_out)
-    df.write.mode("overwrite").format(fmt).save(out_path)
+    writer = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(out_path)
     after = file_stats(spark, out_path)
     return {
         "n_files_before": before.n_files,

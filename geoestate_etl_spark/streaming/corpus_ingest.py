@@ -98,31 +98,11 @@ def ingest_batch(
             exact, standing, text_col, id_col,
             num_hashes=24, bands=8, jaccard_threshold=jaccard_threshold,
         )
-        # keeper policy for a stream: history always wins (it is already
-        # served and immutable); within the batch, min id wins greedily.
-        # Tag each pair side by batch membership — a pair always has at
-        # least one batch side by construction.
-        ids = exact.select(F.col(id_col).alias("_bid"))
-        tagged = (
-            pairs.join(
-                ids.withColumnRenamed("_bid", "id_a").withColumn(
-                    "_a_new", F.lit(True)
-                ),
-                "id_a",
-                "left",
-            ).join(
-                ids.withColumnRenamed("_bid", "id_b").withColumn(
-                    "_b_new", F.lit(True)
-                ),
-                "id_b",
-                "left",
-            )
-        )
-        drops = tagged.select(
-            F.when(F.col("_a_new") & F.col("_b_new").isNull(), F.col("id_a"))
-            .otherwise(F.col("id_b"))  # vs-history (new side) or in-batch id_b
-            .alias(id_col)
-        ).distinct()
+        # keeper policy (shared helper): history always wins, min id
+        # wins within the batch
+        from geoestate_etl_spark.operators.dedup import batch_drop_ids
+
+        drops = batch_drop_ids(pairs, exact.select(id_col), id_col)
         exact = exact.join(drops, id_col, "left_anti")
 
     clean = exact.withColumn(text_col, scrub_pii(text_col)).withColumn(

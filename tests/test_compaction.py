@@ -77,3 +77,22 @@ def _files(spark, path):
     from geoestate_etl_spark.sources.compaction import _data_files
 
     return _data_files(spark, path)
+
+
+def test_partition_by_preserves_hive_layout(spark, tmp_path):
+    """Compacting an epoch-partitioned table must keep epoch=N dirs
+    (review finding: a bare rewrite flattens the partition column)."""
+    import os
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 3).alias("epoch")
+    )
+    df.repartition(8).write.partitionBy("epoch").parquet(src)
+    compact_table(
+        spark, src, dst, target_file_bytes=1 << 20, partition_by=["epoch"]
+    )
+    assert sorted(
+        d for d in os.listdir(dst) if d.startswith("epoch=")
+    ) == ["epoch=0", "epoch=1", "epoch=2"]
+    assert _checksum(spark.read.parquet(src)) == _checksum(spark.read.parquet(dst))

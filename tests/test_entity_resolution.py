@@ -86,3 +86,18 @@ def test_custom_blocking_key(spark):
     )
     ent = {r.pid: r.entity_id for r in assignments.collect()}
     assert ent[1] == ent[2] == ent[3] == 1 and ent[4] == ent[5] == 4
+
+
+def test_string_ids_survive_ansi_mode(spark):
+    """Survivorship must not negate the id column — string ids crash
+    under ANSI casting (review finding, repro'd on Spark 4.1)."""
+    rows = [
+        ("cust-1001", "Jon Smith", None),
+        ("cust-1002", "John Smith", "js@x.com"),
+        ("cust-0999", "John Smith", "js@x.com"),  # tie -> lexicographic min id
+    ]
+    df = spark.createDataFrame(rows, ["pid", "name", "email"])
+    assignments, golden = resolve_entities(df, "pid", "name", threshold=0.4)
+    ent = {r.pid: r.entity_id for r in assignments.collect()}
+    assert len(set(ent.values())) == 1
+    assert [r.pid for r in golden.collect()] == ["cust-0999"]

@@ -96,3 +96,21 @@ def test_spatial_join_audits_oversized_polygons(spark):
     joined, skipped = spatial_join(pts, polys, cell_size=2.0, max_cells_per_poly=100)
     assert [r.poly_id for r in skipped.collect()] == [99]
     assert {(r.pt_id, r.poly_id) for r in joined.collect()} == {(100, 1)}
+
+
+def test_null_and_empty_polygons_land_in_audit(spark):
+    """Bad geometry must surface in skipped, not vanish between two
+    never-true filters (review finding)."""
+    polys = spark.createDataFrame(
+        [(1, [{"x": 0.0, "y": 0.0}, {"x": 4.0, "y": 0.0}, {"x": 2.0, "y": 3.0}]),
+         (2, None),
+         (3, [])],
+        _polys_df(spark).schema,
+    )
+    pts = spark.createDataFrame([(100, 2.0, 1.0)], ["pt_id", "x", "y"])
+    joined, skipped = spatial_join(pts, polys, cell_size=2.0)
+    assert {r.poly_id for r in skipped.collect()} == {2, 3}
+    assert {(r.pt_id, r.poly_id) for r in joined.collect()} == {(100, 1)}
+    # and with the cap disabled, bad geometry still audits
+    _, skipped2 = spatial_join(pts, polys, cell_size=2.0, max_cells_per_poly=None)
+    assert {r.poly_id for r in skipped2.collect()} == {2, 3}
