@@ -34,7 +34,7 @@ from geoestate_etl_spark.functions.text import char_ngrams, normalize_text
 from geoestate_etl_spark.operators.components import connected_components
 from geoestate_etl_spark.operators.dedup import cap_hot_buckets
 
-__all__ = ["candidate_pairs", "resolve_entities"]
+__all__ = ["candidate_pairs", "resolve_entities", "link_records"]
 
 
 def candidate_pairs(
@@ -85,6 +85,76 @@ def candidate_pairs(
         .select("id_a", "id_b", "jaccard")
         .dropDuplicates(["id_a", "id_b"])  # multi-valued custom keys may
         # block the same pair twice; scores are equal, keep one
+    )
+
+
+def link_records(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_name: str,
+    right_name: str,
+    blocking_key=None,
+    ngram: int = 3,
+    threshold: float = 0.6,
+    max_pairs_per_block: int | None = 65536,
+) -> DataFrame:
+    """Two-table record linkage: ``(left_id, right_id, jaccard)`` for
+    every cross-table candidate at/above ``threshold``.
+
+    Same blocked filter-and-refine as :func:`candidate_pairs`, but the
+    join is LEFT-table-block vs RIGHT-table-block (the classic "match
+    our customer file against the partner's counterparty file" shape)
+    — no self-pairs, no id ordering. ``blocking_key`` is a FUNCTION of
+    a name Column (default Soundex∘normalize) so both sides derive
+    comparable keys from their own column names.
+
+    The hot-block guard caps the PRODUCT |L_b|·|R_b| per block — the
+    actual pair volume a block contributes, which one-sided occupancy
+    caps miss (1 left × 1M right is as quadratic as 1k × 1k). Capped
+    blocks are dropped whole; audit by recomputing the block counts.
+    """
+    kf = (
+        (lambda c: F.soundex(normalize_text(c)))
+        if blocking_key is None
+        else blocking_key
+    )
+
+    def side(df, id_c, name_c, tag):
+        return df.select(
+            F.col(id_c).alias(f"{tag}_id"),
+            normalize_text(F.col(name_c)).alias(f"_nm_{tag}"),
+            kf(F.col(name_c)).alias("_blk"),
+        ).filter(F.col("_blk").isNotNull() & (F.length(f"_nm_{tag}") > 0))
+
+    ls, rs = side(left, left_id, left_name, "l"), side(right, right_id, right_name, "r")
+    if max_pairs_per_block is not None:
+        counts = (
+            ls.groupBy("_blk").agg(F.count("*").alias("_ln"))
+            .join(rs.groupBy("_blk").agg(F.count("*").alias("_rn")), "_blk")
+            .filter(F.col("_ln") * F.col("_rn") > max_pairs_per_block)
+            .select("_blk")
+        )
+        ls = ls.join(F.broadcast(counts), "_blk", "left_anti")
+        rs = rs.join(F.broadcast(counts), "_blk", "left_anti")
+    cand = ls.join(rs, "_blk").select(
+        "l_id",
+        "r_id",
+        char_ngrams(F.col("_nm_l"), ngram).alias("_ga"),
+        char_ngrams(F.col("_nm_r"), ngram).alias("_gb"),
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size(F.array_union("_ga", "_gb"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l_id").alias(left_id),
+            F.col("r_id").alias(right_id),
+            "jaccard",
+        )
+        .dropDuplicates([left_id, right_id])
     )
 
 

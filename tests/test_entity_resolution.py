@@ -101,3 +101,53 @@ def test_string_ids_survive_ansi_mode(spark):
     ent = {r.pid: r.entity_id for r in assignments.collect()}
     assert len(set(ent.values())) == 1
     assert [r.pid for r in golden.collect()] == ["cust-0999"]
+
+
+def test_link_records_two_tables(spark):
+    """A-B linkage: customer file vs partner counterparty file."""
+    from geoestate_etl_spark.operators.entity_resolution import link_records
+
+    ours = spark.createDataFrame(
+        [(1, "Jon Smith"), (2, "ACME Corporation"), (3, "Zelda Quux")],
+        ["cust_id", "cust_name"],
+    )
+    theirs = spark.createDataFrame(
+        [(90, "John Smith"), (91, "ACME Corporatian"), (92, "Totally Else")],
+        ["cp_id", "cp_name"],
+    )
+    got = {
+        (r.cust_id, r.cp_id): r.jaccard
+        for r in link_records(
+            ours, theirs, "cust_id", "cp_id", "cust_name", "cp_name",
+            threshold=0.4,
+        ).collect()
+    }
+    assert set(got) == {(1, 90), (2, 91)}
+    plan = link_records(
+        ours, theirs, "cust_id", "cp_id", "cust_name", "cp_name"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_link_records_product_cap(spark):
+    """The guard caps |L|x|R| per block: 2x30=60 pairs over a cap of
+    50 drops the block entirely; under the cap it links."""
+    from geoestate_etl_spark.operators.entity_resolution import link_records
+
+    ours = spark.createDataFrame(
+        [(i, "placeholder name") for i in range(2)], ["cust_id", "cust_name"]
+    )
+    theirs = spark.createDataFrame(
+        [(i, "placeholder name") for i in range(30)], ["cp_id", "cp_name"]
+    )
+    kw = dict(threshold=0.9)
+    over = link_records(
+        ours, theirs, "cust_id", "cp_id", "cust_name", "cp_name",
+        max_pairs_per_block=50, **kw,
+    )
+    under = link_records(
+        ours, theirs, "cust_id", "cp_id", "cust_name", "cp_name",
+        max_pairs_per_block=60, **kw,
+    )
+    assert over.count() == 0
+    assert under.count() == 60
