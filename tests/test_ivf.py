@@ -218,3 +218,45 @@ def test_ivf_append_quantized_index_keeps_code_layout(emb, tmp_path, spark):
     assigned, _ = ivf_read_index(spark, path)
     assert _QUANT_COL in assigned.columns and "embedding" not in assigned.columns
     assert assigned.count() == 200
+
+
+def test_knn_join_full_probe_equals_brute_force(emb, spark):
+    """kNN graph with n_probe = n_cells must equal per-vector brute
+    force exactly (rounding and tiebreaks aligned); partial probe is a
+    subset relation per query."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.similarity import ivf_build, knn_join
+
+    sub = emb.filter(F.col("vec_id") < 60)
+    assigned, cents = ivf_build(sub, n_cells=4)
+    full = knn_join(assigned, cents, k=5, n_probe=4)
+    rows = full.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.vec_id, []).append((r.cos_sim, r.neighbor_id))
+
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in sub.collect()}
+    for qid, qv in data.items():
+        sims = []
+        for cid, cv in data.items():
+            if cid == qid:
+                continue
+            denom = float(np.sqrt(qv @ qv) * np.sqrt(cv @ cv))
+            c = float(qv @ cv) / denom if denom else 0.0
+            sims.append((round(c, 4), cid))
+        want = sorted(sims, key=lambda t: (-t[0], t[1]))[:5]
+        have = sorted(got[qid], key=lambda t: (-t[0], t[1]))
+        assert [i for _, i in have] == [i for _, i in want], qid
+    # every vector has exactly k graph edges
+    assert all(len(v) == 5 for v in got.values())
+
+    partial = knn_join(assigned, cents, k=5, n_probe=1)
+    pg = {}
+    for r in partial.collect():
+        pg.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    # partial probe returns <= k neighbors, all of them real vectors
+    assert all(len(v) <= 5 and v <= set(data) for v in pg.values())
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
