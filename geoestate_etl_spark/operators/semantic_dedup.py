@@ -234,6 +234,8 @@ def semantic_dedup(
     scale: int = 4,
     max_cluster_size: int | None = 4096,
     pairs: DataFrame | None = None,
+    order: str = "id",
+    centroids: list[list[float]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(pairs, decisions)``.
 
@@ -249,12 +251,67 @@ def semantic_dedup(
     caller also consumes the pair relation — the pair scan is the
     operator's cost center and Spark would otherwise run it once per
     consumer.
+
+    ``order`` picks the fixed ordering the greedy rule runs against:
+    ``"id"`` (default — join-stable, SQL-oracle-able) or
+    ``"centroid_distance"`` — the published implementation's order
+    (Abbas et al. §3: keep the item CLOSEST to the cluster centroid;
+    the intuition is the most central member best represents the
+    cluster). The centroid order needs ``centroids`` (the same list
+    ``ivf_build`` returned) and ties fall back to id, so it stays
+    deterministic.
     """
     if pairs is None:
         pairs = semantic_pairs(
             clustered, cosine_threshold, id_col, vec_col, scale, max_cluster_size
         )
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if order == "id":
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    elif order == "centroid_distance":
+        if centroids is None:
+            raise ValueError(
+                "order='centroid_distance' needs the centroids list "
+                "(as returned by ivf_build / ivf_read_index)"
+            )
+        # rank key per item: (squared distance to own cell's centroid,
+        # id). Squared distance via the hoisted-array dot pattern; the
+        # centroid rides in as a per-cell literal array lookup.
+        cent_arr = F.element_at(
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in c])
+                    for c in centroids
+                ]
+            ),
+            F.col("cell").cast("int") + 1,
+        )
+        diff = F.zip_with(
+            to_double_array(vec_col), cent_arr, lambda a, b: a - b
+        )
+        d2 = F.aggregate(
+            F.zip_with(diff, diff, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        ranks = clustered.select(
+            F.col(id_col).alias("_rid"), d2.alias("_d2")
+        )
+        ra = ranks.select(
+            F.col("_rid").alias("id_a"), F.col("_d2").alias("_da")
+        )
+        rb = ranks.select(
+            F.col("_rid").alias("id_b"), F.col("_d2").alias("_db")
+        )
+        with_rank = pairs.join(ra, "id_a").join(rb, "id_b")
+        # the pair's LATER item in (d2, id) order is the drop
+        later_a = (F.col("_da") > F.col("_db")) | (
+            (F.col("_da") == F.col("_db")) & (F.col("id_a") > F.col("id_b"))
+        )
+        dropped = with_rank.select(
+            F.when(later_a, F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
+        ).distinct()
+    else:
+        raise ValueError(f"order must be 'id' or 'centroid_distance', got {order!r}")
     decisions = (
         clustered.join(
             dropped.withColumn("_dropped", F.lit(True)), id_col, "left"

@@ -193,3 +193,40 @@ def test_incremental_pair_scan_is_equi_join(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_distance_order_keeps_most_central(spark):
+    """Paper-faithful ordering: within a duplicate group the member
+    CLOSEST to its cluster centroid survives, regardless of id."""
+    import math
+
+    from geoestate_etl_spark.operators.semantic_dedup import semantic_dedup
+
+    # centroid of cell 0 at [1, 0]; id 3 is closest to it but has the
+    # LARGEST id — id order would keep 1, centroid order must keep 3
+    a5, a10 = math.radians(5), math.radians(10)
+    df = _df(
+        spark,
+        [
+            (1, 0, [math.cos(a10), math.sin(a10)]),
+            (2, 0, [math.cos(a5), -math.sin(a5)]),
+            (3, 0, [1.0, 0.0]),
+        ],
+    )
+    cents = [[1.0, 0.0]]
+    _, by_id = semantic_dedup(df, cosine_threshold=0.9)
+    assert {r.vec_id for r in by_id.filter("kept").collect()} == {1}
+    _, by_dist = semantic_dedup(
+        df, cosine_threshold=0.9, order="centroid_distance", centroids=cents
+    )
+    assert {r.vec_id for r in by_dist.filter("kept").collect()} == {3}
+
+
+def test_centroid_order_requires_centroids(spark):
+    import pytest as _pytest
+
+    from geoestate_etl_spark.operators.semantic_dedup import semantic_dedup
+
+    df = _df(spark, [(1, 0, [1.0, 0.0])])
+    with _pytest.raises(ValueError, match="centroid"):
+        semantic_dedup(df, order="centroid_distance")
