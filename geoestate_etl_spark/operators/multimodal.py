@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -367,3 +368,50 @@ def frame_sample_stub(df: DataFrame, every_nth: int = 24) -> DataFrame:
     the fake frame count — the explode pattern is the real plan."""
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
     return df.select("media_id", F.explode(idx).alias("frame_idx"))
+
+
+def embed_media_stub(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Media → embedding bridge: ``(media_id, embedding array<float>)``.
+
+    The model forward pass is STUBBED with a deterministic
+    content-derived pseudo-embedding (sha256 of the payload seeds a
+    numpy Generator; unit-normalized), because no vision/audio model
+    ships in this container — but everything Spark-side is the real
+    production shape: binary payloads cross the Arrow boundary once
+    per batch via ``mapInPandas``, the batch is embedded as ONE numpy
+    matrix (the GPU-inference batch shape), and the output feeds the
+    similarity tier unchanged (`ivf_build`/`knn_join`/`semantic_dedup`
+    consume it as-is — composition pinned in tests). Identical bytes
+    ⇒ identical embedding, so exact-dup media dedup via this column is
+    content-addressed and layout-independent.
+    """
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf[content_col]:
+                b = bytes(payload) if payload is not None else b""
+                seed = int.from_bytes(
+                    hashlib.sha256(b).digest()[:8], "big"
+                )
+                v = np.random.default_rng(seed).standard_normal(dim)
+                n = float(np.linalg.norm(v))
+                vecs.append((v / n if n else v).astype(np.float32))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "embedding": [list(v) for v in vecs]}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(_embed, out_schema)

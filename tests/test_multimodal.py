@@ -142,3 +142,40 @@ def test_resize_and_frame_sample(media):
     metas = {r.media_id: r.n_frames for r in meta.collect()}
     for mid, n in metas.items():
         assert by_id[mid] == (n + 9) // 10  # ceil(n_frames / 10)
+
+
+def test_embed_media_feeds_similarity_tier(spark, tmp_path):
+    """Multimodal -> embedding -> ANN composition: binary files embed
+    deterministically (content-addressed), identical payloads dedup to
+    cosine 1.0, and the column plugs into ivf_build unchanged."""
+    from geoestate_etl_spark.operators.multimodal import embed_media_stub, make_png
+    from geoestate_etl_spark.operators.similarity import ivf_build, knn_join
+    from geoestate_etl_spark.sources.binary_source import (
+        media_table,
+        read_binary_files,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(make_png(8, 6))
+    (d / "b.png").write_bytes(make_png(8, 6))     # identical bytes to a
+    (d / "c.png").write_bytes(make_png(32, 24))
+    (d / "skip.txt").write_bytes(b"not media")
+    media = media_table(read_binary_files(spark, str(d), glob="*.png"))
+    emb = embed_media_stub(media)
+    rows = {r.media_id: r.embedding for r in emb.collect()}
+    assert len(rows) == 3
+    ids_by_path = {
+        r.source_path.rsplit("/", 1)[-1]: r.media_id for r in media.collect()
+    }
+    assert rows[ids_by_path["a.png"]] == rows[ids_by_path["b.png"]]  # content-addressed
+    assert rows[ids_by_path["a.png"]] != rows[ids_by_path["c.png"]]
+
+    # and the embedding column is similarity-tier-ready as-is
+    assigned, cents = ivf_build(emb, n_cells=2, id_col="media_id")
+    graph = knn_join(assigned, cents, k=2, n_probe=2, id_col="media_id")
+    pairs = {
+        (r.media_id, r.neighbor_id): r.cos_sim for r in graph.collect()
+    }
+    a, b = ids_by_path["a.png"], ids_by_path["b.png"]
+    assert pairs[(a, b)] == 1.0 and pairs[(b, a)] == 1.0  # exact dup media
