@@ -74,6 +74,7 @@ class CorpusResult:
     n_chunks: int
     n_decontam_dropped: int = 0
     n_semantic_dropped: int = 0
+    n_tokens_masked: int = 0
     shard_manifest: dict | None = None
 
     def unpersist(self) -> None:
@@ -126,6 +127,7 @@ def run_corpus(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.92,
     semantic_cells: int = 16,
+    mask_spans_ngram: int | None = None,
     shards_path: str | None = None,
     rows_per_shard: int = 100_000,
     **near_dup_kwargs,
@@ -251,6 +253,27 @@ def run_corpus(
         n_semantic_dropped = sem_dropped.count()
         survivors = survivors.join(sem_dropped, id_col, "left_anti")
 
+    # exact-substring masking (Lee et al. 2022) on the deduped
+    # survivors: spans repeated across surviving documents (licence
+    # boilerplate, templates) are cut out of the text. Runs AFTER
+    # document-level dedup (fewer docs to window-scan; a span shared
+    # only by dropped twins needs no masking) and BEFORE
+    # decontamination/scrub/token accounting, which must see the final
+    # text. n_tokens_masked rides the funnel.
+    n_tokens_masked = 0
+    if mask_spans_ngram is not None:
+        from geoestate_etl_spark.operators.substr_dedup import (
+            mask_repeated_spans,
+        )
+
+        survivors = mask_repeated_spans(
+            survivors, id_col, text_col, n=mask_spans_ngram
+        )
+        n_tokens_masked = (
+            survivors.agg(F.sum("n_masked")).first()[0] or 0
+        )
+        survivors = survivors.drop("n_masked")
+
     # benchmark decontamination on the deduped survivors, BEFORE the
     # scrub (scrubbing rewrites text; overlap is defined on content as
     # deduped). The flagged set is tiny -> one cheap extra action.
@@ -311,5 +334,6 @@ def run_corpus(
         n_chunks=totals["chunks"],
         n_decontam_dropped=n_decontam_dropped,
         n_semantic_dropped=n_semantic_dropped,
+        n_tokens_masked=n_tokens_masked,
         shard_manifest=shard_manifest,
     )

@@ -234,3 +234,32 @@ def test_semantic_stage_off_by_default(spark):
     res = run_corpus(_corpus(spark))
     assert res.n_semantic_dropped == 0
     res.unpersist()
+
+
+def test_mask_spans_stage_cuts_cross_doc_boilerplate(spark):
+    """With mask_spans_ngram set, boilerplate shared across surviving
+    docs is cut before token accounting; the funnel reports it."""
+    boiler = (
+        "all rights reserved redistribution of this text is strictly "
+        "prohibited without permission"
+    )  # 12 tokens
+    rows = [
+        (1, GOOD + " " + boiler),
+        (2, OTHER + " " + boiler),
+        (3, PII_DOC),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = run_corpus(docs, id_col="doc_id", text_col="text", mask_spans_ngram=12)
+    assert res.n_tokens_masked == 24  # 12 tokens cut from each of docs 1,2
+    texts = {r.doc_id: r.text for r in res.cached.collect()}
+    assert "prohibited" not in texts[1] and "prohibited" not in texts[2]
+    assert res.n_near_unique == 3  # masking cut text, not documents
+    # token accounting saw the POST-mask text
+    assert res.total_tokens == sum(r.n_tokens for r in res.cached.collect())
+    res.unpersist()
+
+    # without the stage, nothing is cut
+    res2 = run_corpus(docs, id_col="doc_id", text_col="text")
+    assert res2.n_tokens_masked == 0
+    assert "prohibited" in {r.doc_id: r.text for r in res2.cached.collect()}[1]
+    res2.unpersist()
