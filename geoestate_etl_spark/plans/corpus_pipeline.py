@@ -122,6 +122,7 @@ def run_corpus(
     seen: DataFrame | None = None,
     keeper: str = "min_id",
     normalize: bool = False,
+    strip_html: bool = False,
     benchmark: DataFrame | None = None,
     decontam_ngram: int = 8,
     embeddings: DataFrame | None = None,
@@ -151,6 +152,22 @@ def run_corpus(
     aggregate (the survivor set is persisted before packing so the
     count doesn't recompute the LSH stage).
     """
+    if strip_html:
+        # markup hygiene FIRST (stage zero of a web corpus): gates,
+        # fingerprints, and shingles must see prose, not tag soup.
+        # Routed per row — prose pays one cheap predicate, not five
+        # markup regexes.
+        from geoestate_etl_spark.functions.markup import (
+            looks_like_markup,
+            strip_markup,
+        )
+
+        df = df.withColumn(
+            text_col,
+            F.when(
+                looks_like_markup(text_col), strip_markup(text_col)
+            ).otherwise(F.col(text_col)),
+        )
     if normalize:
         # encoding hygiene BEFORE gating/fingerprinting, so byte-level
         # variants of one text gate identically and dedup together

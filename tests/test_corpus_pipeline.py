@@ -263,3 +263,33 @@ def test_mask_spans_stage_cuts_cross_doc_boilerplate(spark):
     assert res2.n_tokens_masked == 0
     assert "prohibited" in {r.doc_id: r.text for r in res2.cached.collect()}[1]
     res2.unpersist()
+
+
+def test_strip_html_stage_routes_markup_only(spark):
+    """strip_html=True: markup docs reduce to prose before gating and
+    dedup (an HTML twin of a plain doc dedups with it); plain prose
+    is byte-untouched."""
+    # every word tag-wrapped: raw form cannot dedup against the plain
+    # doc (every shingle is tag-glued); stripped form is
+    # byte-identical prose to GOOD
+    html_twin = (
+        "<html><head><style>b { x }</style></head><body><p>"
+        + GOOD.replace(" ", "</p> <p>")
+        + "</p></body></html>"
+    )
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, html_twin), (3, OTHER)], ["doc_id", "text"]
+    )
+    res = run_corpus(docs, id_col="doc_id", text_col="text", strip_html=True)
+    assert res.n_gated == 3          # stripped twin passes the gate...
+    kept = {r.doc_id for r in res.cached.collect()}
+    assert kept == {1, 3}            # ...then EXACT-dedups against doc 1
+    res.unpersist()
+
+    res2 = run_corpus(docs, id_col="doc_id", text_col="text")
+    # without stripping, the twin slips past dedup as a "distinct" doc
+    # and its markup pollutes the corpus — the failure mode the stage
+    # exists to prevent
+    texts2 = {r.doc_id: r.text for r in res2.cached.collect()}
+    assert set(texts2) == {1, 2, 3} and "<p>" in texts2[2]
+    res2.unpersist()
