@@ -308,7 +308,32 @@ def q_event_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("cnt"),
         _NULL_L().alias("val_cents"),
     )
-    return tumb.unionByName(slide).unionByName(sess)
+    # resample (r4): per event_type, hourly grid from the type's first
+    # to last tick; tick value = LAST event's cents (ts ties broken by
+    # the greater cents via lexicographic struct max — the oracle uses
+    # the identical struct_pack max), gaps forward-filled. Certifies
+    # operators/timeseries end-to-end on driver data.
+    from geoestate_etl_spark.operators.timeseries import forward_fill, resample
+
+    evc = ev.select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    rs = forward_fill(
+        resample(evc, "event_type", "ts", ["cents"], 3600),
+        "event_type",
+        "tick",
+        ["cents"],
+    ).select(
+        F.lit("resample").alias("kind"),
+        F.col("event_type").alias("grp"),
+        F.col("tick").alias("t_start"),
+        _NULL_TS().alias("t_end"),
+        _NULL_L().alias("cnt"),
+        F.col("cents").alias("val_cents"),
+    )
+    return tumb.unionByName(slide).unionByName(sess).unionByName(rs)
 
 
 def q_incremental_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,8 +1294,23 @@ FROM base
             "event_type, count(*) AS cnt FROM events "
             "CROSS JOIN (VALUES (0), (30)) AS off(m) GROUP BY ws, event_type) "
             "UNION ALL SELECT 'session', CAST(user_id AS VARCHAR), session_start, "
-            "session_end, n_events, CAST(NULL AS BIGINT) FROM sess",
-            "stream-tumbling+sliding+session (merged)",
+            "session_end, n_events, CAST(NULL AS BIGINT) FROM sess "
+            "UNION ALL SELECT 'resample', k, tick, CAST(NULL AS TIMESTAMP), "
+            "CAST(NULL AS BIGINT), v FROM ("
+            "SELECT g.k, g.tick, last_value(t.v IGNORE NULLS) OVER ("
+            "PARTITION BY g.k ORDER BY g.tick ROWS UNBOUNDED PRECEDING) AS v "
+            "FROM (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS tick "
+            "FROM (SELECT event_type AS k, "
+            "min(time_bucket(INTERVAL 1 HOUR, ts)) AS lo, "
+            "max(time_bucket(INTERVAL 1 HOUR, ts)) AS hi "
+            "FROM events GROUP BY 1)) g "
+            "LEFT JOIN (SELECT event_type AS k, "
+            "time_bucket(INTERVAL 1 HOUR, ts) AS tick, "
+            "max(struct_pack(ts := ts, "
+            "v := CAST(round(value * 100) AS BIGINT)))['v'] AS v "
+            "FROM events GROUP BY 1, 2) t USING (k, tick))",
+            "stream-tumbling+sliding+session+resample-ffill (merged; "
+            "resample r4: certifies operators/timeseries)",
         ),
         QuerySpec(
             "incremental_aggs",
