@@ -201,3 +201,36 @@ def grouped_split(
             ),
         )
     return hash_split(df, "_gkey", fractions, salt, split_col).drop("_gkey")
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "sample-k-v1",
+) -> DataFrame:
+    """EXACTLY min(k, group size) rows per group, deterministically.
+
+    ``stratified_sample`` draws a FRACTION per stratum — binomial row
+    counts, wrong for "take 500 eval docs per language". This draws by
+    rank of ``xxhash64(id, salt)`` within the group: content-keyed
+    like every sampler here, so re-runs, growth (new rows displace old
+    picks only by hash rank, never by arrival order), and cluster
+    layout cannot move the sample. Bump ``salt`` for an independent
+    redraw.
+
+    Scale shape: the two-phase partial top-k reducer — each input
+    partition reduces to ≤ k rows per group before the shuffle; the
+    full group never gathers anywhere.
+    """
+    from geoestate_etl_spark.operators.topk import top_k_per_group_partial
+
+    ranked = df.withColumn(
+        "_rk", F.xxhash64(F.col(id_col).cast("string"), F.lit(salt))
+    )
+    # top-k by (-rank) == smallest hashes; id tiebreak for hash ties
+    out = top_k_per_group_partial(
+        ranked.withColumn("_neg", -F.col("_rk")), group_cols, "_neg", id_col, k
+    )
+    return out.drop("_rk", "_neg")

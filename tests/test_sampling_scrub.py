@@ -232,3 +232,34 @@ def test_grouped_split_domain_compose(spark):
     )
     splits = {r.doc_id: r.split for r in out.collect()}
     assert splits[1] == splits[2] == splits[3]
+
+
+def test_sample_k_per_group_exact_deterministic_stable(spark):
+    from geoestate_etl_spark.operators.sampling import sample_k_per_group
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).alias("g")
+    )
+    s1 = sample_k_per_group(df, ["g"], "id", 10)
+    s2 = sample_k_per_group(df, ["g"], "id", 10)
+    rows1 = sorted((r.g, r.id) for r in s1.collect())
+    assert rows1 == sorted((r.g, r.id) for r in s2.collect())  # deterministic
+    per_g = {}
+    for g, i in rows1:
+        per_g.setdefault(g, []).append(i)
+    assert all(len(v) == 10 for v in per_g.values())  # EXACT k
+
+    # small group: takes the whole group, no error
+    tiny = spark.createDataFrame([(0, 1), (0, 2)], ["g", "id"])
+    assert sample_k_per_group(tiny, ["g"], "id", 10).count() == 2
+
+    # growth stability: adding rows keeps picks content-keyed (old
+    # picks survive unless displaced by hash rank, never reshuffled)
+    grown = spark.range(1500).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    sg = {(r.g, r.id) for r in sample_k_per_group(grown, ["g"], "id", 10).collect()}
+    overlap = len(set(rows1) & sg)
+    assert overlap >= 15  # most of the original 30 picks persist
+
+    # independent redraw under a different salt
+    s3 = {(r.g, r.id) for r in sample_k_per_group(df, ["g"], "id", 10, salt="v2").collect()}
+    assert s3 != set(rows1)
