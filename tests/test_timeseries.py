@@ -131,3 +131,35 @@ def test_interpolate_respects_order_distance(spark):
 
     got = {r.o: r.v for r in interpolate_linear(df, "k", "o", ["v"]).collect()}
     assert got[5] == 50.0
+
+
+# --- generative pandas parity ------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_VALS = st.lists(
+    st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(a=_VALS, b=_VALS)
+def test_forward_fill_matches_pandas_ffill(spark, a, b):
+    import pandas as pd
+
+    from geoestate_etl_spark.operators.timeseries import forward_fill
+
+    rows = [("a", i, v) for i, v in enumerate(a)] + [
+        ("b", i, v) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    got = {
+        (r.k, r.o): r.v for r in forward_fill(df, "k", "o", ["v"]).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "o", "v"]).sort_values(["k", "o"])
+    pdf["v"] = pdf.groupby("k")["v"].ffill()
+    for _, r in pdf.iterrows():
+        want = None if pd.isna(r["v"]) else r["v"]
+        assert got[(r["k"], r["o"])] == want
