@@ -293,3 +293,65 @@ def test_strip_html_stage_routes_markup_only(spark):
     texts2 = {r.doc_id: r.text for r in res2.cached.collect()}
     assert set(texts2) == {1, 2, 3} and "<p>" in texts2[2]
     res2.unpersist()
+
+
+def test_every_stage_on_at_once(spark, tmp_path):
+    """The everything-on run: strip_html + normalize + standing
+    fingerprints + semantic dedup + span masking + decontamination +
+    shard write in ONE pipeline — stages must compose, and the funnel
+    must account for every drop."""
+    from pyspark.sql import functions as FX
+
+    boiler = (
+        "all rights reserved redistribution of this text is strictly "
+        "prohibited without permission"
+    )
+    fresh = (
+        "deep in the ancient forest a narrow path wound between mossy "
+        "stones and towering pines where travelers rarely walked and "
+        "the silence was broken only by distant birds echoing through "
+        "misty air"
+    )
+    rows = [
+        (1, GOOD + " " + boiler),
+        (2, "<html><body><p>" + OTHER.replace(" ", "</p> <p>") + "</p></body></html>"),
+        (3, OTHER),                      # doc 2 dedups against this after strip
+        (4, fresh + " " + boiler),       # shares only the boiler with 1 -> masked
+        (5, PII_DOC),
+        (6, "seen before content that the standing table already has plus filler "
+            "words to clear the minimum token gate for this document today"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    seen = spark.createDataFrame(
+        [(r := rows[5][1],)], ["t"]
+    ).select(FX.md5(FX.trim(FX.regexp_replace(FX.lower("t"), r"\s+", " "))).alias("fp"))
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i, _ in rows], ["doc_id", "embedding"]
+    )
+    bench = spark.createDataFrame([(99, PII_DOC)], ["doc_id", "text"])
+
+    res = run_corpus(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        strip_html=True,
+        normalize=True,
+        seen=seen,
+        embeddings=emb,
+        semantic_threshold=0.999,     # near-random vectors: no semantic drops
+        benchmark=bench,
+        decontam_ngram=8,
+        mask_spans_ngram=12,
+        shards_path=str(tmp_path / "shards"),
+        rows_per_shard=2,
+    )
+    kept = {r.doc_id for r in res.cached.collect()}
+    assert 6 not in kept                  # standing fingerprint dropped it
+    assert not ({2, 3} <= kept)           # html twin deduped against plain
+    assert 5 not in kept                  # decontaminated against the benchmark
+    assert res.n_tokens_masked >= 24      # boiler cut from docs 1 and 4
+    assert res.n_decontam_dropped == 1
+    assert res.shard_manifest is not None
+    texts = {r.doc_id: r.text for r in res.cached.collect()}
+    assert all("prohibited" not in t for t in texts.values())
+    res.unpersist()
