@@ -371,6 +371,64 @@ def band_explode(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def minhash_pairs_exact(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Near-dup pairs from a materialized signature relation
+    ``(id, sh, sig)`` — the SQL-certifiable formulation.
+
+    Same banding / hot-bucket cap / bucket self-join as
+    :func:`minhash_near_dups`, but with every float removed so a SQL
+    engine reading the same signature table reproduces the output
+    bit-for-bit: the threshold is the exact rational test
+    ``inter * threshold_den >= union * threshold_num`` (no rounded
+    Jaccard near the cut line), and the score is integer basis points
+    ``(inter * 10000) div union``. Output: (id_a, id_b, score_bp).
+
+    100 TB shape is unchanged from the live path: one band-explode of
+    the signature table, an equi-join on band buckets, and a rescore
+    join that touches only candidate ids — the signature table is
+    exactly the standing relation :func:`incremental_near_dups`
+    maintains, so this is also the query you run over a persisted
+    signature store without re-reading any text.
+    """
+    banded = band_explode(sigs, num_hashes, bands)
+    banded = cap_hot_buckets(banded, ["band_hash"], max_bucket_size)
+    left, right = banded.alias("l"), banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sigs.select("id", "sh")
+    cands = pairs.join(
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # |A ∪ B| = |A| + |B| − |A ∩ B| — arithmetic, not array_union (the
+    # sets are distinct by construction), so the oracle's len() algebra
+    # is the literal same computation
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.select("id_a", "id_b", inter.alias("_i"), union.alias("_u"))
+        .filter(F.col("_i") * threshold_den >= F.col("_u") * threshold_num)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("_i * 10000 div greatest(_u, 1)").alias("score_bp"),
+        )
+    )
+
+
 def incremental_near_dups(
     batch: DataFrame,
     standing_sigs: DataFrame | None,
@@ -663,6 +721,22 @@ def simhash_near_dups(
     # sides); persist so the hash scan runs once (lifetime: session,
     # same contract as the minhash path's signature cache).
     base = df.select(F.col(id_col).alias("id"), sh_col.alias("sh")).persist()
+    return simhash_pairs(base, max_hamming, max_bucket_size)
+
+
+def simhash_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """Block-LSH + popcount rescore over a precomputed hash relation
+    ``(id, sh)`` (``sh`` = 32-bit SimHash as long) — the join half of
+    :func:`simhash_near_dups`, split out so a MATERIALIZED hash table
+    (e.g. the committed signature artifact the certified registry
+    query reads) goes straight to pairs without re-hashing text, and
+    so a SQL oracle can reproduce the byte-block bucketing, cap, and
+    ``bit_count(xor)`` rescore from the same file."""
+    base = hashed
     blocks = F.array(
         *[
             F.concat_ws(

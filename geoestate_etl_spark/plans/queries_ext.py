@@ -188,6 +188,34 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(spark.read.parquet(path))
 
 
+def neardup_sigs_path(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        _repo_root(), "data", "derived", f"neardup_sigs_{tag}.parquet"
+    )
+
+
+def ensure_neardup_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized near-dup signature table
+    ``(id, sh shingle-ids, sig minhash, simhash)`` — written ONCE per
+    sf and reused (same write-once contract as the dedup-pair and
+    semantic-cluster artifacts; drift vs current kernels is caught by
+    ``tests/test_derived_artifacts.py``). This is the checkpoint that
+    lets the DuckDB oracle certify the LSH band join, the hot-bucket
+    cap, the exact-Jaccard rescore, and the SimHash block join —
+    everything downstream of the (Python-kernel, non-SQL) hashing —
+    as full hash-match rows instead of rows-only."""
+    path = neardup_sigs_path(sf_dir)
+    if not os.path.exists(path):
+        docs = _t(spark, sf_dir, "documents")
+        sigs = DD.minhash_signatures(docs, "text", "doc_id")
+        sh = docs.select(
+            F.col("doc_id").alias("id"), DD.simhash_batch("text").alias("simhash")
+        )
+        sigs.join(sh, "id").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 # --- multimodal (REAL container-header decode) ------------------------------
 
 

