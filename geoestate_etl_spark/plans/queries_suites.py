@@ -471,9 +471,22 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components on the supplier-nation bipartite graph
     (per-node labels) + near-dup clustering over the materialized
-    MinHash pair graph (cluster summaries), both vs recursive CTEs."""
-    from geoestate_etl_spark.operators.components import connected_components
-    from geoestate_etl_spark.plans.queries_ext import q_dedup_components
+    MinHash pair graph (cluster summaries), both vs recursive CTEs.
+
+    BOTH algorithm families are certified against the same oracle:
+    pointer-jumping label propagation (``graph``/``dedup``) and the
+    alternating large-star/small-star edge contraction (``star`` on
+    the supplier graph, ``stard`` per-node labels on the pair graph) —
+    the skew-robust variant a 100 TB corpus would run; previously only
+    equivalence-unit-tested, now a driver hash-match row."""
+    from geoestate_etl_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+    from geoestate_etl_spark.plans.queries_ext import (
+        dedup_pairs_path,
+        q_dedup_components,
+    )
 
     supp = _t(spark, sf_dir, "supplier")
     edges = supp.select(
@@ -486,13 +499,29 @@ def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("b"),
         _NULL_L().alias("c"),
     )
+    star = connected_components_star(edges).select(
+        F.lit("star").alias("variant"),
+        F.col("id").alias("a"),
+        F.col("component").alias("b"),
+        _NULL_L().alias("c"),
+    )
+    # builds BEFORE the stard read: q_dedup_components writes the pair
+    # artifact if missing (eagerly, at plan-build time)
     clusters = q_dedup_components(spark, sf_dir).select(
         F.lit("dedup").alias("variant"),
         F.col("component").alias("a"),
         F.col("keeper_id").alias("b"),
         F.col("cluster_size").alias("c"),
     )
-    return graph.unionByName(clusters)
+    stard = connected_components_star(
+        spark.read.parquet(dedup_pairs_path(sf_dir))
+    ).select(
+        F.lit("stard").alias("variant"),
+        F.col("id").alias("a"),
+        F.col("component").alias("b"),
+        _NULL_L().alias("c"),
+    )
+    return graph.unionByName(star).unionByName(clusters).unionByName(stard)
 
 
 def q_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,8 +1492,11 @@ FROM base
             "FROM comp GROUP BY component) "
             "SELECT 'graph' AS variant, id AS a, component AS b, "
             "CAST(NULL AS BIGINT) AS c FROM g "
-            "UNION ALL SELECT 'dedup', component, keeper_id, cluster_size FROM d",
-            "iterative-components graph+dedup-clusters (merged, both vs recursive CTE)",
+            "UNION ALL SELECT 'star', id, component, CAST(NULL AS BIGINT) FROM g "
+            "UNION ALL SELECT 'dedup', component, keeper_id, cluster_size FROM d "
+            "UNION ALL SELECT 'stard', id, component, CAST(NULL AS BIGINT) FROM comp",
+            "iterative-components label-prop + star-contraction + dedup-clusters "
+            "(merged, all vs recursive CTE)",
         ),
         QuerySpec(
             "pair_similarity",
