@@ -57,15 +57,39 @@ def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lineitem_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈fact sort-merge join on l_orderkey=o_orderkey + rollup."""
+    """Fact⋈fact rollup on l_orderkey=o_orderkey, in two EXECUTION
+    variants certified by one oracle:
+
+    - ``plain``: sort-merge join (the shuffle-on-key baseline).
+    - ``salted``: :func:`operators.skew.adaptive_skew_join` with a
+      forced hot-key list (orderkeys ≡ 0 mod 10), so BOTH strata run
+      for real — the hot 10% through the replicated salted join, the
+      cold 90% through the plain equi-join. Salting is
+      semantics-preserving (each fact row meets exactly one dim
+      replica), so the variant must hash-match the same SQL — this
+      upgrades the skew machinery from stress-test-only to a driver
+      hash-match row. ``sum(l_quantity)`` is integer-valued, so the
+      strata-order-dependent float summation is still exact.
+    """
+    from geoestate_etl_spark.operators.skew import adaptive_skew_join
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = sortmerge_join(li, orders, on=[li.l_orderkey == orders.o_orderkey])
-    return (
-        joined.groupBy("o_orderpriority")
-        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n_items"))
-        .orderBy("o_orderpriority")
+
+    def rollup(joined: DataFrame) -> DataFrame:
+        return joined.groupBy("o_orderpriority").agg(
+            F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n_items")
+        )
+
+    plain = rollup(
+        sortmerge_join(li, orders, on=[li.l_orderkey == orders.o_orderkey])
+    ).select(F.lit("plain").alias("variant"), "o_orderpriority", "sum_qty", "n_items")
+    dim = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    hot = dim.select("l_orderkey").filter(F.col("l_orderkey") % 10 == 0)
+    salted = rollup(adaptive_skew_join(li, dim, ["l_orderkey"], hot=hot)).select(
+        F.lit("salted").alias("variant"), "o_orderpriority", "sum_qty", "n_items"
     )
+    return plain.unionByName(salted).orderBy("variant", "o_orderpriority")
 
 
 def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,10 +143,13 @@ SPECS = [
     QuerySpec(
         "lineitem_orders_join",
         q_lineitem_orders_join,
-        "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n_items "
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
-        "join-sortmerge",
+        "WITH b AS (SELECT o_orderpriority, sum(l_quantity) AS sum_qty, "
+        "count(*) AS n_items FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey GROUP BY o_orderpriority) "
+        "SELECT 'plain' AS variant, o_orderpriority, sum_qty, n_items FROM b "
+        "UNION ALL "
+        "SELECT 'salted', o_orderpriority, sum_qty, n_items FROM b",
+        "join-sortmerge + adaptive-salted (one oracle, both strategies)",
     ),
     # semi/anti joins merged into queries_suites.semi_anti_join (r2)
     QuerySpec(
