@@ -234,3 +234,45 @@ def sample_k_per_group(
         ranked.withColumn("_neg", -F.col("_rk")), group_cols, "_neg", id_col, k
     )
     return out.drop("_rk", "_neg")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: str,
+    epoch: int,
+    salt: str = "shuffle-v1",
+    num_partitions: int | None = None,
+    position_col: str | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch.
+
+    A training run wants a different pseudo-random document order every
+    epoch, reproducible across restarts and cluster sizes. Sorting by
+    ``xxhash64(key, salt, epoch)`` IS such a permutation: the order is
+    a pure function of content key + epoch (restart-safe), and
+    ``repartitionByRange`` on the hash realizes it as ordered output
+    partitions — a parallel range shuffle, never a single-task global
+    sort. Partition p's rows all precede partition p+1's, and rows are
+    sorted within each partition, so a dataloader reading output files
+    in index order sees the full permutation.
+
+    ``position_col`` additionally materializes the explicit global
+    position (1..N) via the scalable renumbering pattern (per-partition
+    counts + broadcast offsets) for samplers that need to seek; leave
+    it ``None`` to skip that extra pass. Hash ties (≈2⁻⁶⁴) break by
+    ``key``, keeping even the tied order deterministic.
+    """
+    h = F.xxhash64(F.col(key).cast("string"), F.lit(salt), F.lit(int(epoch)))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    out = (
+        df.withColumn("_shuf", h)
+        .repartitionByRange(n, F.col("_shuf"), F.col(key))
+        .sortWithinPartitions("_shuf", key)
+    )
+    if position_col is not None:
+        from geoestate_etl_spark.operators.prefix import scalable_cumsum
+
+        out = scalable_cumsum(
+            out.withColumn("_one", F.lit(1)), "_shuf", "_one", position_col
+        ).drop("_one")
+    return out.drop("_shuf")

@@ -263,3 +263,36 @@ def test_sample_k_per_group_exact_deterministic_stable(spark):
     # independent redraw under a different salt
     s3 = {(r.g, r.id) for r in sample_k_per_group(df, ["g"], "id", 10, salt="v2").collect()}
     assert s3 != set(rows1)
+
+
+def test_epoch_shuffle_deterministic_permutation(spark, docs):
+    from geoestate_etl_spark.operators.sampling import epoch_shuffle
+
+    base = docs.select("doc_id").filter(F.col("doc_id") < 2000)
+    ids = [r.doc_id for r in base.collect()]
+    e1 = [r.doc_id for r in epoch_shuffle(base, "doc_id", epoch=1).collect()]
+    # a permutation: same multiset, different order than the source
+    assert sorted(e1) == sorted(ids) and e1 != sorted(ids)
+    # reproducible: same epoch -> byte-identical order, even after a
+    # different physical layout of the input
+    e1b = [
+        r.doc_id
+        for r in epoch_shuffle(base.repartition(13), "doc_id", epoch=1).collect()
+    ]
+    assert e1 == e1b
+    # epoch advance -> a different permutation of the same rows
+    e2 = [r.doc_id for r in epoch_shuffle(base, "doc_id", epoch=2).collect()]
+    assert sorted(e2) == sorted(ids) and e2 != e1
+
+
+def test_epoch_shuffle_position_col(spark, docs):
+    from geoestate_etl_spark.operators.sampling import epoch_shuffle
+
+    base = docs.select("doc_id").filter(F.col("doc_id") < 500)
+    out = epoch_shuffle(base, "doc_id", epoch=3, position_col="pos")
+    rows = out.select("doc_id", "pos").collect()
+    assert sorted(r.pos for r in rows) == list(range(1, len(rows) + 1))
+    # positions agree with the no-position path's order
+    order = [r.doc_id for r in epoch_shuffle(base, "doc_id", epoch=3).collect()]
+    by_pos = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
+    assert by_pos == order
