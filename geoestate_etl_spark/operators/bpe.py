@@ -252,6 +252,27 @@ def train_bpe(
     return BpeModel(merges=merges, vocab=vocab)
 
 
+def decode_bpe_col(model: BpeModel, ids_col: Column | str) -> Column:
+    """Distributed inverse of :func:`encode_bpe` as a pure Column.
+
+    The id→symbol table ships as a literal map (vocab-sized — hundreds
+    of entries, never corpus-bound), so the decode is entirely JVM-side:
+    ``transform`` → ``array_join`` → literal ``replace`` of the
+    end-of-word marker. Unknown ids surface as ``�`` rather than being
+    silently dropped (``array_join`` would skip NULLs otherwise).
+    """
+    kv: list[Column] = []
+    for sym, i in model.vocab.items():
+        kv.append(F.lit(i))
+        kv.append(F.lit(sym))
+    id2sym = F.create_map(*kv)
+    syms = F.transform(
+        F.col(ids_col) if isinstance(ids_col, str) else ids_col,
+        lambda x: F.element_at(id2sym, x),
+    )
+    return F.trim(F.replace(F.array_join(syms, "", "�"), F.lit(EOW), F.lit(" ")))
+
+
 def encode_bpe(
     df: DataFrame,
     model: BpeModel,

@@ -654,7 +654,19 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``pack``: sequence packing (concat-and-chunk, 512-token budget)
       of every document — the scalable two-phase cumsum vs the
       oracle's plain window cumsum, certified row-for-row.
+    - ``bpe`` (r5): subword-tokenizer round-trip. A BPE model is
+      trained on docs 0..19's word histogram (driver loop over a
+      vocabulary-bounded relation, never the corpus), those docs are
+      encoded with the Arrow-batched greedy-merge udf, and the id
+      stream is decoded back JVM-side (literal id→symbol map). The
+      decoded text must equal the pre-tokenized text — which IS
+      SQL-expressible — so one hash certifies histogram → merge
+      training → vocab ids → distributed encode → decode end to end
+      (a wrong merge rank, a dropped char, or a mis-assigned id each
+      breaks reconstruction). ``n_tokens`` itself is pinned by
+      ``tests/test_bpe.py`` (no SQL analogue for the merge loop).
     """
+    from geoestate_etl_spark.operators import bpe as BPE
     from geoestate_etl_spark.operators.prefix import pack_sequences
     from geoestate_etl_spark.operators.vocab import build_vocab, encode_docs
 
@@ -702,7 +714,24 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_id",
         "chunk_offset",
     )
-    return v.unionByName(enc).unionByName(packed)
+    docs20 = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    # lowercase=False: symmetric with this suite's (and the oracle's)
+    # case-preserving tokenization; trained on the SAME 20 docs it
+    # encodes, so the alphabet covers every char and no id is UNK
+    model = BPE.train_bpe(
+        BPE.word_histogram(docs20, lowercase=False), vocab_size=160
+    )
+    bpe = BPE.encode_bpe(docs20, model, lowercase=False).select(
+        F.lit("bpe").alias("variant"),
+        _NULL_S().alias("token"),
+        _NULL_L().alias("n"),
+        _NULL_L().alias("vocab_id"),
+        "doc_id",
+        BPE.decode_bpe_col(model, "token_ids").alias("ids"),
+        _NULL_L().alias("chunk_id"),
+        _NULL_L().alias("chunk_offset"),
+    )
+    return v.unionByName(enc).unionByName(packed).unionByName(bpe)
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1223,7 +1252,13 @@ def _specs() -> list[QuerySpec]:
         "ON d.doc_id = e.doc_id WHERE d.doc_id < 20 "
         "UNION ALL SELECT 'pack', NULL, n_toks, NULL, doc_id, NULL, "
         "CAST(floor(tape_start / 512) AS BIGINT), "
-        "CAST(tape_start - floor(tape_start / 512) * 512 AS BIGINT) FROM pk"
+        "CAST(tape_start - floor(tape_start / 512) * 512 AS BIGINT) FROM pk "
+        # bpe round-trip: decode(encode(text)) must reconstruct the
+        # pre-tokenized text — the SQL side IS that reconstruction
+        "UNION ALL SELECT 'bpe', NULL, NULL, NULL, doc_id, "
+        "COALESCE(array_to_string(regexp_extract_all(COALESCE(text, ''), "
+        f"'{_TOKEN_RE}'), ' '), ''), NULL, NULL "
+        "FROM documents WHERE doc_id < 20"
     )
 
     text_metrics_sql = f"""

@@ -133,6 +133,31 @@ def test_persistence_roundtrip(spark):
     assert back.merges == model.merges
 
 
+def test_distributed_decode_roundtrip(spark):
+    """decode_bpe_col over encode_bpe reconstructs the pre-tokenized
+    text for every doc (case-preserving arm, as the registry uses)."""
+    import re
+
+    from geoestate_etl_spark.operators.bpe import decode_bpe_col
+    from geoestate_etl_spark.functions.text import TOKEN_PATTERN
+
+    docs = _docs(spark, 40)
+    model = train_bpe(word_histogram(docs, lowercase=False), vocab_size=160)
+    enc = encode_bpe(docs, model, lowercase=False)
+    got = {
+        r.doc_id: r.rt
+        for r in enc.select(
+            "doc_id", decode_bpe_col(model, "token_ids").alias("rt")
+        ).collect()
+    }
+    rx = re.compile(TOKEN_PATTERN, re.ASCII)
+    for r in docs.collect():
+        assert got[r.doc_id] == " ".join(rx.findall(r.text or "")), r.doc_id
+    # unknown ids surface, never silently dropped
+    one = spark.createDataFrame([(1, [10**6])], "doc_id long, token_ids array<int>")
+    assert one.select(decode_bpe_col(model, "token_ids").alias("rt")).first().rt == "�"
+
+
 def test_unseen_alphabet_is_unk(spark):
     model = train_bpe(_toy_hist_df(spark), vocab_size=64)
     ids = model.encode_text("low λ low")
