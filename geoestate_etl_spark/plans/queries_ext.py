@@ -75,17 +75,32 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_probe(assigned, centroids, _probe(spark, sf_dir), k=10, n_probe=4)
 
 
-def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF: tokenize → explode → per-(doc,term) TF, per-term DF,
-    idf = ln((N+1)/(df+1)); top-3 terms per doc (first 50 docs).
+#: fixed bag-of-words retrieval query for the bm25 variant — literal in
+#: both the plan and the SQL oracle, present at every test scale
+BM25_QUERY = ["spark", "hash", "join", "vector"]
 
-    One explode + two chained hash aggregations — the canonical scale
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text-statistics suite, a tagged union of two variants:
+
+    - ``tfidf``: tokenize → explode → per-(doc,term) TF, per-term DF,
+      idf = ln((N+1)/(df+1)); top-3 terms per doc (first 50 docs).
+    - ``bm25`` (r5): lexical top-10 retrieval for a fixed bag-of-words
+      query (:data:`BM25_QUERY`) over the WHOLE corpus — the curation
+      workhorse (decontamination sweeps, targeted corpus slicing). See
+      :mod:`geoestate_etl_spark.operators.retrieval` for the scale
+      shape; ranked on the ROUNDED score + doc_id tiebreaker so the
+      ordering is engine- and partitioning-reproducible.
+
+    One explode + chained hash aggregations — the canonical scale
     shape for corpus statistics. DF derives from TF (one row per
     (doc, term) already) instead of a second explode+distinct, and the
     term join is left to AQE: vocabulary is unbounded, so a forced
     broadcast would OOM on a real corpus.
     """
     from pyspark.sql import Window
+
+    from geoestate_etl_spark.operators.retrieval import bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar, one job — the corpus size
@@ -99,17 +114,29 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.round(
             F.col("tf") * F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1)), 4
-        ).alias("tfidf"),
+        ).alias("score"),
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tfidf"), F.asc("term")
-    )
-    return (
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    tfidf = (
         scored.filter(F.col("doc_id") < 50)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rn"))
+        .select(
+            F.lit("tfidf").alias("variant"),
+            "doc_id",
+            "term",
+            "score",
+            F.col("rn").cast("long").alias("rn"),
+        )
     )
+    bm25 = bm25_topk(docs, BM25_QUERY, k=10).select(
+        F.lit("bm25").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        "score",
+        "rn",
+    )
+    return tfidf.unionByName(bm25)
 
 
 def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,13 +423,33 @@ SPECS = [
         "  GROUP BY term), "
         "n AS (SELECT count(*) AS n_docs FROM documents), "
         "scored AS (SELECT doc_id, tf.term, "
-        "  round(tf * ln((n_docs + 1.0) / (df + 1)), 4) AS tfidf "
+        "  round(tf * ln((n_docs + 1.0) / (df + 1)), 4) AS score "
         "  FROM tf JOIN df_ ON tf.term = df_.term CROSS JOIN n), "
-        "ranked AS (SELECT doc_id, term, tfidf, row_number() OVER ("
-        "  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn "
-        "  FROM scored WHERE doc_id < 50) "
-        "SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3",
-        "ext-tfidf",
+        "ranked AS (SELECT doc_id, term, score, row_number() OVER ("
+        "  PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn "
+        "  FROM scored WHERE doc_id < 50), "
+        # bm25: Okapi/Lucene idf over the fixed 4-term query, ranked on
+        # the rounded score (doc_id tiebreak) exactly like the plan
+        "dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id), "
+        "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+        "qtf AS (SELECT doc_id, term, count(*) AS tf FROM terms "
+        "  WHERE term IN ('spark', 'hash', 'join', 'vector') "
+        "  GROUP BY doc_id, term), "
+        "qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms "
+        "  WHERE term IN ('spark', 'hash', 'join', 'vector') GROUP BY term), "
+        "bscore AS (SELECT qtf.doc_id, round(sum("
+        "  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * "
+        "  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score "
+        "  FROM qtf JOIN qdf ON qtf.term = qdf.term "
+        "  JOIN dl ON qtf.doc_id = dl.doc_id CROSS JOIN st "
+        "  GROUP BY qtf.doc_id), "
+        "btop AS (SELECT doc_id, score, row_number() OVER ("
+        "  ORDER BY score DESC, doc_id ASC) AS rn FROM bscore "
+        "  ORDER BY score DESC, doc_id ASC LIMIT 10) "
+        "SELECT 'tfidf' AS variant, doc_id, term, score, rn "
+        "FROM ranked WHERE rn <= 3 "
+        "UNION ALL SELECT 'bm25', doc_id, NULL, score, rn FROM btop",
+        "ext-tfidf+bm25-retrieval",
     ),
     QuerySpec(
         "similarity_bruteforce",

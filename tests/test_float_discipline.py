@@ -51,7 +51,7 @@ ALLOWED_DOUBLES = {
     ("grouping_suite", "val"),          # rollup sum(l_quantity)
     # messy-repr computed values (quotients/irrationals; repr never
     # terminates at the cut) — evidenced green since r1/r2
-    ("tfidf_top_terms", "tfidf"),
+    ("tfidf_top_terms", "score"),  # tfidf + bm25 variants: ln-product sums
     ("similarity_bruteforce", "cos_sim"),
     ("ann_certify", "cos_sim"),
     ("pair_similarity", "value"),
