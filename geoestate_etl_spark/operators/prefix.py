@@ -38,35 +38,41 @@ def scalable_cumsum(
     cumsum + per-partition totals. Phase 3: broadcast the cumulative
     offsets of preceding partitions back onto each row.
     """
+    from geoestate_etl_spark.operators.windows import frozen_range_bucket
+
     sess = df.sparkSession
     if num_partitions is None:
         num_partitions = sess.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # FROZEN boundary buckets, not repartitionByRange: the offsets
+    # aggregation and the final pass traverse the data separately, and
+    # range sampling re-runs per exchange materialization — frozen
+    # literal boundaries make the bucket a pure key function so both
+    # passes agree by construction (see frozen_range_bucket).
+    bucket, _n = frozen_range_bucket(df, order_col, num_partitions)
+    parted = df.withColumn("_bkt", bucket)
     w_local = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_bkt")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = parted.withColumn("_local", F.sum(value_col).over(w_local))
-    # per-partition totals -> offsets (tiny frame: one row per input
-    # partition). The window is single-partition ON PURPOSE — ≤P rows —
-    # and partitionBy(lit) states that, instead of tripping Spark's
+    # per-bucket totals -> offsets (tiny frame: one row per bucket).
+    # The window is single-partition ON PURPOSE — ≤P rows — and
+    # partitionBy(lit) states that, instead of tripping Spark's
     # "no partition defined" global-window warning on every compile
-    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    totals = parted.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
     w_off = (
         Window.partitionBy(F.lit(0))
-        .orderBy("_pid")
+        .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.withColumn(
         "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
-    ).select("_pid", "_off")
+    ).select("_bkt", "_off")
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_bkt")
         .withColumn(out_col, F.col("_local") + F.col("_off"))
-        .drop("_pid", "_local", "_off")
+        .drop("_bkt", "_local", "_off")
     )
 
 

@@ -33,42 +33,116 @@ def renumber_global(df: DataFrame, order_key: str, id_alias: str) -> DataFrame:
     return df.withColumn(id_alias, F.row_number().over(w))
 
 
+def _boundary_literal(value, dtype) -> Column:
+    """Render one collected boundary value as a literal Column
+    (struct keys become ``F.struct`` of per-field literals with the
+    original field names, so comparisons resolve field-by-field)."""
+    if isinstance(dtype, T.StructType):
+        return F.struct(
+            *[
+                _boundary_literal(v, f.dataType).alias(f.name)
+                for v, f in zip(value, dtype.fields)
+            ]
+        )
+    return F.lit(value)
+
+
+def frozen_range_bucket(
+    df: DataFrame, order_key: str, parts: int, sample_per_part: int = 200
+) -> tuple[Column, int]:
+    """Deterministic range-bucket id for two-phase rank/cumsum ops.
+
+    ``repartitionByRange`` is the obvious building block but it is
+    EXECUTION-nondeterministic: its boundary sampling reruns per
+    exchange materialization, and a plan whose offsets aggregation and
+    final pass materialize the exchange separately (cache boundaries
+    and AQE both break ReuseExchange) can see two DIFFERENT
+    partitionings of the same rows — observed as non-dense duplicate
+    ids in the houses pipeline at local[8]. Here the boundaries are
+    computed ONCE, collected, and frozen into the plan as literals, so
+    the bucket is a pure function of the key: every consumer, retry,
+    and re-execution agrees by construction. (Which boundaries the
+    sample picks only affects load balance, never the final ranks —
+    buckets are ordered key intervals either way.)
+
+    Returns ``(bucket_column, n_buckets)``. NULL keys get bucket 0
+    (matching ASC NULLS FIRST window order).
+    """
+    if parts <= 1:
+        return F.lit(0), 1
+    keys = df.select(F.col(order_key).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    )
+    n = keys.count()
+    if n == 0:
+        return F.lit(0), 1
+    frac = min(1.0, (parts * sample_per_part) / n)
+    # Row is a tuple subclass, so struct keys sort like their fields
+    sampled = sorted(r[0] for r in keys.sample(False, frac, seed=42).collect())
+    if not sampled:
+        sampled = sorted(
+            r[0] for r in keys.limit(parts * sample_per_part).collect()
+        )
+    step = len(sampled) / parts
+    dtype = df.schema[order_key].dataType
+    raw_bounds = [sampled[int(i * step)] for i in range(1, parts)]
+    bounds, seen = [], set()
+    for b in raw_bounds:
+        key_b = tuple(b) if isinstance(dtype, T.StructType) else b
+        if key_b not in seen:
+            seen.add(key_b)
+            bounds.append(b)
+    key = F.col(order_key)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(
+            key >= _boundary_literal(b, dtype), 1
+        ).otherwise(0)
+    return (
+        F.when(key.isNull(), F.lit(0)).otherwise(bucket),
+        len(bounds) + 1,
+    )
+
+
 def renumber_scalable(df: DataFrame, order_key: str, id_alias: str) -> DataFrame:
     """W1 at scale: same dense 1..N output, no global single-task sort.
 
-    ``repartitionByRange(order_key)`` range-shuffles so partition i
-    holds keys < partition i+1; ``spark_partition_id`` + a partition-
-    local window computes intra-partition ranks; per-partition counts
-    (a tiny aggregate, broadcast join) convert local rank → global id.
-    Every stage is parallel; the only driver data is num_partitions
-    rows of offsets.
+    Rows bucket by FROZEN range boundaries (:func:`frozen_range_bucket`
+    — literals in the plan, so every pass over the data agrees on the
+    bucketing; see that docstring for why ``repartitionByRange``'s
+    per-execution sampling is not safe here). A bucket-partitioned
+    window computes intra-bucket ranks; per-bucket counts (a tiny
+    aggregate, broadcast join) convert local rank → global id. Every
+    stage is parallel; the only driver data is the boundary sample and
+    n_buckets offset rows.
     """
     parts = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, F.col(order_key)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    local_w = Window.partitionBy("_pid").orderBy(order_key)
-    local = ranged.withColumn("_local_rn", F.row_number().over(local_w))
+    bucket, _n_buckets = frozen_range_bucket(df, order_key, parts)
+    bucketed = df.withColumn("_bkt", bucket)
+    local_w = Window.partitionBy("_bkt").orderBy(order_key)
+    local = bucketed.withColumn("_local_rn", F.row_number().over(local_w))
 
     offsets = (
-        local.groupBy("_pid")
+        bucketed.groupBy("_bkt")
         .agg(F.count("*").alias("_n"))
         .withColumn(
             "_offset",
             F.coalesce(
                 F.sum("_n").over(
-                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                    Window.partitionBy(F.lit(0))
+                    .orderBy("_bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .select("_pid", "_offset")
+        .select("_bkt", "_offset")
     )
-    # offsets has ≤ num_partitions rows — broadcast, no shuffle of `local`.
+    # offsets has n_buckets rows — broadcast, no shuffle of `local`.
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_bkt")
         .withColumn(id_alias, (F.col("_local_rn") + F.col("_offset")).cast(T.LongType()))
-        .drop("_pid", "_local_rn", "_offset")
+        .drop("_bkt", "_local_rn", "_offset")
     )
 
 

@@ -54,8 +54,17 @@ def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_houses_slice_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's signature query on the reference's OWN sample
     CSV (full pipeline: dirty UTF-16 ingest → validate → renumber →
-    cast → top-25 by square). Rows-only: DuckDB cannot parse UTF-16
-    CSVs, and tests/test_reference_slice.py pins the golden values.
+    cast → top-25 by square).
+
+    Oracled since r5: DuckDB cannot parse UTF-16 CSV, so the oracle
+    reads ``data/derived/houses_slice_raw.parquet`` — the same file
+    re-parsed by an INDEPENDENT parser (Python's csv module,
+    ``tools/gen_houses_raw.py``) and drift-gated against both
+    regeneration and the Spark reader's own parse by
+    ``tests/test_derived_artifacts.py``. The SQL then re-implements
+    validate → renumber → cast → top-25 from the raw strings, so the
+    whole reference pipeline is hash-certified end to end;
+    ``tests/test_reference_slice.py`` still pins the golden values.
 
     ``sf_dir`` is unused — the input is the fixed reference sample.
     """
@@ -137,5 +146,36 @@ SPECS = [
         "UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS VARCHAR) FROM documents",
         "etl-profiling",
     ),
-    QuerySpec("houses_slice_top25", q_houses_slice_top25, None, "reference-e2e-parity"),
+    QuerySpec(
+        "houses_slice_top25",
+        q_houses_slice_top25,
+        # the full reference pipeline from raw strings, in SQL; strips
+        # mirror functions/cleaning.py, predicates functions/validation.py
+        "WITH raw AS (SELECT * FROM read_parquet("
+        "'/root/repo/data/derived/houses_slice_raw.parquet')), "
+        "v AS (SELECT * FROM raw WHERE "
+        "region IS NOT NULL AND trim(region) <> '' "
+        "AND address IS NOT NULL AND trim(address) <> '' "
+        "AND description IS NOT NULL AND trim(description) <> '' "
+        "AND locality_name IS NOT NULL AND trim(locality_name) <> '' "
+        "AND communal_service_id IS NOT NULL AND trim(communal_service_id) <> '' "
+        "AND TRY_CAST(house_id AS INT) IS NOT NULL "
+        "AND TRY_CAST(regexp_replace(trim(latitude), '[^0-9.-]', '', 'g') AS DOUBLE) IS NOT NULL "
+        "AND TRY_CAST(regexp_replace(trim(longitude), '[^0-9.-]', '', 'g') AS DOUBLE) IS NOT NULL "
+        "AND regexp_matches(regexp_replace(trim(maintenance_year), '[^0-9]', '', 'g'), '^[0-9]{4}$') "
+        "AND regexp_matches(regexp_replace(trim(square), '[^0-9.]', '', 'g'), '^[0-9]+(\\.[0-9]+)?$') "
+        "AND TRY_CAST(regexp_replace(trim(square), '[^0-9.]', '', 'g') AS DOUBLE) IS NOT NULL "
+        "AND regexp_matches(regexp_replace(trim(population), '[^0-9]', '', 'g'), '^[0-9]+$') "
+        "AND TRY_CAST(regexp_replace(trim(population), '[^0-9]', '', 'g') AS INTEGER) IS NOT NULL "
+        "AND regexp_matches(regexp_replace(trim(communal_service_id), '[^0-9]', '', 'g'), '^[0-9]+$') "
+        "AND TRY_CAST(regexp_replace(trim(communal_service_id), '[^0-9]', '', 'g') AS INTEGER) IS NOT NULL), "
+        "r AS (SELECT *, row_number() OVER (ORDER BY TRY_CAST(house_id AS INT)) AS new_id FROM v), "
+        "c AS (SELECT CAST(new_id AS INT) AS house_id, "
+        "CAST(regexp_replace(trim(square), '[^0-9.]', '', 'g') AS DOUBLE) AS square, "
+        "make_date(CAST(regexp_replace(trim(maintenance_year), '[^0-9]', '', 'g') AS INT), 1, 1) AS maintenance_year, "
+        "region FROM r) "
+        "SELECT house_id, square, maintenance_year, region FROM c "
+        "WHERE square > 60.0 ORDER BY square DESC, house_id ASC LIMIT 25",
+        "reference-e2e-parity (oracled r5 via the transcoded raw artifact)",
+    ),
 ]

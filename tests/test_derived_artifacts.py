@@ -106,3 +106,48 @@ def test_committed_neardup_sigs_match_current_code(spark):
         f"({len(committed - fresh)} stale, {len(fresh - committed)} missing) — "
         f"delete {path}, rerun near_dup_pairs, and commit the rewrite"
     )
+
+
+def test_committed_houses_raw_matches_regeneration_and_spark(spark):
+    """Drift gate for the houses raw-parse artifact (oracle input of
+    `houses_slice_top25`), two-sided:
+
+    1. regeneration — the committed parquet equals a fresh stdlib-csv
+       parse of the reference CSV (catches artifact tampering/staleness);
+    2. cross-parser parity — the Spark dirty-CSV reader produces the
+       same row multiset (catches a Spark-vs-Python CSV disagreement,
+       which would make the SQL oracle certify the wrong parse).
+    """
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from gen_houses_raw import COLUMNS, OUT, SLICE, parse_rows
+
+    if not os.path.exists(SLICE):
+        pytest.skip("reference slice not present")
+    assert os.path.exists(OUT), "committed houses_slice_raw.parquet missing"
+
+    fresh = parse_rows()
+    committed_df = spark.read.parquet(OUT).orderBy("_row_idx")
+    committed = [
+        [getattr(r, c) for c in COLUMNS] for r in committed_df.collect()
+    ]
+    assert committed == fresh, "artifact differs from a fresh stdlib parse"
+
+    from geoestate_etl_spark.schema import HOUSES_RAW_SCHEMA
+    from geoestate_etl_spark.sources.csv_source import read_dirty_csv
+
+    spark_rows = sorted(
+        map(
+            str,
+            (
+                tuple(r)
+                for r in read_dirty_csv(
+                    spark, SLICE, schema=HOUSES_RAW_SCHEMA
+                ).collect()
+            ),
+        )
+    )
+    py_rows = sorted(map(str, (tuple(r) for r in fresh)))
+    assert spark_rows == py_rows, "Spark CSV parse != stdlib csv parse"

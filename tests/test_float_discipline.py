@@ -45,6 +45,7 @@ ALLOWED_DOUBLES = {
     ("array_suite", "v"),               # float32 elements + stats (messy reprs)
     ("geo_distance_radius", "lat"),     # same synthetic-coord formula both sides
     ("geo_distance_radius", "lon"),
+    ("houses_slice_top25", "square"),   # strtod of the same raw string (exact)
     # sums of integer-valued doubles (exact)
     ("lineitem_orders_join", "sum_qty"),
     ("tpch_q1", "sum_qty"),

@@ -80,7 +80,12 @@ def test_renumber_scalable_no_single_partition_sort(spark):
         .executedPlan()
         .toString()
     )
-    assert "rangepartitioning" in plan  # repartitionByRange present
+    # the big-relation window is partitioned by the frozen range bucket
+    # (parallel, boundary literals in the plan) — NOT a global sort;
+    # rangepartitioning would mean execution-resampled boundaries crept
+    # back in (the local[8] duplicate-id bug)
+    assert "hashpartitioning(_bkt" in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_decontaminate_corpus_side_no_shuffle(spark):

@@ -28,7 +28,11 @@ def test_scalable_cumsum_no_global_window(spark):
         .executedPlan()
         .toString()
     )
-    assert "rangepartitioning" in plan  # distributed phase-1 present
+    # distributed phase-1: frozen-boundary bucket hash exchange (range
+    # sampling re-runs per materialization and desynced the offsets
+    # pass from the output pass — the local[8] renumber bug)
+    assert "hashpartitioning(_bkt" in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_pack_sequences_chunk_semantics(spark):

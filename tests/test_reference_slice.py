@@ -40,6 +40,17 @@ def test_slice_counts(result):
     assert result.n_valid == 5333
 
 
+def test_slice_renumber_dense(result):
+    """Regression (r5): on THIS data + the test session's local[8],
+    renumber_scalable's old repartitionByRange formulation produced
+    duplicate ids (5288 distinct of 5333, max 5376) — the offsets job
+    and the output job materialized the range exchange separately and
+    the boundary sampling re-ran differently for each. The frozen-
+    boundary bucketing must yield exactly 1..n_valid."""
+    ids = sorted(r.house_id for r in result.clean.select("house_id").collect())
+    assert ids == list(range(1, 5334))
+
+
 def test_slice_defect_rates(spark):
     """The per-column rates BASELINE.md measured on the raw CSV."""
     raw = read_dirty_csv(spark, SLICE, schema=HOUSES_RAW_SCHEMA).cache()
