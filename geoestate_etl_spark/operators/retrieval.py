@@ -53,6 +53,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     score_dp: int = 4,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents for a bag-of-words query by BM25.
 
@@ -61,8 +62,13 @@ def bm25_topk(
     ordering is reproducible across engines and partitionings — two
     docs whose scores differ below the rounding quantum rank by id,
     deterministically, rather than by float noise.
+
+    Pass ``terms`` (a ``(doc_id, term)`` relation as produced by
+    :func:`doc_terms`) when the caller already exploded the corpus —
+    avoids re-tokenizing it here.
     """
-    terms = doc_terms(docs, id_col, text_col)
+    if terms is None:
+        terms = doc_terms(docs, id_col, text_col)
     dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n_docs, total_len = dl.agg(
         F.count(F.lit(1)), F.sum("dl")
@@ -75,13 +81,9 @@ def bm25_topk(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = (
-        terms.filter(F.col("term").isin(qt))
-        .select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # DF derives from TF — one row per (doc, term) already, so the
+    # per-term doc count needs no second corpus scan + distinct
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )

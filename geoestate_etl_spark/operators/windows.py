@@ -36,7 +36,9 @@ def renumber_global(df: DataFrame, order_key: str, id_alias: str) -> DataFrame:
 def _boundary_literal(value, dtype) -> Column:
     """Render one collected boundary value as a literal Column
     (struct keys become ``F.struct`` of per-field literals with the
-    original field names, so comparisons resolve field-by-field)."""
+    original field names, so comparisons resolve field-by-field).
+    NULL fields get a TYPED null literal — a bare ``F.lit(None)`` is
+    NullType and would not resolve against the column's struct type."""
     if isinstance(dtype, T.StructType):
         return F.struct(
             *[
@@ -44,7 +46,17 @@ def _boundary_literal(value, dtype) -> Column:
                 for v, f in zip(value, dtype.fields)
             ]
         )
+    if value is None:
+        return F.lit(None).cast(dtype)
     return F.lit(value)
+
+
+def _contains_null(v) -> bool:
+    if v is None:
+        return True
+    if isinstance(v, tuple):  # Row is a tuple subclass
+        return any(_contains_null(x) for x in v)
+    return False
 
 
 def frozen_range_bucket(
@@ -70,22 +82,48 @@ def frozen_range_bucket(
     """
     if parts <= 1:
         return F.lit(0), 1
+    dtype = df.schema[order_key].dataType
     keys = df.select(F.col(order_key).alias("_k")).filter(
         F.col("_k").isNotNull()
     )
-    n = keys.count()
-    if n == 0:
-        return F.lit(0), 1
-    frac = min(1.0, (parts * sample_per_part) / n)
-    # Row is a tuple subclass, so struct keys sort like their fields
-    sampled = sorted(r[0] for r in keys.sample(False, frac, seed=42).collect())
-    if not sampled:
-        sampled = sorted(
-            r[0] for r in keys.limit(parts * sample_per_part).collect()
+    if isinstance(dtype, T.NumericType):
+        # one-pass boundary estimation; approxQuantile returns doubles,
+        # compared against the key by Spark's numeric promotion (never
+        # cast back to the key type — a double near ±2^63 would ANSI-
+        # overflow a long cast; boundary precision only shifts balance)
+        probs = [i / parts for i in range(1, parts)]
+        raw_bounds = keys.stat.approxQuantile(
+            "_k", probs, 1.0 / (parts * 10)
         )
-    step = len(sampled) / parts
-    dtype = df.schema[order_key].dataType
-    raw_bounds = [sampled[int(i * step)] for i in range(1, parts)]
+        if not raw_bounds:  # empty input
+            return F.lit(0), 1
+    else:
+        # orderable non-numeric (string/date/struct): deterministic
+        # sample → sorted boundary picks (two scans — numeric keys,
+        # the common case, take the one-scan quantile path above)
+        n = keys.count()
+        if n == 0:
+            return F.lit(0), 1
+        frac = min(1.0, (parts * sample_per_part) / n)
+        # Row is a tuple subclass, so struct keys sort like their
+        # fields; keys containing NULL fields are excluded from the
+        # BOUNDARY sample only (None is unordered in Python) — they
+        # still bucket fine via the null-safe comparison below
+        sampled = sorted(
+            v
+            for r in keys.sample(False, frac, seed=42).collect()
+            if not _contains_null(v := r[0])
+        )
+        if not sampled:
+            sampled = sorted(
+                v
+                for r in keys.limit(parts * sample_per_part).collect()
+                if not _contains_null(v := r[0])
+            )
+        if not sampled:
+            return F.lit(0), 1
+        step = len(sampled) / parts
+        raw_bounds = [sampled[int(i * step)] for i in range(1, parts)]
     bounds, seen = [], set()
     for b in raw_bounds:
         key_b = tuple(b) if isinstance(dtype, T.StructType) else b

@@ -73,10 +73,23 @@ def q_houses_slice_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoestate_etl_spark.plans.pipeline import run_pipeline
 
     slice_path = "/root/reference/data/russian_houses_slice.csv"
-    if not os.path.exists(slice_path):  # environment without the reference
-        return spark.createDataFrame(
-            [], "house_id int, square double, maintenance_year date, region string"
+    if not os.path.exists(slice_path):
+        # environment without the reference: run the same pipeline
+        # stages from the committed raw-parse artifact (all-string,
+        # identical row multiset — drift-gated), so the query and its
+        # oracle stay comparable instead of a spurious 0-vs-25 red
+        from geoestate_etl_spark.operators.transforms import cast_houses
+        from geoestate_etl_spark.plans.pipeline import (
+            top25_stage,
+            validate_stage,
         )
+
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        raw = spark.read.parquet(
+            os.path.join(repo, "data", "derived", "houses_slice_raw.parquet")
+        ).drop("_row_idx")
+        validated, _nv, _ni = validate_stage(raw)
+        return top25_stage(cast_houses(validated).persist())
     return run_pipeline(spark, slice_path).top25_by_square
 
 
@@ -159,6 +172,11 @@ SPECS = [
         "AND description IS NOT NULL AND trim(description) <> '' "
         "AND locality_name IS NOT NULL AND trim(locality_name) <> '' "
         "AND communal_service_id IS NOT NULL AND trim(communal_service_id) <> '' "
+        # the regex mirrors SPARK try_cast(string as int): optional
+        # sign + digits only — DuckDB's TRY_CAST alone also accepts
+        # '12.0'/'1e3' (rounds them), which Spark rejects; TRY_CAST
+        # stays for int-range overflow parity
+        "AND regexp_matches(trim(house_id), '^[+-]?[0-9]+$') "
         "AND TRY_CAST(house_id AS INT) IS NOT NULL "
         "AND TRY_CAST(regexp_replace(trim(latitude), '[^0-9.-]', '', 'g') AS DOUBLE) IS NOT NULL "
         "AND TRY_CAST(regexp_replace(trim(longitude), '[^0-9.-]', '', 'g') AS DOUBLE) IS NOT NULL "

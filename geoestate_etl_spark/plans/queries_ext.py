@@ -129,7 +129,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
-    bm25 = bm25_topk(docs, BM25_QUERY, k=10).select(
+    bm25 = bm25_topk(docs, BM25_QUERY, k=10, terms=terms).select(
         F.lit("bm25").alias("variant"),
         "doc_id",
         F.lit(None).cast("string").alias("term"),

@@ -86,3 +86,18 @@ def test_repetition_ratios(spark):
     assert out[3]["dup_word_frac"] == round(4 / 6, 4)  # 4 repeated 'spam'
     assert out[3]["top_word_frac"] == round(5 / 6, 4)
     assert out[1]["top_word_frac"] < 0.4
+
+
+def test_renumber_struct_key_with_null_fields(spark):
+    """frozen_range_bucket's struct path: NULL fields inside the key
+    must neither crash the driver-side boundary sort nor corrupt ranks
+    (typed null literals + null-safe bucket comparison)."""
+    from geoestate_etl_spark.operators.windows import renumber_scalable
+
+    rows = [(i, None if i % 7 == 0 else f"t{i:04d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "a int, b string").withColumn(
+        "_sk", F.struct("a", "b")
+    )
+    out = {r.a: r.rn for r in renumber_scalable(df, "_sk", "rn").collect()}
+    # struct orders by (a, b); a is unique so rank == a+1
+    assert out == {i: i + 1 for i in range(500)}

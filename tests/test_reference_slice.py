@@ -81,3 +81,22 @@ def test_slice_analytics_narrative(result):
 
     decades = {r.decade for r in result.decade_histogram.collect()}
     assert min(decades) == 1790 and max(decades) <= 2020  # 1798-2014 range
+
+
+def test_artifact_fallback_matches_csv_pipeline(spark, result):
+    """The reference-less fallback inside q_houses_slice_top25 (stages
+    over the committed raw artifact) must produce exactly the same
+    top-25 as the UTF-16 CSV pipeline — guarantees the oracle stays
+    comparable in environments without /root/reference."""
+    from geoestate_etl_spark.operators.transforms import cast_houses
+    from geoestate_etl_spark.plans.pipeline import top25_stage, validate_stage
+
+    raw = spark.read.parquet(
+        "/root/repo/data/derived/houses_slice_raw.parquet"
+    ).drop("_row_idx")
+    validated, nv, ni = validate_stage(raw)
+    assert (nv, ni) == (5333, 1787)
+    top = top25_stage(cast_houses(validated))
+    assert [tuple(r) for r in top.collect()] == [
+        tuple(r) for r in result.top25_by_square.collect()
+    ]
