@@ -101,3 +101,34 @@ def test_renumber_struct_key_with_null_fields(spark):
     out = {r.a: r.rn for r in renumber_scalable(df, "_sk", "rn").collect()}
     # struct orders by (a, b); a is unique so rank == a+1
     assert out == {i: i + 1 for i in range(500)}
+
+
+@pytest.mark.parametrize("dtype,keyfn", [
+    ("long", lambda i: (i * 2654435761) % 1000),        # heavy duplicates
+    ("double", lambda i: float((i * 37) % 500) / 7.0),  # numeric fast path
+    ("string", lambda i: f"k{(i * 13) % 800:05d}"),     # sample path
+])
+def test_frozen_bucket_rank_matches_global_window(spark, dtype, keyfn):
+    """Property: renumber_scalable == the faithful global window for
+    any key dtype, including heavy duplicates — the frozen boundaries
+    must only affect load balance, never ranks. (Duplicate keys rank
+    by arbitrary order WITHIN the key, so compare the rank MULTISET
+    per key, which is tie-order-invariant.)"""
+    from collections import defaultdict
+
+    from geoestate_etl_spark.operators.windows import (
+        renumber_global,
+        renumber_scalable,
+    )
+
+    rows = [(i, keyfn(i)) for i in range(3000)]
+    df = spark.createDataFrame(rows, f"id long, k {dtype}")
+    got = defaultdict(list)
+    for r in renumber_scalable(df, "k", "rn").collect():
+        got[r.k].append(r.rn)
+    want = defaultdict(list)
+    for r in renumber_global(df, "k", "rn").collect():
+        want[r.k].append(r.rn)
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
