@@ -29,20 +29,31 @@ def scalable_cumsum(
     value_col: str,
     out_col: str = "cumsum",
     num_partitions: int | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Running sum of ``value_col`` in ``order_col`` order, inclusive,
     without a global single-task window.
 
-    Phase 1: range-repartition on the order key (global order across
-    partitions, local order within). Phase 2: per-partition window
-    cumsum + per-partition totals. Phase 3: broadcast the cumulative
-    offsets of preceding partitions back onto each row.
+    Phase 1: bucket by FROZEN range boundaries on the order key (pure
+    key function — see below). Phase 2: per-bucket window cumsum +
+    per-bucket totals. Phase 3: broadcast the cumulative offsets of
+    preceding buckets back onto each row.
+
+    ``partition_cols`` gives a PER-GROUP running sum (cumsum restarts
+    per group) that still parallelizes WITHIN each group: the window
+    partitions by (group, bucket) — so a group far bigger than one
+    task (one domain holding most of a 100 TB corpus) spreads across
+    all buckets instead of serializing into a single window task,
+    which is what a plain ``Window.partitionBy(group)`` would do. The
+    offsets frame is ``groups × buckets`` rows — still broadcastable
+    for any realistic group count.
     """
     from geoestate_etl_spark.operators.windows import frozen_range_bucket
 
     sess = df.sparkSession
     if num_partitions is None:
         num_partitions = sess.sparkContext.defaultParallelism
+    grp = list(partition_cols or [])
     # FROZEN boundary buckets, not repartitionByRange: the offsets
     # aggregation and the final pass traverse the data separately, and
     # range sampling re-runs per exchange materialization — frozen
@@ -51,26 +62,26 @@ def scalable_cumsum(
     bucket, _n = frozen_range_bucket(df, order_col, num_partitions)
     parted = df.withColumn("_bkt", bucket)
     w_local = (
-        Window.partitionBy("_bkt")
+        Window.partitionBy("_bkt", *grp)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = parted.withColumn("_local", F.sum(value_col).over(w_local))
-    # per-bucket totals -> offsets (tiny frame: one row per bucket).
-    # The window is single-partition ON PURPOSE — ≤P rows — and
-    # partitionBy(lit) states that, instead of tripping Spark's
-    # "no partition defined" global-window warning on every compile
-    totals = parted.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
+    # per-(group, bucket) totals -> offsets (tiny frame). The offsets
+    # window is per-group over ≤P bucket rows — partitionBy(group)
+    # (or lit(0) for the global case, which states the ≤P-row single
+    # partition instead of tripping Spark's global-window warning)
+    totals = parted.groupBy("_bkt", *grp).agg(F.sum(value_col).alias("_tot"))
     w_off = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(*(grp or [F.lit(0)]))
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.withColumn(
         "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
-    ).select("_bkt", "_off")
+    ).select("_bkt", *grp, "_off")
     return (
-        local.join(F.broadcast(offsets), "_bkt")
+        local.join(F.broadcast(offsets), ["_bkt", *grp])
         .withColumn(out_col, F.col("_local") + F.col("_off"))
         .drop("_bkt", "_local", "_off")
     )

@@ -276,3 +276,57 @@ def epoch_shuffle(
             out.withColumn("_one", F.lit(1)), "_shuf", "_one", position_col
         ).drop("_one")
     return out.drop("_shuf")
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    domain_col: str,
+    weight_col: str,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    order_col: Column | str | None = None,
+    start_col: str = "domain_start",
+) -> DataFrame:
+    """Budgeted mixture construction: keep documents per domain, in a
+    deterministic shuffled order, until each domain's token budget is
+    reached — how a training mix ("200B tokens web, 50B code, ...")
+    is actually materialized from a larger corpus.
+
+    A document is kept iff its domain-local tape START offset (running
+    token total before it) is below the domain's budget, so each
+    domain overshoots by at most one document — the standard
+    concat-and-chunk boundary rule (cf. ``pack_sequences``). Domains
+    absent from ``budgets`` are dropped (budget 0).
+
+    Scale shape: the per-domain running totals come from
+    :func:`~geoestate_etl_spark.operators.prefix.scalable_cumsum` with
+    ``partition_cols=[domain]`` — per-(domain, frozen-bucket) windows,
+    so one giant domain parallelizes across buckets instead of
+    serializing into a single window task. The default order key is
+    ``md5(id)`` (content-keyed deterministic shuffle, engine-portable);
+    pass ``order_col`` to mix in a different order (e.g. a quality
+    score for quality-first selection).
+
+    Output: the kept rows plus ``start_col`` (the domain-local token
+    start offset — 0-based, useful for audit and resume).
+    """
+    from geoestate_etl_spark.operators.prefix import scalable_cumsum
+
+    order = (
+        F.md5(F.col(id_col).cast("string")) if order_col is None else order_col
+    )
+    cum = scalable_cumsum(
+        df.withColumn("_ord", order),
+        "_ord",
+        weight_col,
+        "_cum",
+        partition_cols=[domain_col],
+    )
+    start = (F.col("_cum") - F.col(weight_col)).cast("long")
+    budget = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    kept = cum.withColumn(start_col, start).filter(
+        start < F.coalesce(budget[F.col(domain_col)], F.lit(0))
+    )
+    return kept.drop("_ord", "_cum")

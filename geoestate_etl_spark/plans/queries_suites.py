@@ -665,6 +665,13 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (a wrong merge rank, a dropped char, or a mis-assigned id each
       breaks reconstruction). ``n_tokens`` itself is pinned by
       ``tests/test_bpe.py`` (no SQL analogue for the merge loop).
+    - ``mix`` (r5): budgeted mixture construction
+      (:func:`~geoestate_etl_spark.operators.sampling.sample_to_token_budget`)
+      — keep docs per language, in md5(doc_id) shuffled order, until a
+      per-language token budget (en 3000 / zh 1500; other langs
+      dropped). Certifies the PARTITIONED scalable cumsum (per-(domain,
+      frozen-bucket) windows) against the oracle's plain per-domain
+      window cumsum, plus the budget boundary rule.
     """
     from geoestate_etl_spark.operators import bpe as BPE
     from geoestate_etl_spark.operators.prefix import pack_sequences
@@ -731,7 +738,30 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("chunk_id"),
         _NULL_L().alias("chunk_offset"),
     )
-    return v.unionByName(enc).unionByName(packed).unionByName(bpe)
+    from geoestate_etl_spark.operators.sampling import sample_to_token_budget
+
+    mix = sample_to_token_budget(
+        docs.select("doc_id", "lang", token_count("text").alias("n_toks")),
+        "lang",
+        "n_toks",
+        {"en": 3000, "zh": 1500},
+        id_col="doc_id",
+    ).select(
+        F.lit("mix").alias("variant"),
+        F.col("lang").alias("token"),
+        F.col("n_toks").cast(T.LongType()).alias("n"),
+        _NULL_L().alias("vocab_id"),
+        "doc_id",
+        _NULL_S().alias("ids"),
+        _NULL_L().alias("chunk_id"),
+        F.col("domain_start").alias("chunk_offset"),
+    )
+    return (
+        v.unionByName(enc)
+        .unionByName(packed)
+        .unionByName(bpe)
+        .unionByName(mix)
+    )
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1258,7 +1288,16 @@ def _specs() -> list[QuerySpec]:
         "UNION ALL SELECT 'bpe', NULL, NULL, NULL, doc_id, "
         "COALESCE(array_to_string(regexp_extract_all(COALESCE(text, ''), "
         f"'{_TOKEN_RE}'), ' '), ''), NULL, NULL "
-        "FROM documents WHERE doc_id < 20"
+        "FROM documents WHERE doc_id < 20 "
+        # mix: per-language budgeted selection in md5(doc_id) order —
+        # plain window cumsum mirrors the partitioned scalable cumsum
+        "UNION ALL SELECT 'mix', lang, n_toks, NULL, doc_id, NULL, NULL, st "
+        "FROM (SELECT doc_id, lang, n_toks, CAST(sum(n_toks) OVER ("
+        "PARTITION BY lang ORDER BY ord ROWS UNBOUNDED PRECEDING) - n_toks "
+        "AS BIGINT) AS st FROM (SELECT doc_id, lang, "
+        f"len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_toks, "
+        "md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents)) "
+        "WHERE (lang = 'en' AND st < 3000) OR (lang = 'zh' AND st < 1500)"
     )
 
     text_metrics_sql = f"""

@@ -296,3 +296,69 @@ def test_epoch_shuffle_position_col(spark, docs):
     order = [r.doc_id for r in epoch_shuffle(base, "doc_id", epoch=3).collect()]
     by_pos = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
     assert by_pos == order
+
+
+def test_partitioned_cumsum_matches_per_group_window(spark):
+    """scalable_cumsum(partition_cols=[g]) == plain per-group window
+    cumsum, while parallelizing WITHIN groups (bucket+group window)."""
+    from pyspark.sql import Window
+
+    from geoestate_etl_spark.operators.prefix import scalable_cumsum
+
+    rows = [(i, f"g{i % 3}", (i * 37) % 50 + 1) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = {
+        (r.g, r.id): r.c
+        for r in scalable_cumsum(df, "id", "v", "c", partition_cols=["g"]).collect()
+    }
+    w = Window.partitionBy("g").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r.g, r.id): r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_sample_to_token_budget_semantics(spark):
+    """Budget rule: keep docs whose domain-local start offset < budget
+    (last kept doc may overshoot); unknown domains drop; deterministic
+    across reruns."""
+    from geoestate_etl_spark.operators.sampling import sample_to_token_budget
+
+    rows = [(i, ["en", "de", "xx"][i % 3], 100) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_toks long")
+    out = sample_to_token_budget(
+        df, "lang", "n_toks", {"en": 1000, "de": 250}, id_col="doc_id"
+    )
+    rowsets = {
+        lang: sorted(
+            (r.domain_start, r.doc_id)
+            for r in out.filter(F.col("lang") == lang).collect()
+        )
+        for lang in ["en", "de", "xx"]
+    }
+    # en: starts 0,100,...,900 -> exactly 10 docs (budget hit exactly)
+    assert [s for s, _ in rowsets["en"]] == list(range(0, 1000, 100))
+    # de: starts 0,100,200 -> 3 docs, the last OVERSHOOTS to 300 total
+    assert [s for s, _ in rowsets["de"]] == [0, 100, 200]
+    assert rowsets["xx"] == []  # no budget -> dropped
+    again = sample_to_token_budget(
+        df, "lang", "n_toks", {"en": 1000, "de": 250}, id_col="doc_id"
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_sample_to_token_budget_custom_order(spark):
+    """Quality-first selection: ordering by a score column keeps the
+    best documents up to the budget."""
+    from geoestate_etl_spark.operators.sampling import sample_to_token_budget
+
+    rows = [(i, "en", 10, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_toks long, badness double")
+    out = sample_to_token_budget(
+        df, "lang", "n_toks", {"en": 200}, order_col=F.col("badness")
+    )
+    assert sorted(r.doc_id for r in out.collect()) == list(range(20))
