@@ -362,3 +362,41 @@ def test_sample_to_token_budget_custom_order(spark):
         df, "lang", "n_toks", {"en": 200}, order_col=F.col("badness")
     )
     assert sorted(r.doc_id for r in out.collect()) == list(range(20))
+
+
+def test_weighted_sample_inclusion_tracks_weights(spark):
+    """Statistical property over 120 salts: a weight-10 row is drawn
+    ~an order of magnitude more often than a weight-1 row (exact E-S
+    inclusion probabilities are not closed-form for k>1; ordering and
+    a coarse ratio band are the stable assertions)."""
+    from collections import Counter
+
+    from geoestate_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 10 else 1.0) for i in range(110)]
+    df = spark.createDataFrame(rows, "doc_id long, w double").coalesce(2)
+    hits: Counter = Counter()
+    for s in range(120):
+        for r in weighted_sample(df, "w", 5, salt=f"s{s}").collect():
+            hits[r.doc_id] += 1
+    heavy = sum(hits[i] for i in range(10)) / 10.0
+    light = sum(hits[i] for i in range(10, 110)) / 100.0
+    assert heavy > 4 * light, (heavy, light)
+    total = sum(hits.values())
+    assert total == 120 * 5
+
+
+def test_weighted_sample_deterministic_and_guards(spark):
+    import pytest
+
+    from geoestate_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(i % 7 - 1)) for i in range(50)]  # some <=0 weights
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = sorted(r.doc_id for r in weighted_sample(df, "w", 8).collect())
+    b = sorted(r.doc_id for r in weighted_sample(df, "w", 8).collect())
+    assert a == b and len(a) == 8
+    bad = {i for i in range(50) if (i % 7 - 1) <= 0}
+    assert not (set(a) & bad)  # non-positive weights never sample
+    with pytest.raises(ValueError):
+        weighted_sample(df, "w", 0)
