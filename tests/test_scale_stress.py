@@ -442,3 +442,40 @@ def test_spatial_join_1m_points_1k_polygons(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_cumsum_dominant_domain_parallel(spark):
+    """2M rows where ONE domain holds 90%: the per-(domain, bucket)
+    formulation must (a) stay exact vs the arithmetic ground truth and
+    (b) actually spread the dominant domain across many buckets — the
+    claim that distinguishes it from Window.partitionBy(domain)."""
+    from geoestate_etl_spark.operators.prefix import scalable_cumsum
+    from geoestate_etl_spark.operators.windows import frozen_range_bucket
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, "web").otherwise("code").alias("dom"),
+        F.lit(1).alias("v"),
+    )
+    out = scalable_cumsum(df, "id", "v", "c", partition_cols=["dom"])
+    # ground truth: cumsum of 1s in id order per domain = per-domain rank;
+    # for this construction the rank is derivable arithmetically from id
+    bad = out.withColumn(
+        "want",
+        F.when(
+            F.col("dom") == "web",
+            (F.col("id") / 10).cast("long") * 9 + F.col("id") % 10 + 1,
+        ).otherwise((F.col("id") / 10).cast("long") + 1),
+    ).filter(F.col("c") != F.col("want"))
+    assert bad.count() == 0
+    # the dominant domain spans many buckets (parallel, not one task)
+    bucket, n_buckets = frozen_range_bucket(df, "id", 32)
+    spread = (
+        df.withColumn("_b", bucket)
+        .filter(F.col("dom") == "web")
+        .select("_b")
+        .distinct()
+        .count()
+    )
+    assert n_buckets >= 16 and spread >= 16
