@@ -371,3 +371,73 @@ def weighted_sample(
         .limit(k)
         .drop("_es")
     )
+
+
+def consume_token_budget(
+    batch: DataFrame,
+    consumed: DataFrame | None,
+    domain_col: str,
+    weight_col: str,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    start_col: str = "domain_start",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental twin of :func:`sample_to_token_budget`: consume the
+    remaining per-domain budgets with one ARRIVING batch, carrying a
+    standing ``consumed`` state table across batches (the mixture-
+    construction shape of `incremental_near_dups` / `ivf_append`).
+
+    ``consumed`` is a ``(domain, tokens)`` relation (None = fresh
+    start). Within the batch, docs are taken in md5(id) order; a doc
+    is kept iff its domain-local start offset (prior batches' consumed
+    total + in-batch running total before it) is below the domain's
+    budget — so the SEQUENCE of batches equals one
+    :func:`sample_to_token_budget` run over the concatenation in
+    arrival-major order (fold invariance, pinned in tests).
+
+    Returns ``(kept, new_consumed)``. ``new_consumed`` counts the FULL
+    weight of every kept doc (the overshoot doc included) and nothing
+    from dropped docs, and keeps rows for domains already exhausted.
+    Re-processing the same batch double-consumes — feed each batch
+    once (the streaming ingest's epoch-idempotence pattern handles
+    retries upstream).
+    """
+    from geoestate_etl_spark.operators.prefix import scalable_cumsum
+
+    sess = batch.sparkSession
+    if consumed is None:
+        consumed = sess.createDataFrame([], f"{domain_col} string, tokens long")
+    cum = scalable_cumsum(
+        batch.withColumn("_ord", F.md5(F.col(id_col).cast("string"))),
+        "_ord",
+        weight_col,
+        "_cum",
+        partition_cols=[domain_col],
+    )
+    # consumed is domain-cardinality — broadcast onto the batch
+    prior = F.coalesce(F.col("_prior"), F.lit(0))
+    budget = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+    start = (prior + F.col("_cum") - F.col(weight_col)).cast("long")
+    flagged = (
+        cum.join(
+            F.broadcast(consumed.withColumnRenamed("tokens", "_prior")),
+            domain_col,
+            "left",
+        )
+        .withColumn(start_col, start)
+        .withColumn(
+            "_keep", start < F.coalesce(budget[F.col(domain_col)], F.lit(0))
+        )
+    )
+    kept = flagged.filter(F.col("_keep")).drop("_ord", "_cum", "_prior", "_keep")
+    batch_consumed = (
+        flagged.filter(F.col("_keep"))
+        .groupBy(domain_col)
+        .agg(F.sum(weight_col).cast("long").alias("tokens"))
+    )
+    new_consumed = (
+        consumed.unionByName(batch_consumed)
+        .groupBy(domain_col)
+        .agg(F.sum("tokens").cast("long").alias("tokens"))
+    )
+    return kept, new_consumed

@@ -400,3 +400,61 @@ def test_weighted_sample_deterministic_and_guards(spark):
     assert not (set(a) & bad)  # non-positive weights never sample
     with pytest.raises(ValueError):
         weighted_sample(df, "w", 0)
+
+
+def test_consume_token_budget_fold_invariance(spark):
+    """Two batches fed sequentially == one sample_to_token_budget run
+    over the concatenation in arrival-major (batch, md5) order."""
+    from geoestate_etl_spark.operators.sampling import (
+        consume_token_budget,
+        sample_to_token_budget,
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, ["en", "zh"][i % 2], 50) for i in range(lo, hi)],
+            "doc_id long, lang string, n_toks long",
+        )
+
+    budgets = {"en": 700, "zh": 300}
+    k1, c1 = consume_token_budget(mk(0, 20), None, "lang", "n_toks", budgets)
+    c1 = spark.createDataFrame(c1.collect(), "lang string, tokens long")  # materialize state
+    k2, c2 = consume_token_budget(mk(20, 40), c1, "lang", "n_toks", budgets)
+    seq_ids = sorted(
+        [r.doc_id for r in k1.collect()] + [r.doc_id for r in k2.collect()]
+    )
+
+    full = mk(0, 40).withColumn(
+        "_arr",
+        F.concat(
+            F.when(F.col("doc_id") < 20, F.lit("a")).otherwise(F.lit("b")),
+            F.md5(F.col("doc_id").cast("string")),
+        ),
+    )
+    want = sample_to_token_budget(
+        full, "lang", "n_toks", budgets, order_col=F.col("_arr")
+    )
+    assert seq_ids == sorted(r.doc_id for r in want.collect())
+    # consumed state: kept tokens only, includes both domains
+    state = {r.lang: r.tokens for r in c2.collect()}
+    assert state["en"] == 50 * len([i for i in seq_ids if i % 2 == 0])
+    assert state["zh"] == 50 * len([i for i in seq_ids if i % 2 == 1])
+
+
+def test_consume_token_budget_exhausted_domain_stays(spark):
+    """A domain exhausted in batch 1 admits nothing in batch 2, and its
+    consumed row survives the state fold."""
+    from geoestate_etl_spark.operators.sampling import consume_token_budget
+
+    b1 = spark.createDataFrame(
+        [(i, "en", 100) for i in range(5)], "doc_id long, lang string, n_toks long"
+    )
+    k1, c1 = consume_token_budget(b1, None, "lang", "n_toks", {"en": 250})
+    assert k1.count() == 3  # starts 0,100,200 — overshoot kept
+    b2 = spark.createDataFrame(
+        [(i, "en", 100) for i in range(5, 10)],
+        "doc_id long, lang string, n_toks long",
+    )
+    k2, c2 = consume_token_budget(b2, c1, "lang", "n_toks", {"en": 250})
+    assert k2.count() == 0
+    assert {r.lang: r.tokens for r in c2.collect()} == {"en": 300}
