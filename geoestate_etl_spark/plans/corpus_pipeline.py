@@ -75,6 +75,7 @@ class CorpusResult:
     n_decontam_dropped: int = 0
     n_semantic_dropped: int = 0
     n_tokens_masked: int = 0
+    n_mix_selected: int | None = None  # rows surviving the budget mix
     shard_manifest: dict | None = None
 
     def unpersist(self) -> None:
@@ -129,6 +130,8 @@ def run_corpus(
     semantic_threshold: float = 0.92,
     semantic_cells: int = 16,
     mask_spans_ngram: int | None = None,
+    mix_budgets: dict[str, int] | None = None,
+    mix_domain_col: str = "lang",
     shards_path: str | None = None,
     rows_per_shard: int = 100_000,
     **near_dup_kwargs,
@@ -175,8 +178,11 @@ def run_corpus(
 
         df = df.withColumn(text_col, normalize_unicode(text_col))
     gate = quality_gate(text_col) if gate is None else gate
+    # the budget-mix stage needs its domain column to survive the
+    # projection; everything else rides (id, text) only
+    extra = [mix_domain_col] if mix_budgets is not None else []
     flagged = df.select(
-        F.col(id_col), F.col(text_col), gate.alias("_pass")
+        F.col(id_col), F.col(text_col), *extra, gate.alias("_pass")
     )
 
     funnel = flagged.agg(
@@ -325,11 +331,29 @@ def run_corpus(
     if flagged_ids is not None:
         flagged_ids.unpersist()
 
-    packed = pack_sequences(clean, id_col, "n_tokens", token_budget)
+    # budget mixing LAST among the selection stages: budgets should be
+    # met with clean, deduped, decontaminated documents, and the token
+    # accounting the budgets consume must be the final (scrubbed,
+    # masked) n_tokens the pack stage will lay on the tape
+    n_mix_selected = None
+    to_pack = clean
+    if mix_budgets is not None:
+        from geoestate_etl_spark.operators.sampling import (
+            sample_to_token_budget,
+        )
+
+        to_pack = sample_to_token_budget(
+            clean, mix_domain_col, "n_tokens", mix_budgets, id_col=id_col
+        ).drop("domain_start")
+
+    packed = pack_sequences(to_pack, id_col, "n_tokens", token_budget)
     totals = packed.agg(
         F.sum("n_tokens").alias("toks"),
         (F.countDistinct("chunk_id")).alias("chunks"),
+        F.count(F.lit(1)).alias("n_rows"),
     ).first()
+    if mix_budgets is not None:
+        n_mix_selected = int(totals["n_rows"])
 
     shard_manifest = None
     if shards_path is not None:
@@ -352,5 +376,6 @@ def run_corpus(
         n_decontam_dropped=n_decontam_dropped,
         n_semantic_dropped=n_semantic_dropped,
         n_tokens_masked=n_tokens_masked,
+        n_mix_selected=n_mix_selected,
         shard_manifest=shard_manifest,
     )

@@ -355,3 +355,29 @@ def test_every_stage_on_at_once(spark, tmp_path):
     texts = {r.doc_id: r.text for r in res.cached.collect()}
     assert all("prohibited" not in t for t in texts.values())
     res.unpersist()
+
+
+def test_mix_budget_stage(spark):
+    """Budget mixing as the final selection stage: per-domain token
+    budgets met from the CLEAN survivors' final n_tokens; domains
+    without a budget drop; total tokens bounded by budget + one
+    overshoot doc per domain."""
+    from geoestate_etl_spark.plans.corpus_pipeline import run_corpus
+
+    rows = [
+        (i, ["en", "de"][i % 2],
+         f"doc {i} unique words alpha beta gamma delta epsilon zeta eta "
+         f"theta iota kappa {i * 7} {i * 13}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    res = run_corpus(
+        df, gate=F.lit(True), mix_budgets={"en": 150}, mix_domain_col="lang"
+    )
+    out = res.packed.select("doc_id", "lang", "n_tokens").collect()
+    assert res.n_mix_selected == len(out) and len(out) > 0
+    assert {r.lang for r in out} == {"en"}
+    toks = sum(r.n_tokens for r in out)
+    max_doc = max(r.n_tokens for r in out)
+    assert toks - max_doc < 150 <= toks + max_doc
+    res.unpersist()
