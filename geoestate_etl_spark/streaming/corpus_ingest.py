@@ -25,6 +25,15 @@ rescan — dropping batch docs that near-match history (history is
 already served, so it always wins) or a smaller-id batch sibling.
 Without ``sig_dir``, near-dup stays a slower-cadence corpus job
 (``plans.corpus_pipeline.run_corpus``), the pre-r3 behavior.
+
+Token-budget mixing joins OPT-IN via ``budget_dir`` + ``mix_budgets``:
+each epoch consumes the remaining per-domain budgets with
+:func:`~geoestate_etl_spark.operators.sampling.consume_token_budget`
+(state = per-epoch consumption deltas under ``budget_dir/epoch=N``,
+summed excluding the current epoch — the same overwrite-own-epoch
+retry idempotence as the fingerprint and signature tables). Exhausted
+domains admit nothing in later epochs; the stream keeps running so
+un-exhausted domains continue to fill.
 """
 
 from __future__ import annotations
@@ -52,6 +61,9 @@ def ingest_batch(
     gate: Column | None = None,
     sig_dir: str | None = None,
     jaccard_threshold: float = 0.7,
+    budget_dir: str | None = None,
+    mix_budgets: dict[str, int] | None = None,
+    mix_domain_col: str = "lang",
 ) -> None:
     """One micro-batch of the ingest (also callable on a plain batch
     DataFrame — the streaming/batch twin pattern used throughout)."""
@@ -108,8 +120,38 @@ def ingest_batch(
     clean = exact.withColumn(text_col, scrub_pii(text_col)).withColumn(
         "n_tokens", token_count(text_col)
     )
+
+    budget_delta = None
+    if budget_dir is not None and mix_budgets is not None:
+        from geoestate_etl_spark.operators.sampling import consume_token_budget
+
+        try:
+            consumed = (
+                spark.read.parquet(budget_dir)
+                .filter(F.col("epoch") != epoch_id)  # retry-safe, as above
+                .groupBy(mix_domain_col)
+                .agg(F.sum("tokens").cast("long").alias("tokens"))
+            )
+        except AnalysisException:  # first epoch: nothing consumed yet
+            consumed = None
+        clean, _total = consume_token_budget(
+            clean, consumed, mix_domain_col, "n_tokens", mix_budgets,
+            id_col=id_col,
+        )
+        clean = clean.drop("domain_start")
+        # THIS epoch's consumption delta (not the running total): the
+        # standing state is the SUM over epoch partitions, so a retried
+        # epoch overwrites its own delta and the fold stays exact
+        budget_delta = clean.groupBy(mix_domain_col).agg(
+            F.sum("n_tokens").cast("long").alias("tokens")
+        )
+
     # epoch-keyed overwrite = idempotent on micro-batch retry
     clean.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch_id}")
+    if budget_delta is not None:
+        budget_delta.write.mode("overwrite").parquet(
+            f"{budget_dir}/epoch={epoch_id}"
+        )
     clean.select("fp").write.mode("overwrite").parquet(f"{fp_dir}/epoch={epoch_id}")
     if batch_sigs is not None:
         # standing signatures carry SURVIVORS only: a dropped doc must
@@ -131,6 +173,9 @@ def start_corpus_ingest(
     gate: Column | None = None,
     sig_dir: str | None = None,
     jaccard_threshold: float = 0.7,
+    budget_dir: str | None = None,
+    mix_budgets: dict[str, int] | None = None,
+    mix_domain_col: str = "lang",
 ) -> StreamingQuery:
     """Attach the ingest to a streaming document source and start it."""
 
@@ -139,6 +184,8 @@ def start_corpus_ingest(
             batch, epoch_id, corpus_dir, fp_dir,
             id_col=id_col, text_col=text_col, gate=gate,
             sig_dir=sig_dir, jaccard_threshold=jaccard_threshold,
+            budget_dir=budget_dir, mix_budgets=mix_budgets,
+            mix_domain_col=mix_domain_col,
         )
 
     return (

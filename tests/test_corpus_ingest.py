@@ -138,3 +138,57 @@ def test_sig_dir_dropped_doc_does_not_shadow_future_twin(spark, tmp_path):
         2, corpus, fps, **kw,  # exact twin of the DROPPED 2 -> must still drop
     )
     assert {r.doc_id for r in _read(spark, corpus).collect()} == {1}
+
+
+def _mk_lang_batch(spark, lo, hi, text_pad=""):
+    rows = [
+        (i, ["en", "zh"][i % 2],
+         GOOD + f" doc {i} {text_pad} extra tokens {i * 3} {i * 11}")
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_budget_dir_consumes_across_epochs(spark, tmp_path):
+    """Opt-in budget stage: per-domain budgets fill across epochs,
+    exhausted domains admit nothing later, and an epoch retry is a
+    no-op for the consumed state (delta overwrite)."""
+    corpus, fps, bud = (
+        str(tmp_path / "c"), str(tmp_path / "f"), str(tmp_path / "b")
+    )
+    budgets = {"en": 120}  # zh has no budget -> never lands
+
+    b0 = _mk_lang_batch(spark, 0, 8)
+    b1 = _mk_lang_batch(spark, 8, 16, "later")
+    ingest_batch(b0, 0, corpus, fps, gate=F.lit(True),
+                 budget_dir=bud, mix_budgets=budgets)
+    got0 = spark.read.parquet(corpus).collect()
+    assert {r.lang for r in got0} == {"en"}
+    t0 = sum(r.n_tokens for r in got0)
+    state0 = spark.read.parquet(bud).groupBy("lang").agg(
+        F.sum("tokens").alias("t")).collect()
+    assert {r.lang: r.t for r in state0} == {"en": t0}
+
+    ingest_batch(b1, 1, corpus, fps, gate=F.lit(True),
+                 budget_dir=bud, mix_budgets=budgets)
+    got01 = spark.read.parquet(corpus).collect()
+    t01 = sum(r.n_tokens for r in got01)
+    max_doc = max(r.n_tokens for r in got01)
+    # budget respected with at most one overshoot doc per domain
+    assert t01 - max_doc < 120
+    assert {r.lang for r in got01} == {"en"}
+
+    # retry epoch 1: same consumed state, same corpus
+    before = sorted(map(str, got01))
+    state_before = sorted(map(str, spark.read.parquet(bud).collect()))
+    ingest_batch(b1, 1, corpus, fps, gate=F.lit(True),
+                 budget_dir=bud, mix_budgets=budgets)
+    assert sorted(map(str, spark.read.parquet(corpus).collect())) == before
+    assert sorted(map(str, spark.read.parquet(bud).collect())) == state_before
+
+    # once exhausted, later epochs admit nothing
+    if t01 >= 120:
+        b2 = _mk_lang_batch(spark, 16, 24, "third")
+        ingest_batch(b2, 2, corpus, fps, gate=F.lit(True),
+                     budget_dir=bud, mix_budgets=budgets)
+        assert sorted(map(str, spark.read.parquet(corpus).collect())) == before
