@@ -21,11 +21,25 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction from the props column (semi-structured surface)."""
+    """JSON extraction from the props column — all three semi-
+    structured access paths the engine supports, certified by one
+    hash (each column must agree with the same SQL extraction):
+
+    - ``get_json_object`` (stringly path probe, the classic),
+    - ``from_json`` with an explicit schema (the production path —
+      parse once into a typed struct, prune columns),
+    - Spark 4 VARIANT (``parse_json`` + ``variant_get`` — the
+      shredded open-schema type for semi-structured lakes).
+    """
     ev = _events(spark, sf_dir)
+    props_struct = F.from_json("props", "k BIGINT")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast(T.LongType()).alias("prop_k"),
+        props_struct.getField("k").alias("prop_k_struct"),
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias(
+            "prop_k_variant"
+        ),
     )
 
 
@@ -34,7 +48,9 @@ SPECS = [
     QuerySpec(
         "json_props",
         q_json_props,
-        "SELECT event_id, CAST(props ->> '$.k' AS BIGINT) AS prop_k FROM events",
-        "json-extract",
+        "SELECT event_id, CAST(props ->> '$.k' AS BIGINT) AS prop_k, "
+        "CAST(props ->> '$.k' AS BIGINT) AS prop_k_struct, "
+        "CAST(props ->> '$.k' AS BIGINT) AS prop_k_variant FROM events",
+        "json-extract (string path + typed from_json + Spark 4 VARIANT)",
     ),
 ]
