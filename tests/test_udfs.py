@@ -39,3 +39,38 @@ def test_managed_table_roundtrip(spark, tmp_path):
         assert spark.sql("SELECT count(*) AS c FROM t_serving").collect()[0].c == 7
     finally:
         spark.sql("DROP TABLE IF EXISTS t_serving")
+
+
+def test_udtf_equals_builtin_twin(spark):
+    """Python UDTF (SQL LATERAL path) == the pure-Column posexplode
+    twin, row for row, on real documents — the table-function sibling
+    of this file's pandas_udf ≡ built-ins certifications."""
+    from pyspark.sql import functions as F
+
+    from geoestate_etl_spark.functions.udtfs import (
+        sentences_relation,
+        sentences_relation_udtf,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    a = sorted(tuple(r) for r in sentences_relation(docs, "doc_id", "text").collect())
+    b = sorted(tuple(r) for r in sentences_relation_udtf(docs, "doc_id", "text").collect())
+    assert a == b and len(a) > 0
+
+
+def test_udtf_empty_and_null_rows(spark):
+    from geoestate_etl_spark.functions.udtfs import sentences_relation_udtf
+
+    df = spark.createDataFrame(
+        [(1, "One. Two!  Three?"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = sentences_relation_udtf(df, "doc_id", "text").collect()
+    assert sorted((r.doc_id, r.pos, r.sentence) for r in rows) == [
+        (1, 0, "One."), (1, 1, "Two!"), (1, 2, "Three?")
+    ]
