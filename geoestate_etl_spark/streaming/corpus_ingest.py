@@ -64,9 +64,18 @@ def ingest_batch(
     budget_dir: str | None = None,
     mix_budgets: dict[str, int] | None = None,
     mix_domain_col: str = "lang",
-) -> None:
+) -> dict[str, int]:
     """One micro-batch of the ingest (also callable on a plain batch
-    DataFrame — the streaming/batch twin pattern used throughout)."""
+    DataFrame — the streaming/batch twin pattern used throughout).
+
+    Returns per-epoch funnel metrics ``{n_written, n_tokens}``
+    collected with the Observation API — they ride the epoch write
+    action itself, so observability costs ZERO extra jobs (the
+    batch-pipeline funnel pays one aggregate action per count; a
+    per-trigger path cannot afford that).
+    """
+    from pyspark.sql import Observation
+
     spark = batch.sparkSession
     gate = quality_gate(text_col) if gate is None else gate
 
@@ -146,8 +155,16 @@ def ingest_batch(
             F.sum("n_tokens").cast("long").alias("tokens")
         )
 
-    # epoch-keyed overwrite = idempotent on micro-batch retry
+    # epoch-keyed overwrite = idempotent on micro-batch retry; the
+    # funnel observation rides this same action (no extra job)
+    obs = Observation(f"ingest_epoch_{epoch_id}")
+    clean = clean.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_written"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+    )
     clean.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch_id}")
+    metrics = {k: int(v) for k, v in obs.get.items()}
     if budget_delta is not None:
         budget_delta.write.mode("overwrite").parquet(
             f"{budget_dir}/epoch={epoch_id}"
@@ -161,6 +178,7 @@ def ingest_batch(
             clean.select(F.col(id_col).alias("id")), "id", "semi"
         ).write.mode("overwrite").parquet(f"{sig_dir}/epoch={epoch_id}")
         batch_sigs.unpersist()
+    return metrics
 
 
 def start_corpus_ingest(

@@ -192,3 +192,20 @@ def test_budget_dir_consumes_across_epochs(spark, tmp_path):
         ingest_batch(b2, 2, corpus, fps, gate=F.lit(True),
                      budget_dir=bud, mix_budgets=budgets)
         assert sorted(map(str, spark.read.parquet(corpus).collect())) == before
+
+
+def test_epoch_metrics_ride_the_write(spark, tmp_path):
+    """ingest_batch returns per-epoch funnel metrics from the
+    Observation API — they must equal what the epoch actually wrote
+    (collected on the write action itself, no extra job)."""
+    corpus, fps = str(tmp_path / "mc"), str(tmp_path / "mf")
+    b = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD), (3, OTHER)], ["doc_id", "text"]
+    )  # 2 is an in-batch exact dup of 1
+    m = ingest_batch(b, 0, corpus, fps)
+    got = spark.read.parquet(corpus)
+    assert m["n_written"] == got.count() == 2
+    assert m["n_tokens"] == got.agg(F.sum("n_tokens")).first()[0]
+    # empty epoch (everything already seen) still reports coherent zeros
+    m2 = ingest_batch(b, 1, corpus, fps)
+    assert m2 == {"n_written": 0, "n_tokens": 0}
