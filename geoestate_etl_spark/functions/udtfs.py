@@ -28,14 +28,22 @@ SENT_RE = r"(?<=[.!?])\s+"
 
 @udtf(returnType="pos int, sentence string")
 class SplitSentences:
-    """text → (pos, sentence) rows; empty/NULL text yields no rows."""
+    """text → (pos, sentence) rows; empty/NULL text yields no rows.
+
+    Parity with the builtin twin is exact by construction: the regex
+    compiles with ``re.ASCII`` so ``\\s`` means Java's ASCII whitespace
+    set (NBSP does NOT split — same as ``F.split``), and trimming
+    strips SPACES only, mirroring ``F.trim``.
+    """
+
+    _RX = re.compile(SENT_RE, re.ASCII)
 
     def eval(self, text: str | None):
         if not text:
             return
         pos = 0
-        for part in re.split(SENT_RE, text):
-            part = part.strip()
+        for part in self._RX.split(text):
+            part = part.strip(" ")
             if part:
                 yield pos, part
                 pos += 1
@@ -67,11 +75,19 @@ def sentences_relation_udtf(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, pos, sentence) via the UDTF through SQL LATERAL — the
-    table-function calling convention end to end."""
+    table-function calling convention end to end.
+
+    The temp view gets a per-call unique name (a fixed name would be
+    clobbered by interleaved calls and rebind earlier lazy results);
+    identifiers are backtick-quoted.
+    """
+    import uuid
+
     spark = df.sparkSession
     spark.udtf.register("split_sentences", SplitSentences)
-    df.createOrReplaceTempView("_udtf_docs")
+    view = f"_udtf_docs_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
     return spark.sql(
-        f"SELECT d.{id_col}, s.pos, s.sentence "
-        f"FROM _udtf_docs d, LATERAL split_sentences(d.{text_col}) s"
+        f"SELECT d.`{id_col}`, s.pos, s.sentence "
+        f"FROM {view} d, LATERAL split_sentences(d.`{text_col}`) s"
     )

@@ -79,11 +79,24 @@ def scalable_cumsum(
     )
     offsets = totals.withColumn(
         "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
-    ).select("_bkt", *grp, "_off")
+    ).select(
+        F.col("_bkt").alias("_bkt_r"),
+        *[F.col(g).alias(f"_grp_{i}") for i, g in enumerate(grp)],
+        "_off",
+    )
+    # null-SAFE group equality: the window above treats a NULL group as
+    # its own group (plain-window semantics), so the offsets join must
+    # too — a null-unsafe equi-join would silently drop NULL-group rows
+    cond = local["_bkt"] == offsets["_bkt_r"]
+    for i, g in enumerate(grp):
+        cond = cond & local[g].eqNullSafe(offsets[f"_grp_{i}"])
     return (
-        local.join(F.broadcast(offsets), ["_bkt", *grp])
+        local.join(F.broadcast(offsets), cond)
         .withColumn(out_col, F.col("_local") + F.col("_off"))
-        .drop("_bkt", "_local", "_off")
+        .drop(
+            "_bkt", "_bkt_r", "_local", "_off",
+            *[f"_grp_{i}" for i in range(len(grp))],
+        )
     )
 
 

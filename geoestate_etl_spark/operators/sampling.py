@@ -309,27 +309,21 @@ def sample_to_token_budget(
 
     Output: the kept rows plus ``start_col`` (the domain-local token
     start offset — 0-based, useful for audit and resume).
-    """
-    from geoestate_etl_spark.operators.prefix import scalable_cumsum
 
-    order = (
-        F.md5(F.col(id_col).cast("string")) if order_col is None else order_col
-    )
-    cum = scalable_cumsum(
-        df.withColumn("_ord", order),
-        "_ord",
+    This is exactly :func:`consume_token_budget` from a fresh state —
+    one boundary rule, implemented once.
+    """
+    kept, _total = consume_token_budget(
+        df,
+        None,
+        domain_col,
         weight_col,
-        "_cum",
-        partition_cols=[domain_col],
+        budgets,
+        id_col=id_col,
+        start_col=start_col,
+        order_col=order_col,
     )
-    start = (F.col("_cum") - F.col(weight_col)).cast("long")
-    budget = F.create_map(
-        *[F.lit(x) for kv in budgets.items() for x in kv]
-    )
-    kept = cum.withColumn(start_col, start).filter(
-        start < F.coalesce(budget[F.col(domain_col)], F.lit(0))
-    )
-    return kept.drop("_ord", "_cum")
+    return kept
 
 
 def weighted_sample(
@@ -381,6 +375,7 @@ def consume_token_budget(
     budgets: dict[str, int],
     id_col: str = "doc_id",
     start_col: str = "domain_start",
+    order_col: Column | str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental twin of :func:`sample_to_token_budget`: consume the
     remaining per-domain budgets with one ARRIVING batch, carrying a
@@ -402,13 +397,33 @@ def consume_token_budget(
     once (the streaming ingest's epoch-idempotence pattern handles
     retries upstream).
     """
+    from pyspark.sql import types as T
+
     from geoestate_etl_spark.operators.prefix import scalable_cumsum
 
     sess = batch.sparkSession
     if consumed is None:
-        consumed = sess.createDataFrame([], f"{domain_col} string, tokens long")
+        # typed from the batch's own domain dtype: a hardcoded string
+        # schema would silently widen non-string domains in the state
+        consumed = sess.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(
+                        domain_col, batch.schema[domain_col].dataType
+                    ),
+                    T.StructField("tokens", T.LongType()),
+                ]
+            ),
+        )
+    if order_col is None:
+        order = F.md5(F.col(id_col).cast("string"))
+    elif isinstance(order_col, str):
+        order = F.col(order_col)
+    else:
+        order = order_col
     cum = scalable_cumsum(
-        batch.withColumn("_ord", F.md5(F.col(id_col).cast("string"))),
+        batch.withColumn("_ord", order),
         "_ord",
         weight_col,
         "_cum",

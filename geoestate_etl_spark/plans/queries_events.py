@@ -37,7 +37,9 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast(T.LongType()).alias("prop_k"),
         props_struct.getField("k").alias("prop_k_struct"),
-        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias(
+        # try_parse_json: NULL on malformed input like the two sibling
+        # paths (strict parse_json would fail the whole query instead)
+        F.variant_get(F.try_parse_json("props"), "$.k", "bigint").alias(
             "prop_k_variant"
         ),
     )

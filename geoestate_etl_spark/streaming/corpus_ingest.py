@@ -129,6 +129,10 @@ def ingest_batch(
     clean = exact.withColumn(text_col, scrub_pii(text_col)).withColumn(
         "n_tokens", token_count(text_col)
     )
+    # one materialization per epoch: the corpus/fp/sig writes — and,
+    # with budgets on, the cumsum boundary jobs plus the delta write —
+    # would otherwise each re-execute the gate/anti-join/dedup lineage
+    base = clean = clean.persist()
 
     budget_delta = None
     if budget_dir is not None and mix_budgets is not None:
@@ -178,6 +182,7 @@ def ingest_batch(
             clean.select(F.col(id_col).alias("id")), "id", "semi"
         ).write.mode("overwrite").parquet(f"{sig_dir}/epoch={epoch_id}")
         batch_sigs.unpersist()
+    base.unpersist()
     return metrics
 
 

@@ -458,3 +458,47 @@ def test_consume_token_budget_exhausted_domain_stays(spark):
     k2, c2 = consume_token_budget(b2, c1, "lang", "n_toks", {"en": 250})
     assert k2.count() == 0
     assert {r.lang: r.tokens for r in c2.collect()} == {"en": 300}
+
+
+def test_partitioned_cumsum_null_group_survives(spark):
+    """NULL group values are their own group (plain-window semantics),
+    not silently dropped by the offsets join (review finding: the
+    null-unsafe equi-join lost them)."""
+    from pyspark.sql import Window
+
+    from geoestate_etl_spark.operators.prefix import scalable_cumsum
+
+    rows = [(i, None if i % 3 == 0 else f"g{i % 3}", 1) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = scalable_cumsum(df, "id", "v", "c", partition_cols=["g"])
+    assert out.count() == 600
+    w = Window.partitionBy("g").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {(r.g, r.id): r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    got = {(r.g, r.id): r.c for r in out.collect()}
+    assert got == want
+
+
+def test_consume_budget_nonstring_domain_and_str_order(spark):
+    """Review findings: integer domain columns keep their dtype in the
+    state table; order_col accepts a plain column NAME."""
+    from geoestate_etl_spark.operators.sampling import (
+        consume_token_budget,
+        sample_to_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2, 50, float(i)) for i in range(20)],
+        "doc_id long, dom int, n long, score double",
+    )
+    kept, state = consume_token_budget(
+        df, None, "dom", "n", {0: 150, 1: 100}, id_col="doc_id"
+    )
+    assert dict(state.dtypes)["dom"] == "int"
+    assert kept.count() == 3 + 2
+    # str order_col: quality-first by name
+    out = sample_to_token_budget(
+        df, "dom", "n", {0: 150}, order_col="score"
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [0, 2, 4]

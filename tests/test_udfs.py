@@ -74,3 +74,22 @@ def test_udtf_empty_and_null_rows(spark):
     assert sorted((r.doc_id, r.pos, r.sentence) for r in rows) == [
         (1, 0, "One."), (1, 1, "Two!"), (1, 2, "Three?")
     ]
+
+
+def test_udtf_builtin_parity_nbsp_and_tab(spark):
+    """Review finding: NBSP must NOT split (ASCII \\s on both sides)
+    and tabs must survive trimming identically (F.trim strips spaces
+    only) — UDTF == builtin on exactly these hostile inputs."""
+    from geoestate_etl_spark.functions.udtfs import (
+        sentences_relation,
+        sentences_relation_udtf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "One. Two."), (2, "\tHello. Bye."), (3, "A!  B?   C.")],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in sentences_relation(df, "doc_id", "text").collect())
+    b = sorted(tuple(r) for r in sentences_relation_udtf(df, "doc_id", "text").collect())
+    assert a == b
+    assert (1, 0, "One. Two.") in a  # NBSP did not split
