@@ -677,7 +677,9 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoestate_etl_spark.operators.prefix import pack_sequences
     from geoestate_etl_spark.operators.vocab import build_vocab, encode_docs
 
-    docs = _t(spark, sf_dir, "documents")
+    # persisted: FIVE branches (vocab build, encode, pack, bpe, mix)
+    # otherwise each rescan the parquet; one materialization feeds all
+    docs = _t(spark, sf_dir, "documents").persist()
     # persisted: the 'vocab' branch and the encode join both consume it
     # — without this the wordcount + scalable renumber (including its
     # range-partition sampling job) runs twice
