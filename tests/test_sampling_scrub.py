@@ -502,3 +502,61 @@ def test_consume_budget_nonstring_domain_and_str_order(spark):
         df, "dom", "n", {0: 150}, order_col="score"
     )
     assert sorted(r.doc_id for r in out.collect()) == [0, 2, 4]
+
+
+# --- generative fold invariance for budget consumption ----------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ROW = st.tuples(
+    st.sampled_from(["en", "de", "zh"]),
+    st.integers(min_value=1, max_value=120),  # weights
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(_ROW, min_size=3, max_size=16),
+    cuts=st.lists(st.integers(min_value=1, max_value=14), min_size=1, max_size=2),
+    budgets=st.fixed_dictionaries(
+        {"en": st.integers(min_value=0, max_value=400),
+         "zh": st.integers(min_value=0, max_value=400)}
+    ),
+)
+def test_consume_budget_fold_invariant_random(spark, rows, cuts, budgets):
+    """For ANY corpus, ANY budgets, and ANY 2-3-batch split: sequential
+    consumption selects exactly what one full run over the arrival-
+    major concatenation selects."""
+    from geoestate_etl_spark.operators.sampling import (
+        consume_token_budget,
+        sample_to_token_budget,
+    )
+
+    data = [(i, d, w) for i, (d, w) in enumerate(rows)]
+    points = sorted({min(c, len(data) - 1) for c in cuts})
+    bounds = [0, *points, len(data)]
+    state, seq_ids = None, []
+    for bi in range(len(bounds) - 1):
+        chunk = data[bounds[bi]:bounds[bi + 1]]
+        if not chunk:
+            continue
+        b = spark.createDataFrame(chunk, "doc_id long, dom string, w long")
+        kept, state = consume_token_budget(b, state, "dom", "w", budgets)
+        state = spark.createDataFrame(
+            state.collect(), "dom string, tokens long"
+        )
+        seq_ids += [r.doc_id for r in kept.collect()]
+
+    full = spark.createDataFrame(data, "doc_id long, dom string, w long")
+    arrival = F.concat(
+        F.lpad(
+            sum(
+                F.when(F.col("doc_id") >= b, 1).otherwise(0)
+                for b in bounds[1:-1]
+            ).cast("string"),
+            3, "0",
+        ),
+        F.md5(F.col("doc_id").cast("string")),
+    )
+    want = sample_to_token_budget(full, "dom", "w", budgets, order_col=arrival)
+    assert sorted(seq_ids) == sorted(r.doc_id for r in want.collect())
