@@ -11,7 +11,7 @@ in the optimized plan, not just asserted in docstrings.
 from __future__ import annotations
 
 from geoestate_etl_spark.plans import all_queries
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 SPECS = all_queries()
 
@@ -148,3 +148,30 @@ def test_upsert_no_extra_shuffle(spark):
     plan = plan_of(spark, "upsert_customers")
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles == 0, plan
+
+
+def test_registry_wide_no_accidental_product_joins(spark):
+    """Blanket plan audit over ALL 50 registry queries: no
+    CartesianProduct anywhere; BroadcastNestedLoopJoin only where a
+    deliberate 1-row broadcast crossJoin is the plan (scalar facts
+    joined onto a relation) — an unlisted product join is how an
+    equi-join silently degrades when a condition gets mangled."""
+    from geoestate_etl_spark.plans import all_queries
+
+    # deliberate 1-row-broadcast shapes, each justified:
+    #   global_aggs    — scalar count/mean/median facts crossJoined
+    #   temporal_join  — the tagged union's probe-timestamp literal row
+    BNLJ_OK = {"global_aggs", "temporal_join"}
+    bad = []
+    for name, spec in all_queries().items():
+        plan = (
+            spec.fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            bad.append((name, "BroadcastNestedLoopJoin"))
+    assert not bad, bad
