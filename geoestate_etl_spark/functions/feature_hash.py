@@ -44,8 +44,12 @@ def feature_hash(
     strictly increasing with same-index contributions summed (signed
     ±1 per feature occurrence).
     """
-    if dims <= 0:
-        raise ValueError(f"dims must be positive, got {dims}")
+    if dims <= 0 or dims > (1 << 31) - 1:
+        raise ValueError(
+            f"dims must be in [1, 2^31-1] (int index space), got {dims}"
+        )
+    if not cols:
+        raise ValueError("feature_hash needs at least one feature column")
     toks = []
     for name, c in cols.items():
         col = F.col(c) if isinstance(c, str) else c

@@ -43,10 +43,17 @@ def _rewrite_epochs_without(
 ) -> int:
     """Anti-join ``drop`` (on ``key``) out of each listed epoch
     partition and overwrite it in place. Returns rows removed."""
+    from pyspark.errors import AnalysisException
+
     removed = 0
     for e in epochs:
         path = f"{table_dir}/epoch={e}"
-        cur = spark.read.parquet(path)
+        try:
+            cur = spark.read.parquet(path)
+        except AnalysisException:
+            # table is opt-in per ingest run (sig_dir epochs may not
+            # cover every corpus epoch) — nothing to rewrite here
+            continue
         kept = cur.join(F.broadcast(drop), key, "left_anti")
         # break lineage from `path` before overwriting it: the write
         # would otherwise read from the directory it is deleting
@@ -75,9 +82,13 @@ def forget_documents(
 
     corpus = spark.read.parquet(corpus_dir)  # partition column: epoch
     hit = corpus.join(F.broadcast(ids), id_col, "semi")
-    # the doomed rows' fingerprints, BEFORE the corpus rewrite deletes
-    # them (fp appears in exactly one epoch — the ingest dedups on it)
-    doomed = hit.select(id_col, "fp", "epoch").persist()
+    # the doomed rows' fingerprints, captured BEFORE the corpus rewrite
+    # deletes their files (fp appears in exactly one epoch — the ingest
+    # dedups on it). localCheckpoint, not persist: a recomputation
+    # after the rewrite would re-list DELETED corpus files — the
+    # fingerprints would silently survive and keep blocking re-crawls,
+    # the exact guarantee this module exists to provide.
+    doomed = hit.select(id_col, "fp", "epoch").localCheckpoint(eager=True)
     epochs = sorted(r.epoch for r in doomed.select("epoch").distinct().collect())
     fps = doomed.select("fp").distinct()
 
@@ -92,7 +103,6 @@ def forget_documents(
         n_sigs = _rewrite_epochs_without(
             spark, sig_dir, epochs, ids.select(F.col(id_col).alias("id")), "id"
         )
-    doomed.unpersist()
     return {
         "n_docs_deleted": removed,
         "n_epochs_rewritten": len(epochs),

@@ -36,19 +36,27 @@ def test_null_features_contribute_nothing(spark):
 
 
 def test_collision_sums_and_cancellation(spark):
-    """At dims=1 every feature collides on index 0: equal signs sum,
-    opposite signs cancel to an empty vector."""
+    """At dims=1 every feature collides on index 0. Fixed tokens probe
+    BOTH branches: (x=v3, y=v3) have equal sign bits (probed) -> the
+    values SUM to ±2; (x=v2, y=v2) have opposite bits -> exact
+    cancellation yields an EMPTY vector (the 0.0 entry is dropped)."""
     df = spark.createDataFrame(
-        [(1, "a", "b")], "id long, x string, y string"
+        [(1, "v3", "v3"), (2, "v2", "v2")], "id long, x string, y string"
     )
-    v = df.select(
-        feature_hash({"x": "x", "y": "y"}, dims=1).alias("v")
-    ).first().v
-    assert list(v.indices) in ([], [0])
-    if list(v.indices) == [0]:
-        assert v.values[0] in (-2.0, 2.0)  # summed
+    out = {
+        r.id: r.v
+        for r in df.select(
+            "id", feature_hash({"x": "x", "y": "y"}, dims=1).alias("v")
+        ).collect()
+    }
+    assert list(out[1].indices) == [0] and out[1].values[0] in (-2.0, 2.0)
+    assert list(out[2].indices) == [] and list(out[2].values) == []
     with pytest.raises(ValueError):
         feature_hash({"x": "x"}, dims=0)
+    with pytest.raises(ValueError):
+        feature_hash({"x": "x"}, dims=1 << 31)
+    with pytest.raises(ValueError):
+        feature_hash({})
 
 
 def test_sparse_dot_matches_dense(spark):

@@ -74,3 +74,19 @@ def test_forget_unknown_ids_noop(spark, tmp_path):
     )
     assert audit["n_docs_deleted"] == 0 and audit["n_epochs_rewritten"] == 0
     assert spark.read.parquet(corpus).count() == 1
+
+
+def test_forget_survives_missing_optin_epochs(spark, tmp_path):
+    """sig_dir is opt-in per ingest run: forgetting a doc from an
+    epoch ingested WITHOUT signatures must not crash on the missing
+    sig partition (review finding) — it just removes nothing there."""
+    corpus, fps, sigs = _dirs(tmp_path)
+    b0 = spark.createDataFrame([(1, GOOD)], ["doc_id", "text"])
+    ingest_batch(b0, 0, corpus, fps, gate=F.lit(True))  # no sig_dir
+    _ingest(spark, [(2, OTHER)], 1, corpus, fps, sigs)
+
+    audit = forget_documents(
+        spark, spark.createDataFrame([(1,)], "doc_id long"), corpus, fps, sigs
+    )
+    assert audit["n_docs_deleted"] == 1 and audit["n_sigs_removed"] == 0
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {2}

@@ -156,14 +156,12 @@ def test_registry_wide_no_accidental_product_joins(spark):
     deliberate 1-row broadcast crossJoin is the plan (scalar facts
     joined onto a relation) — an unlisted product join is how an
     equi-join silently degrades when a condition gets mangled."""
-    from geoestate_etl_spark.plans import all_queries
-
     # deliberate 1-row-broadcast shapes, each justified:
     #   global_aggs    — scalar count/mean/median facts crossJoined
     #   temporal_join  — the tagged union's probe-timestamp literal row
     BNLJ_OK = {"global_aggs", "temporal_join"}
     bad = []
-    for name, spec in all_queries().items():
+    for name, spec in SPECS.items():
         plan = (
             spec.fn(spark, SF_SMOKE)
             ._jdf.queryExecution()
