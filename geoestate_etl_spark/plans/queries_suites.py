@@ -677,13 +677,14 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoestate_etl_spark.operators.prefix import pack_sequences
     from geoestate_etl_spark.operators.vocab import build_vocab, encode_docs
 
-    # persisted: FIVE branches (vocab build, encode, pack, bpe, mix)
-    # otherwise each rescan the parquet; one materialization feeds all.
-    # Session-lifetime cache by design (like `vocab` below): a registry
-    # fn returns a composite plan, so there is no post-action unpersist
-    # hook; persist() is lazy, so plan-audit-only construction caches
-    # nothing, and the bench clears the cache between reps.
-    docs = _t(spark, sf_dir, "documents").persist()
+    # NOT persisted: caching the raw documents TABLE would leak into
+    # every other registry query touching it in the same session —
+    # their scans would silently read InMemoryRelation instead of
+    # parquet, destroying their pushed-filter plans (observed: the
+    # tfidf_top_terms pushdown audit). The five branches rescan a
+    # small pruned parquet instead; only DERIVED frames (vocab below)
+    # are cached.
+    docs = _t(spark, sf_dir, "documents")
     # persisted: the 'vocab' branch and the encode join both consume it
     # — without this the wordcount + scalable renumber (including its
     # range-partition sampling job) runs twice
