@@ -333,7 +333,29 @@ def q_event_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("cnt"),
         F.col("cents").alias("val_cents"),
     )
-    return tumb.unionByName(slide).unionByName(sess).unionByName(rs)
+    # funnel (r5): ClickHouse-windowFunnel depth per user over the
+    # view→click→purchase chain, 6h window. The Spark side is the
+    # O(n)-per-user DP fold (operators/funnel.py); the oracle is an
+    # INDEPENDENT per-depth EXISTS-join formulation — two algorithm
+    # families, one hash (the spatial `pip` certification pattern).
+    from geoestate_etl_spark.operators.funnel import window_funnel
+
+    fun = window_funnel(
+        ev, ["view", "click", "purchase"], 6 * 3600
+    ).select(
+        F.lit("funnel").alias("kind"),
+        F.col("user_id").cast(T.StringType()).alias("grp"),
+        _NULL_TS().alias("t_start"),
+        _NULL_TS().alias("t_end"),
+        F.col("funnel_depth").alias("cnt"),
+        _NULL_L().alias("val_cents"),
+    )
+    return (
+        tumb.unionByName(slide)
+        .unionByName(sess)
+        .unionByName(rs)
+        .unionByName(fun)
+    )
 
 
 def q_incremental_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1505,9 +1527,34 @@ FROM base
             "time_bucket(INTERVAL 1 HOUR, ts) AS tick, "
             "max(struct_pack(ts := ts, "
             "v := CAST(round(value * 100) AS BIGINT)))['v'] AS v "
-            "FROM events GROUP BY 1, 2) t USING (k, tick))",
-            "stream-tumbling+sliding+session+resample-ffill (merged; "
-            "resample r4: certifies operators/timeseries)",
+            "FROM events GROUP BY 1, 2) t USING (k, tick)) "
+            # funnel: per-depth EXISTS joins — an INDEPENDENT algorithm
+            # family from the plan's DP fold; 6h window in microseconds
+            "UNION ALL SELECT 'funnel', CAST(fu.user_id AS VARCHAR), "
+            "CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), fdepth, "
+            "CAST(NULL AS BIGINT) FROM ("
+            "WITH fe AS (SELECT user_id, epoch_us(ts) AS t, event_type "
+            "FROM events WHERE event_type IN ('view', 'click', 'purchase')), "
+            "fv AS (SELECT user_id, t FROM fe WHERE event_type = 'view'), "
+            "fc AS (SELECT user_id, t FROM fe WHERE event_type = 'click'), "
+            "fp AS (SELECT user_id, t FROM fe WHERE event_type = 'purchase'), "
+            "f3 AS (SELECT DISTINCT fv.user_id FROM fv "
+            "JOIN fc ON fc.user_id = fv.user_id AND fc.t >= fv.t "
+            "AND fc.t - fv.t <= 21600000000 "
+            "JOIN fp ON fp.user_id = fv.user_id AND fp.t >= fc.t "
+            "AND fp.t - fv.t <= 21600000000), "
+            "f2 AS (SELECT DISTINCT fv.user_id FROM fv "
+            "JOIN fc ON fc.user_id = fv.user_id AND fc.t >= fv.t "
+            "AND fc.t - fv.t <= 21600000000), "
+            "f1 AS (SELECT DISTINCT user_id FROM fv) "
+            "SELECT user_id, CAST(CASE "
+            "WHEN user_id IN (SELECT * FROM f3) THEN 3 "
+            "WHEN user_id IN (SELECT * FROM f2) THEN 2 "
+            "WHEN user_id IN (SELECT * FROM f1) THEN 1 ELSE 0 END AS BIGINT) "
+            "AS fdepth FROM (SELECT DISTINCT user_id FROM fe)) fu",
+            "stream-tumbling+sliding+session+resample-ffill+funnel (merged; "
+            "resample r4: certifies operators/timeseries; funnel r5: "
+            "windowFunnel DP vs independent EXISTS-join oracle)",
         ),
         QuerySpec(
             "incremental_aggs",
