@@ -92,3 +92,43 @@ def window_funnel(
         .cast("long")
         .alias("funnel_depth"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: ``(cohort, offset, n_users)`` —
+    users whose FIRST event falls in ISO week ``cohort`` and who are
+    active again ``offset`` weeks later (offset 0 = the cohort size).
+
+    Pure relational shape at any scale: one min-aggregate per user
+    (the cohort), one distinct over (user, activity week), an equi-
+    join on the user key, and a count-distinct rollup — no windows
+    over everything, no self-joins on events. Both week truncations
+    are ISO-Monday (`date_trunc('week')` in Spark and DuckDB agree),
+    and the offset is the exact day difference / 7 of two Monday
+    stamps, so the oracle mirrors term for term.
+    """
+    firsts = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("_cohort")
+    )
+    active = events.select(
+        F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("_week")
+    ).distinct()
+    return (
+        active.join(firsts, user_col)
+        .select(
+            F.col("_cohort").cast("date").alias("cohort"),
+            (
+                F.datediff(F.col("_week").cast("date"), F.col("_cohort").cast("date"))
+                / 7
+            )
+            .cast("long")
+            .alias("offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )

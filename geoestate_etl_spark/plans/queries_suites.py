@@ -350,11 +350,24 @@ def q_event_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("funnel_depth").alias("cnt"),
         _NULL_L().alias("val_cents"),
     )
+    # retention (r5): weekly cohort matrix — funnel's sibling in the
+    # ClickHouse event-analytics pair; offset rides val_cents (long)
+    from geoestate_etl_spark.operators.funnel import cohort_retention
+
+    ret = cohort_retention(ev).select(
+        F.lit("retention").alias("kind"),
+        F.col("cohort").cast(T.StringType()).alias("grp"),
+        _NULL_TS().alias("t_start"),
+        _NULL_TS().alias("t_end"),
+        F.col("n_users").alias("cnt"),
+        F.col("offset").alias("val_cents"),
+    )
     return (
         tumb.unionByName(slide)
         .unionByName(sess)
         .unionByName(rs)
         .unionByName(fun)
+        .unionByName(ret)
     )
 
 
@@ -1551,7 +1564,21 @@ FROM base
             "WHEN user_id IN (SELECT * FROM f3) THEN 3 "
             "WHEN user_id IN (SELECT * FROM f2) THEN 2 "
             "WHEN user_id IN (SELECT * FROM f1) THEN 1 ELSE 0 END AS BIGINT) "
-            "AS fdepth FROM (SELECT DISTINCT user_id FROM fe)) fu",
+            "AS fdepth FROM (SELECT DISTINCT user_id FROM fe)) fu "
+            # retention: weekly cohort matrix (first-event week x offset)
+            # NB: 'offset' is a reserved word — alias as wk_offset
+            "UNION ALL SELECT 'retention', CAST(CAST(cohort AS DATE) AS VARCHAR), "
+            "CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), "
+            "CAST(n_users AS BIGINT), wk_offset FROM ("
+            "WITH rf AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort "
+            "FROM events GROUP BY user_id), "
+            "ra AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk "
+            "FROM events) "
+            "SELECT rf.cohort, CAST(date_diff('day', CAST(rf.cohort AS DATE), "
+            "CAST(ra.wk AS DATE)) // 7 AS BIGINT) AS wk_offset, "
+            "count(DISTINCT ra.user_id) AS n_users "
+            "FROM ra JOIN rf ON ra.user_id = rf.user_id "
+            "GROUP BY 1, 2)",
             "stream-tumbling+sliding+session+resample-ffill+funnel (merged; "
             "resample r4: certifies operators/timeseries; funnel r5: "
             "windowFunnel DP vs independent EXISTS-join oracle)",

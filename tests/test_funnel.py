@@ -105,3 +105,27 @@ def test_matches_bruteforce_on_random(spark):
             if uu == u and t in ("view", "click", "purchase")
         )
         assert got[u] == _brute_depth(evs, 120), (u, evs)
+
+
+def test_cohort_retention_semantics(spark):
+    """Hand-built cohorts: offset 0 counts the cohort; later weeks
+    count only returning members; a user's cohort is their FIRST
+    event's ISO week."""
+    from geoestate_etl_spark.operators.funnel import cohort_retention
+
+    W = 7 * 24 * 3600
+    rows = [
+        (1, 0, "view"), (1, W, "view"), (1, 2 * W, "view"),  # w0, returns w1,w2
+        (2, 0, "view"),                                       # w0 only
+        (3, W, "view"), (3, 2 * W, "view"),                   # w1, returns w2
+    ]
+    df = _df(spark, rows)
+    got = {
+        (str(r.cohort), r.offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    # T0 = Mon 2024-01-01, so weeks are exactly cohort boundaries
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
+    }
