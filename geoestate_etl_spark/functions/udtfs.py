@@ -79,7 +79,10 @@ def sentences_relation_udtf(
 
     The temp view gets a per-call unique name (a fixed name would be
     clobbered by interleaved calls and rebind earlier lazy results);
-    identifiers are backtick-quoted.
+    identifiers are backtick-quoted. The view is dropped before
+    returning — ``spark.sql`` resolves it into the analyzed plan at
+    call time, so the result stays executable and long-lived sessions
+    don't accumulate catalog entries (r3 advice).
     """
     import uuid
 
@@ -87,7 +90,10 @@ def sentences_relation_udtf(
     spark.udtf.register("split_sentences", SplitSentences)
     view = f"_udtf_docs_{uuid.uuid4().hex[:12]}"
     df.createOrReplaceTempView(view)
-    return spark.sql(
-        f"SELECT d.`{id_col}`, s.pos, s.sentence "
-        f"FROM {view} d, LATERAL split_sentences(d.`{text_col}`) s"
-    )
+    try:
+        return spark.sql(
+            f"SELECT d.`{id_col}`, s.pos, s.sentence "
+            f"FROM {view} d, LATERAL split_sentences(d.`{text_col}`) s"
+        )
+    finally:
+        spark.catalog.dropTempView(view)

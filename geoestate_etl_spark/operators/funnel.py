@@ -65,7 +65,12 @@ def window_funnel(
         F.array_sort(F.collect_list("_ev")).alias("_evs")
     )
 
-    state0 = F.array_repeat(F.lit(-1).cast("long"), k)
+    # typed-NULL sentinel, not -1: chain times are unix_micros, so a
+    # pre-1970 event has NEGATIVE t and a -1/>=0 sentinel would treat
+    # real chains as absent (silent depth under-report — r3 advice).
+    # F.greatest skips NULLs, so greatest(NULL, t) seeds level 1 and
+    # greatest(acc_i, acc_{i-1}) keeps the latest viable chain start.
+    state0 = F.array_repeat(F.lit(None).cast("long"), k)
 
     def advance(acc, ev):
         # level i updates only when the event IS step i and (for i>1)
@@ -76,7 +81,7 @@ def window_funnel(
             .when(i == 1, F.greatest(F.element_at(acc, 1), ev["t"]))
             .otherwise(
                 F.when(
-                    (F.element_at(acc, i - 1) >= 0)
+                    F.element_at(acc, i - 1).isNotNull()
                     & (ev["t"] - F.element_at(acc, i - 1) <= F.lit(win_us)),
                     F.greatest(
                         F.element_at(acc, i), F.element_at(acc, i - 1)
@@ -88,7 +93,7 @@ def window_funnel(
     final = F.aggregate(F.col("_evs"), state0, advance)
     return grouped.select(
         user_col,
-        F.size(F.filter(final, lambda s: s >= 0))
+        F.size(F.filter(final, lambda s: s.isNotNull()))
         .cast("long")
         .alias("funnel_depth"),
     )

@@ -99,7 +99,11 @@ def bm25_topk(
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # the rn window runs over the ≤k post-limit rows only; the literal
+    # partition key gives WindowExec a (constant) partition spec, so it
+    # neither warns about an undefined partition nor re-sorts beyond
+    # the k rows (r3 verdict cleanup #7)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

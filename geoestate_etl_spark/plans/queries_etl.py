@@ -89,7 +89,9 @@ def q_houses_slice_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(repo, "data", "derived", "houses_slice_raw.parquet")
         ).drop("_row_idx")
         validated, _nv, _ni = validate_stage(raw)
-        return top25_stage(cast_houses(validated).persist())
+        # no persist: the frame is tiny and consumed once; caching it
+        # would accumulate relations across registry runs (r3 advice)
+        return top25_stage(cast_houses(validated))
     return run_pipeline(spark, slice_path).top25_by_square
 
 
@@ -125,6 +127,10 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"), F.sum("sum_cents").alias("sum_cents"))
     )
     return merged
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _morton_sql() -> str:
@@ -163,9 +169,12 @@ SPECS = [
         "houses_slice_top25",
         q_houses_slice_top25,
         # the full reference pipeline from raw strings, in SQL; strips
-        # mirror functions/cleaning.py, predicates functions/validation.py
+        # mirror functions/cleaning.py, predicates functions/validation.py.
+        # The artifact path is templated from THIS file's location (the
+        # same derivation the Spark side uses), so the oracle survives a
+        # checkout outside /root/repo (r3 advice).
         "WITH raw AS (SELECT * FROM read_parquet("
-        "'/root/repo/data/derived/houses_slice_raw.parquet')), "
+        f"'{_repo_root()}/data/derived/houses_slice_raw.parquet')), "
         "v AS (SELECT * FROM raw WHERE "
         "region IS NOT NULL AND trim(region) <> '' "
         "AND address IS NOT NULL AND trim(address) <> '' "

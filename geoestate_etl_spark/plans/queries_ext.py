@@ -319,9 +319,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.unionByName(d)
 
 
+# artifact path templated from the package location (same derivation
+# the Spark side uses) so the oracle survives a relocated checkout
 _SEMANTIC_DEDUP_SQL = (
     "WITH cl AS (SELECT vec_id, cell FROM read_parquet("
-    "'/root/repo/data/derived/semantic_clusters_sf0.01.parquet/*.parquet')), "
+    f"'{_repo_root()}/data/derived/semantic_clusters_sf0.01.parquet/*.parquet')), "
     "e AS (SELECT cl.vec_id, cl.cell, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
     "FROM cl JOIN embeddings USING (vec_id)), "

@@ -1254,9 +1254,11 @@ def _specs() -> list[QuerySpec]:
     # exact-rational Jaccard in basis points, byte-block SimHash with
     # popcount rescore, and the ann_certify-style hyperplane rebuild
     # for the embedding variant (same 8 inlined plane literals).
+    from geoestate_etl_spark.plans.queries_ext import _repo_root
+
     near_dup_sql = (
         "WITH s AS (SELECT id, sh, sig, simhash FROM read_parquet("
-        "'/root/repo/data/derived/neardup_sigs_sf0.01.parquet/*.parquet')), "
+        f"'{_repo_root()}/data/derived/neardup_sigs_sf0.01.parquet/*.parquet')), "
         "mb AS (SELECT id, CAST(b AS VARCHAR) || ':' || "
         "CAST(list_slice(sig, b * 4 + 1, b * 4 + 4) AS VARCHAR) AS bkey "
         "FROM s, (SELECT unnest([0, 1, 2, 3]) AS b)), "

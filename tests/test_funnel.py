@@ -129,3 +129,29 @@ def test_cohort_retention_semantics(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
     }
+
+
+def test_pre_epoch_timestamps(spark):
+    """Negative unix time must participate like any other instant —
+    the r3 advice: a -1 sentinel silently reported depth 0/absent for
+    chains whose events predate 1970 (unix_micros < 0)."""
+    t69 = datetime(1969, 12, 31, 23, 0, 0)  # one hour pre-epoch
+    rows = [
+        (1, t69, "view"),
+        (1, t69 + timedelta(seconds=10), "click"),
+        (1, t69 + timedelta(seconds=20), "purchase"),
+        # u2 straddles the epoch: view pre-1970, click after
+        (2, t69 + timedelta(minutes=59), "view"),
+        (2, t69 + timedelta(minutes=61), "click"),
+        # u3: pre-epoch chain broken by the window, depth 1
+        (3, t69, "view"),
+        (3, t69 + timedelta(seconds=200), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.user_id: r.funnel_depth
+        for r in window_funnel(df, STEPS, 150).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}
