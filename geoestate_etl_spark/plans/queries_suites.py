@@ -94,7 +94,13 @@ def q_renumber_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     they agree on every row."""
     from geoestate_etl_spark.operators import windows as win
 
-    df = _t(spark, sf_dir, "orders").select("o_orderkey")
+    # eager localCheckpoint: the faithful sort, the frozen-boundary
+    # quantile scan, and the scalable variant's two passes all consume
+    # this one-column projection — without it the determinism fix's
+    # boundary sample re-reads the source (r3 verdict #4). Checkpoint,
+    # not persist: blocks release with the frame instead of
+    # accumulating in the cache across registry runs.
+    df = _t(spark, sf_dir, "orders").select("o_orderkey").localCheckpoint(eager=True)
     a = win.renumber_global(df, "o_orderkey", "rn").withColumn(
         "rn", F.col("rn").cast(T.LongType())
     )
@@ -513,10 +519,23 @@ def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternating large-star/small-star edge contraction (``star`` on
     the supplier graph, ``stard`` per-node labels on the pair graph) —
     the skew-robust variant a 100 TB corpus would run; previously only
-    equivalence-unit-tested, now a driver hash-match row."""
+    equivalence-unit-tested, now a driver hash-match row.
+
+    Cost shape (r3 verdict #3): the four iterative runs are driver
+    loops of TINY jobs (per-iteration propagate/contract + convergence
+    check), so run time was scheduling overhead × 4 sequential loops.
+    The two input frames are persisted ONCE and the four variants
+    build on separate THREADS — concurrent job submission is a
+    supported Spark pattern (each driver loop's little jobs interleave
+    in the scheduler), so wall-clock is the slowest loop, not the sum.
+    Results are localCheckpointed inside the operators, so the
+    returned union never re-runs an iteration."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from geoestate_etl_spark.operators.components import (
         connected_components,
         connected_components_star,
+        dedup_clusters,
     )
     from geoestate_etl_spark.plans.queries_ext import (
         dedup_pairs_path,
@@ -527,35 +546,43 @@ def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = supp.select(
         F.col("s_suppkey").alias("id_a"),
         (F.col("s_nationkey").cast("long") + 1_000_000).alias("id_b"),
-    )
-    graph = connected_components(edges).select(
-        F.lit("graph").alias("variant"),
-        F.col("id").alias("a"),
-        F.col("component").alias("b"),
-        _NULL_L().alias("c"),
-    )
-    star = connected_components_star(edges).select(
-        F.lit("star").alias("variant"),
-        F.col("id").alias("a"),
-        F.col("component").alias("b"),
-        _NULL_L().alias("c"),
-    )
-    # builds BEFORE the stard read: q_dedup_components writes the pair
-    # artifact if missing (eagerly, at plan-build time)
-    clusters = q_dedup_components(spark, sf_dir).select(
-        F.lit("dedup").alias("variant"),
-        F.col("component").alias("a"),
-        F.col("keeper_id").alias("b"),
-        F.col("cluster_size").alias("c"),
-    )
-    stard = connected_components_star(
-        spark.read.parquet(dedup_pairs_path(sf_dir))
-    ).select(
-        F.lit("stard").alias("variant"),
-        F.col("id").alias("a"),
-        F.col("component").alias("b"),
-        _NULL_L().alias("c"),
-    )
+    ).persist()
+    # ensure the pair artifact exists BEFORE the threads race to read
+    # it (q_dedup_components writes it if missing)
+    q_dedup_components(spark, sf_dir)
+    pairs = spark.read.parquet(dedup_pairs_path(sf_dir)).persist()
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_graph = ex.submit(connected_components, edges)
+        f_star = ex.submit(connected_components_star, edges)
+        f_clusters = ex.submit(dedup_clusters, pairs)
+        f_stard = ex.submit(connected_components_star, pairs)
+        graph = f_graph.result().select(
+            F.lit("graph").alias("variant"),
+            F.col("id").alias("a"),
+            F.col("component").alias("b"),
+            _NULL_L().alias("c"),
+        )
+        star = f_star.result().select(
+            F.lit("star").alias("variant"),
+            F.col("id").alias("a"),
+            F.col("component").alias("b"),
+            _NULL_L().alias("c"),
+        )
+        clusters = f_clusters.result().select(
+            F.lit("dedup").alias("variant"),
+            F.col("component").alias("a"),
+            F.col("keeper_id").alias("b"),
+            F.col("cluster_size").alias("c"),
+        )
+        stard = f_stard.result().select(
+            F.lit("stard").alias("variant"),
+            F.col("id").alias("a"),
+            F.col("component").alias("b"),
+            _NULL_L().alias("c"),
+        )
+    edges.unpersist()
+    pairs.unpersist()
     return graph.unionByName(star).unionByName(clusters).unionByName(stard)
 
 
