@@ -314,6 +314,25 @@ def assign_cells(
     return df.withColumn("cell", cell_of(F.col(vec_col)))
 
 
+def nearest_cells(
+    centroids: list[list[float]], probe: list[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` cells whose centroids are nearest ``probe`` —
+    THE cell-selection rule for every probe path (``ivf_probe``,
+    ``hybrid_topk``) and for the oracle builder that inlines the same
+    cells as SQL literals. One implementation so the Spark plan and
+    the DuckDB rebuild can never disagree on the candidate cells:
+    left-to-right squared-distance fold, stable sort (ties keep
+    ascending cell order)."""
+
+    def sqdist(c: list[float]) -> float:
+        return sum((a - b) ** 2 for a, b in zip(c, probe))
+
+    return sorted(range(len(centroids)), key=lambda ci: sqdist(centroids[ci]))[
+        :n_probe
+    ]
+
+
 def ivf_probe(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -332,13 +351,7 @@ def ivf_probe(
     table (see :func:`ivf_write_index`), the ``isin`` filter becomes
     true partition pruning — the scan touches only n_probe directories.
     """
-
-    def sqdist(c: list[float]) -> float:
-        return sum((a - b) ** 2 for a, b in zip(c, probe))
-
-    probe_cells = sorted(range(len(centroids)), key=lambda ci: sqdist(centroids[ci]))[
-        :n_probe
-    ]
+    probe_cells = nearest_cells(centroids, probe, n_probe)
     candidates = assigned.filter(F.col("cell").isin(probe_cells))
     probe_col = F.array(*[F.lit(float(v)) for v in probe])
     if _QUANT_COL in candidates.columns:
@@ -578,12 +591,7 @@ def hybrid_topk(
         .select(id_col, vec_col)
     )
 
-    def sqdist(c: list[float]) -> float:
-        return sum((a - b) ** 2 for a, b in zip(c, probe))
-
-    probe_cells = sorted(
-        range(len(centroids)), key=lambda ci: sqdist(centroids[ci])
-    )[:n_probe]
+    probe_cells = nearest_cells(centroids, probe, n_probe)
     ivf_cand = assigned.filter(F.col("cell").isin(probe_cells)).select(
         id_col, vec_col
     )

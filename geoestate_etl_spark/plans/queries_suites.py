@@ -618,27 +618,36 @@ def q_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k three ways, tagged: hyperplane-LSH
-    multi-probe, IVF (probe-only against the materialized index), and
-    the hybrid exact re-rank over their candidate union (recall ≥
-    either by construction). Rows-only; recall floors and
-    full-probe==bruteforce equality pinned in tests."""
+    multi-probe, IVF (probe-only), and the hybrid exact re-rank over
+    their candidate union (recall ≥ either by construction).
+
+    HASH-MATCH GATED since r4 (was the last deterministic rows-only
+    entry — r3 verdict #1): the IVF side serves from the COMMITTED
+    ``(vec_id, cell)`` + centroid artifact (``ensure_ivf_artifact``;
+    drift-gated like the dedup-pair/semantic-cluster checkpoints), and
+    the oracle rebuilds all three candidate sets in SQL — LSH buckets
+    from the inlined hyperplane literals, IVF cells from the same
+    artifact with the probe cells inlined by the shared
+    :func:`~geoestate_etl_spark.operators.similarity.nearest_cells`
+    rule — then rescores exactly. Every served row is reproducible;
+    ``ann_certify`` separately certifies the warehouse
+    build/read/probe machinery against brute force."""
     from geoestate_etl_spark.operators import similarity as SIM
-    from geoestate_etl_spark.plans.queries_ext import (
-        _ivf_index_path,
-        _probe,
-        q_similarity_ivf,
-    )
+    from geoestate_etl_spark.plans.queries_ext import _probe, read_ivf_artifact
 
     emb = _t(spark, sf_dir, "embeddings")
     probe = _probe(spark, sf_dir)
     lsh = SIM.lsh_topk(emb, probe, k=10).select(
         F.lit("lsh").alias("method"), "vec_id", "cos_sim"
     )
-    ivf = q_similarity_ivf(spark, sf_dir).select(
+    assign, centroids = read_ivf_artifact(spark, sf_dir)
+    # reattach vectors: the committed checkpoint carries assignments
+    # only; the serving layout with vectors partitioned by cell is the
+    # warehouse index (ann_certify's subject)
+    assigned = assign.join(emb, "vec_id")
+    ivf = SIM.ivf_probe(assigned, centroids, probe, k=10, n_probe=4).select(
         F.lit("ivf").alias("method"), "vec_id", "cos_sim"
     )
-    # q_similarity_ivf just ensured the materialized index exists
-    assigned, centroids = SIM.ivf_read_index(spark, _ivf_index_path(sf_dir, 16))
     hybrid = SIM.hybrid_topk(emb, probe, assigned, centroids, k=10).select(
         F.lit("hybrid").alias("method"), "vec_id", "cos_sim"
     )
@@ -661,14 +670,12 @@ def q_ann_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
       literals, certifying bucketize + neighborhood enumeration.
     """
     from geoestate_etl_spark.operators import similarity as SIM
-    from geoestate_etl_spark.plans.queries_ext import _ivf_index_path, _probe
+    from geoestate_etl_spark.plans.queries_ext import _probe, ensure_warehouse_index
 
     emb = _t(spark, sf_dir, "embeddings")
 
     n_cells = 16
-    path = _ivf_index_path(sf_dir, n_cells)
-    if not os.path.exists(os.path.join(path, "centroids.json")):
-        SIM.ivf_write_index(emb, path, n_cells=n_cells)
+    path = ensure_warehouse_index(spark, sf_dir, n_cells)
     assigned, centroids = SIM.ivf_read_index(spark, path)
     probe1 = (
         emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
@@ -1223,7 +1230,12 @@ def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _specs() -> list[QuerySpec]:
     from geoestate_etl_spark.plans.queries_etl import _morton_sql
-    from geoestate_etl_spark.plans.queries_ext import _NORM_SQL, _TOKEN_RE, _WC_SQL
+    from geoestate_etl_spark.plans.queries_ext import (
+        _NORM_SQL,
+        _TOKEN_RE,
+        _WC_SQL,
+        _repo_root,
+    )
     from geoestate_etl_spark.plans.queries_geo import _HAVERSINE, _coords_cte
 
     hav_probe = _HAVERSINE.format(la1="lat", lo1="lon", la2="55.75", lo2="37.62")
@@ -1255,6 +1267,76 @@ def _specs() -> list[QuerySpec]:
     plane_rows = ", ".join(
         f"({j}, {p})" for j, p in enumerate(make_hyperplanes(8, _emb_dim()))
     )
+
+    # similarity_ann oracle: the probe's n_probe=4 nearest IVF cells
+    # are selected at ORACLE-BUILD time with the SAME nearest_cells
+    # rule the Spark plan applies, over the SAME committed centroid
+    # artifact, and inlined as literals (the hyperplane-literal
+    # technique applied to cells — float distance ranking never has to
+    # be reproduced inside SQL). Candidate sets then rebuild in pure
+    # SQL: LSH from the sign-bit bucket rebuild (hamming<=2), IVF from
+    # the committed assignment file, hybrid from their union; exact
+    # cosine rescore + (rounded score, id) top-10 mirror the plan.
+    def _ann_probe_cells(n_probe: int = 4) -> list[int]:
+        try:
+            import duckdb
+
+            from geoestate_etl_spark.operators.similarity import nearest_cells
+            from geoestate_etl_spark.plans.queries_ext import ivf_centroids_path
+
+            con = duckdb.connect()
+            cents = con.execute(
+                "SELECT cell, centroid FROM read_parquet("
+                f"'{ivf_centroids_path('/root/testdata/sf0.01')}/*.parquet') "
+                "ORDER BY cell"
+            ).fetchall()
+            probe = con.execute(
+                "SELECT embedding FROM read_parquet("
+                "'/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id = 0"
+            ).fetchone()[0]
+            con.close()
+            return nearest_cells(
+                [[float(x) for x in c] for _, c in cents],
+                [float(x) for x in probe],
+                n_probe,
+            )
+        except Exception:
+            # artifact/testdata absent at import time: a placeholder
+            # keeps the registry importable; the driver run would
+            # regenerate the artifact and a stale placeholder shows up
+            # as a red row, never a silent pass
+            return [0, 1, 2, 3]
+
+    ivf_cells = ", ".join(str(c) for c in _ann_probe_cells())
+    similarity_ann_sql = (
+        "WITH emb AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+        "p0 AS (SELECT e FROM emb WHERE vec_id = 0), "
+        f"pl AS (SELECT * FROM (VALUES {plane_rows}) AS t(pid, plane)), "
+        "bits AS (SELECT vec_id, string_agg("
+        "CASE WHEN list_dot_product(e, plane) >= 0 THEN '1' ELSE '0' END, "
+        "'' ORDER BY pid) AS bucket FROM emb CROSS JOIN pl GROUP BY vec_id), "
+        "pb AS (SELECT bucket FROM bits WHERE vec_id = 0), "
+        "sc AS (SELECT vec_id, "
+        "round(list_cosine_similarity(e, (SELECT e FROM p0)), 4) + 0 AS cos_sim "
+        "FROM emb), "
+        "lshc AS (SELECT vec_id FROM bits "
+        "WHERE hamming(bucket, (SELECT bucket FROM pb)) <= 2), "
+        "ivfc AS (SELECT vec_id FROM read_parquet("
+        f"'{_repo_root()}/data/derived/ivf_assign_sf0.01.parquet/*.parquet') "
+        f"WHERE cell IN ({ivf_cells})), "
+        "l10 AS (SELECT 'lsh' AS method, vec_id, cos_sim FROM sc "
+        "WHERE vec_id IN (SELECT vec_id FROM lshc) "
+        "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10), "
+        "i10 AS (SELECT 'ivf' AS method, vec_id, cos_sim FROM sc "
+        "WHERE vec_id IN (SELECT vec_id FROM ivfc) "
+        "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10), "
+        "h10 AS (SELECT 'hybrid' AS method, vec_id, cos_sim FROM sc "
+        "WHERE vec_id IN (SELECT vec_id FROM lshc UNION SELECT vec_id FROM ivfc) "
+        "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10) "
+        "SELECT * FROM l10 UNION ALL SELECT * FROM i10 "
+        "UNION ALL SELECT * FROM h10"
+    )
     ann_certify_sql = (
         "WITH emb AS (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
@@ -1281,8 +1363,6 @@ def _specs() -> list[QuerySpec]:
     # exact-rational Jaccard in basis points, byte-block SimHash with
     # popcount rescore, and the ann_certify-style hyperplane rebuild
     # for the embedding variant (same 8 inlined plane literals).
-    from geoestate_etl_spark.plans.queries_ext import _repo_root
-
     near_dup_sql = (
         "WITH s AS (SELECT id, sh, sig, simhash FROM read_parquet("
         f"'{_repo_root()}/data/derived/neardup_sigs_sf0.01.parquet/*.parquet')), "
@@ -1703,8 +1783,13 @@ FROM base
             "WHERE a.c_custkey % 2 = 0",
             "pairwise-similarity ngram+levenshtein (merged)",
         ),
-        QuerySpec("similarity_ann", q_similarity_ann, None,
-                  "ext-similarity lsh+ivf (merged, rows-only)"),
+        QuerySpec(
+            "similarity_ann",
+            q_similarity_ann,
+            similarity_ann_sql,
+            "ext-similarity lsh+ivf+hybrid serving top-k (hash-oracled r4 "
+            "via the committed IVF artifact + inlined probe cells)",
+        ),
         QuerySpec("approx_sketches", q_approx_sketches, None,
                   "approx GK-percentile + HLL distinct (merged, rows-only)"),
         QuerySpec(

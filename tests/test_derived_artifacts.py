@@ -151,3 +151,47 @@ def test_committed_houses_raw_matches_regeneration_and_spark(spark):
     )
     py_rows = sorted(map(str, (tuple(r) for r in fresh)))
     assert spark_rows == py_rows, "Spark CSV parse != stdlib csv parse"
+
+
+def test_committed_ivf_artifact_matches_current_code(spark):
+    """Drift gate for the IVF oracle checkpoint (`similarity_ann`):
+    the committed (vec_id, cell) assignment must equal what the
+    current deterministic ivf_build produces, the committed centroids
+    must match the fresh training run (tiny float tolerance — summation
+    order), and the probe-cell selection the oracle inlined must be
+    identical under both centroid sets."""
+    import os as _os
+
+    from geoestate_etl_spark.operators.similarity import ivf_build, nearest_cells
+    from geoestate_etl_spark.plans.queries_ext import (
+        _probe,
+        ivf_assign_path,
+        ivf_centroids_path,
+    )
+
+    apath, cpath = ivf_assign_path(SF_ORACLE), ivf_centroids_path(SF_ORACLE)
+    if not (_os.path.exists(apath) and _os.path.exists(cpath)):
+        pytest.skip("no committed artifact for this sf (first run writes it)")
+    committed = {
+        (r.vec_id, r.cell) for r in spark.read.parquet(apath).collect()
+    }
+    cent_rows = spark.read.parquet(cpath).collect()
+    committed_cents = [
+        [float(x) for x in r.centroid]
+        for r in sorted(cent_rows, key=lambda r: r.cell)
+    ]
+    emb = spark.read.parquet(_os.path.join(SF_ORACLE, "embeddings.parquet"))
+    assigned, fresh_cents = ivf_build(emb, n_cells=16)
+    fresh = {(r.vec_id, r.cell) for r in assigned.select("vec_id", "cell").collect()}
+    assert committed == fresh, (
+        f"committed IVF assignments drifted from current ivf_build "
+        f"({len(committed - fresh)} stale, {len(fresh - committed)} missing) — "
+        f"delete {apath} and {cpath}, rerun similarity_ann, and commit"
+    )
+    assert len(committed_cents) == len(fresh_cents)
+    for c_old, c_new in zip(committed_cents, fresh_cents):
+        assert max(abs(a - b) for a, b in zip(c_old, c_new)) < 1e-9
+    probe = _probe(spark, SF_ORACLE)
+    assert nearest_cells(committed_cents, probe, 4) == nearest_cells(
+        fresh_cents, probe, 4
+    ), "probe-cell selection drifted between committed and fresh centroids"
