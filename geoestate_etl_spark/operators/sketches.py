@@ -10,6 +10,15 @@ Hashing is xxhash64 with per-depth salts (deterministic everywhere).
 Use over exact groupBy counts when the key cardinality is huge and
 only point estimates for a few keys are needed — the sketch shuffles
 d·w counters, not one row per distinct key.
+
+Bucketing is PORTABLE by design (r3 verdict #2): the per-depth hash is
+the first 8 hex chars of ``md5(key || ':' || depth)`` parsed as an
+integer, mod width — an identical computation in any engine with md5
+(DuckDB: ``('0x' || substr(md5(...), 1, 8))::BIGINT``), so the whole
+counter matrix and every point estimate are exactly reproducible by
+the SQL oracle. xxhash64 was marginally cheaper but engine-private.
+NULL keys hash to NULL and drop out of the sketch (count them
+separately if needed — a NULL-key counter is one ``count_if``).
 """
 
 from __future__ import annotations
@@ -20,7 +29,10 @@ from pyspark.sql import types as T
 
 
 def _bucket(key_col, depth: int, width: int):
-    return F.pmod(F.xxhash64(key_col, F.lit(depth)), F.lit(width))
+    h = F.md5(F.concat(key_col.cast("string"), F.lit(f":{depth}")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast(T.LongType()), F.lit(width)
+    )
 
 
 def cms_build(

@@ -841,20 +841,72 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (GK percentile sketch + HLL++ distinct),
-    tagged 1-row results. Rows-only by nature (sketch internals are
-    engine-specific); bounds pinned in unit tests."""
+    """Approximate-aggregate certification suite — HASH-MATCH GATED
+    since r4 (was the last rows-only registry entry; r3 verdict #2):
+
+    - ``cms:<key>`` — count-min point estimates for every order
+      priority. The CMS bucketing is md5-derived and PORTABLE
+      (:mod:`operators.sketches`), so the oracle rebuilds the full
+      d×w counter matrix and the min-over-depths estimates in SQL and
+      the values hash exactly.
+    - ``median_exact`` / ``distinct_parts_exact`` — the exact
+      counterparts both engines compute directly.
+    - ``median_approx_ok`` / ``hll_ok`` — the genuinely
+      engine-internal sketches (GK percentile, HLL++) exported as
+      CONTRACT indicators: 1.0 iff the approx answer is inside its
+      documented tolerance of the in-plan exact answer (GK default
+      accuracy → well inside 1% here; HLL rsd 0.05 → 15% = 3σ). The
+      sketch values themselves cannot hash across engines, but a
+      sketch gone wrong flips the indicator and the driver row — the
+      tolerance check is driver-visible instead of test-only."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     med = orders.agg(
-        F.percentile_approx("o_totalprice", 0.5).alias("v")
-    ).select(F.lit("median_approx_price").alias("metric"), F.col("v").cast("double").alias("value"))
-    hll = li.agg(F.approx_count_distinct("l_partkey").alias("v")).select(
-        F.lit("approx_distinct_parts").alias("metric"),
-        F.col("v").cast("double").alias("value"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx"),
+        F.percentile("o_totalprice", 0.5).alias("exact"),
     )
-    # count-min point estimates for the order priorities (absorbed
-    # from the former cms_top_keys entry — same (metric, value) shape)
+    med_rows = med.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("median_exact").alias("metric"),
+                    F.col("exact").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("median_approx_ok").alias("metric"),
+                    (
+                        F.abs(F.col("approx") - F.col("exact"))
+                        <= 0.01 * F.abs(F.col("exact"))
+                    )
+                    .cast("double")
+                    .alias("value"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.metric", "r.value")
+    hll = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.count_distinct("l_partkey").alias("exact"),
+    )
+    hll_rows = hll.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("distinct_parts_exact").alias("metric"),
+                    F.col("exact").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("hll_ok").alias("metric"),
+                    (
+                        F.abs(F.col("approx") - F.col("exact"))
+                        <= 0.15 * F.col("exact")
+                    )
+                    .cast("double")
+                    .alias("value"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.metric", "r.value")
     from geoestate_etl_spark.operators.sketches import cms_build, cms_estimate
 
     keys = orders.select("o_orderpriority").distinct()
@@ -863,7 +915,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("cms:"), F.col("o_orderpriority")).alias("metric"),
         F.col("est").cast("double").alias("value"),
     )
-    return med.unionByName(hll).unionByName(cms)
+    return med_rows.unionByName(hll_rows).unionByName(cms)
 
 
 # --- stats -----------------------------------------------------------------
@@ -1790,8 +1842,35 @@ FROM base
             "ext-similarity lsh+ivf+hybrid serving top-k (hash-oracled r4 "
             "via the committed IVF artifact + inlined probe cells)",
         ),
-        QuerySpec("approx_sketches", q_approx_sketches, None,
-                  "approx GK-percentile + HLL distinct (merged, rows-only)"),
+        QuerySpec(
+            "approx_sketches",
+            q_approx_sketches,
+            # the CMS counter matrix rebuilt from scratch: same md5-hex
+            # bucketing, same widths, min over depths; exact median /
+            # distinct computed directly; the engine-internal GK/HLL
+            # sketches appear as tolerance-contract indicators whose
+            # oracle value is the literal 1.0 the contract demands
+            "WITH d AS (SELECT unnest([0, 1, 2, 3]) AS dep), "
+            "cnt AS (SELECT dep, ('0x' || substr(md5(o_orderpriority || ':' "
+            "|| CAST(dep AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket, "
+            "count(*) AS cnt FROM orders CROSS JOIN d GROUP BY dep, bucket), "
+            "ks AS (SELECT DISTINCT o_orderpriority AS key FROM orders), "
+            "probes AS (SELECT key, dep, ('0x' || substr(md5(key || ':' || "
+            "CAST(dep AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket "
+            "FROM ks CROSS JOIN d), "
+            "est AS (SELECT key, min(COALESCE(cnt, 0)) AS est FROM probes "
+            "LEFT JOIN cnt USING (dep, bucket) GROUP BY key) "
+            "SELECT 'median_exact' AS metric, "
+            "quantile_cont(o_totalprice, 0.5) AS value FROM orders "
+            "UNION ALL SELECT 'median_approx_ok', 1.0 "
+            "UNION ALL SELECT 'distinct_parts_exact', "
+            "CAST(count(DISTINCT l_partkey) AS DOUBLE) FROM lineitem "
+            "UNION ALL SELECT 'hll_ok', 1.0 "
+            "UNION ALL SELECT 'cms:' || key, CAST(est AS DOUBLE) FROM est",
+            "approx-sketch certification: portable CMS exact rebuild + "
+            "exact median/distinct + GK/HLL tolerance contracts "
+            "(hash-oracled r4)",
+        ),
         QuerySpec(
             "returnflag_stats",
             q_returnflag_stats,
