@@ -186,6 +186,33 @@ def main() -> None:
                 round(time.perf_counter() - t0, 3),
             )
 
+    # Per-variant sub-timings for the tagged-union suites (r3 verdict
+    # #5): absorbed variants were indistinguishable from regressions in
+    # the one-number-per-suite trend. Filtering the union on its tag
+    # literal constant-folds every other branch away (lit('a')='b' →
+    # false → the branch's scan is pruned), so each sample times that
+    # variant's real plan. Informational only — NOT added to the total
+    # (the suite line still times the full union).
+    VARIANT_SUITES = {
+        "event_windows_suite": "kind",
+        "geo_distance_radius": "kind",
+        "vocab_suite": "variant",
+        "status_extrema": "kind",
+    }
+    from pyspark.sql import functions as _Fv
+
+    variants: dict[str, dict[str, float]] = {}
+    for name, tag in VARIANT_SUITES.items():
+        if name not in specs or name in SKIP:
+            continue
+        df = specs[name].fn(spark, SF_DIR)
+        tags = sorted(r[0] for r in df.select(tag).distinct().collect())
+        variants[name] = {}
+        for v in tags:
+            t0 = time.perf_counter()
+            force(specs[name].fn(spark, SF_DIR).filter(_Fv.col(tag) == v))
+            variants[name][v] = round(time.perf_counter() - t0, 3)
+
     houses_median, houses_detail = bench_houses_pipeline(spark)
     timings["houses_pipeline_330k"] = houses_median
     # best-of-2, same rationale as the query loop (cold-run codegen +
@@ -207,6 +234,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "variants": variants,
                 "houses_pipeline_330k_detail": houses_detail,
             }
         )
