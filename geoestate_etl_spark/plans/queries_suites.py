@@ -406,11 +406,16 @@ def q_incremental_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stats + quality + lang-id + fingerprint, one documents pass."""
+    """Stats + quality + lang-id + fingerprint (one documents pass) +
+    Gopher-style n-gram repetition signals (r4:
+    :mod:`operators.repetition` — per-doc top-2/3-gram counts and
+    repeated-gram mass as exact integers, left-joined by id; a doc
+    shorter than n coalesces to zero counts / NULL top gram)."""
     from geoestate_etl_spark.functions import text as TX
+    from geoestate_etl_spark.operators.repetition import ngram_repetition
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         TX.char_count("text").alias("n_chars_calc"),
         TX.word_count("text").alias("n_words"),
@@ -421,6 +426,29 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         TX.lang_id("text").alias("pred_lang"),
         TX.fingerprint_md5("text").alias("fp"),
+    )
+    out = base
+    for n in (2, 3):
+        rep = ngram_repetition(docs, n).select(
+            "doc_id",
+            F.col("n_grams").alias(f"n_grams{n}"),
+            F.col("top_gram").alias(f"top{n}_gram"),
+            F.col("top_n").alias(f"top{n}_n"),
+            F.col("dup_occ").alias(f"dup{n}"),
+        )
+        out = out.join(rep, "doc_id", "left")
+    return out.select(
+        *base.columns,
+        *[
+            c
+            for n in (2, 3)
+            for c in (
+                F.coalesce(f"n_grams{n}", F.lit(0)).alias(f"n_grams{n}"),
+                F.col(f"top{n}_gram"),
+                F.coalesce(f"top{n}_n", F.lit(0)).alias(f"top{n}_n"),
+                F.coalesce(f"dup{n}", F.lit(0)).alias(f"dup{n}"),
+            )
+        ],
     )
 
 
@@ -1503,6 +1531,22 @@ def _specs() -> list[QuerySpec]:
         "WHERE (lang = 'en' AND st < 3000) OR (lang = 'zh' AND st < 1500)"
     )
 
+    # repetition CTEs: inclusive list slices t[i:i+n-1] are the n-grams
+    # (the decontaminate oracle's slicing); struct_pack max mirrors the
+    # Spark struct-max tie rule (resample precedent). All-integer
+    # outputs; docs shorter than n coalesce to 0 / NULL top gram.
+    def _rep_cte(n: int) -> str:
+        return (
+            f"g{n} AS (SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS g "
+            f"FROM tok, UNNEST(range(1, len(t) - {n - 2})) AS r{n}(i) "
+            f"WHERE len(t) >= {n}), "
+            f"gc{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} "
+            "GROUP BY doc_id, g), "
+            f"rep{n} AS (SELECT doc_id, sum(c) AS n_grams, "
+            "max(struct_pack(c := c, g := g)) AS top, "
+            f"sum(c - 1) AS dup_occ FROM gc{n} GROUP BY doc_id)"
+        )
+
     text_metrics_sql = f"""
 WITH base AS (
   SELECT doc_id, lang, text,
@@ -1515,7 +1559,13 @@ WITH base AS (
          len(regexp_extract_all(text, '\\b(el|los|y|una|es)\\b')) AS c_es,
          len(regexp_extract_all(text, '[一-鿿]')) AS c_zh
   FROM documents
-)
+),
+tok AS (
+  SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+  FROM documents
+),
+{_rep_cte(2)},
+{_rep_cte(3)}
 SELECT doc_id,
        length(text) AS n_chars_calc,
        wc AS n_words,
@@ -1532,8 +1582,18 @@ SELECT doc_id,
             WHEN c_fr > 0 AND c_fr = greatest(stops, c_de, c_fr, c_es) THEN 'fr'
             WHEN c_es > 0 AND c_es = greatest(stops, c_de, c_fr, c_es) THEN 'es'
             ELSE 'und' END AS pred_lang,
-       md5({_NORM_SQL}) AS fp
+       md5({_NORM_SQL}) AS fp,
+       COALESCE(rep2.n_grams, 0) AS n_grams2,
+       rep2.top.g AS top2_gram,
+       COALESCE(rep2.top.c, 0) AS top2_n,
+       COALESCE(rep2.dup_occ, 0) AS dup2,
+       COALESCE(rep3.n_grams, 0) AS n_grams3,
+       rep3.top.g AS top3_gram,
+       COALESCE(rep3.top.c, 0) AS top3_n,
+       COALESCE(rep3.dup_occ, 0) AS dup3
 FROM base
+LEFT JOIN rep2 USING (doc_id)
+LEFT JOIN rep3 USING (doc_id)
 """
 
     return [

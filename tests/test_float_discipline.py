@@ -68,6 +68,11 @@ ALLOWED_DOUBLES = {
     ("returnflag_stats", "p90"),
     ("returnflag_stats", "price_p95"),
     ("pagerank_suppliers", "pr"),  # messy-repr quotient sums, round 6dp
+    # integer-valued doubles (CMS counter estimates, exact distinct
+    # count, 0/1 tolerance indicators) + the interpolated exact median
+    # (same quantile_cont/percentile class evidenced green via
+    # returnflag_stats p50/p90) — no re-rounded money aggregates
+    ("approx_sketches", "value"),
 }
 
 SPECS = {n: s for n, s in all_queries().items() if s.oracle}

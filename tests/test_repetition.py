@@ -1,0 +1,91 @@
+"""Gopher-style repetition signals: hand-built fixtures pin the count
+semantics (dup mass = occurrences beyond first), the struct-max tie
+rule, short-doc absence, and the line-based family (the corpus has no
+newlines, so the registry certifies the n-gram family; lines are
+pinned here)."""
+
+from __future__ import annotations
+
+from geoestate_etl_spark.operators.repetition import (
+    line_repetition,
+    ngram_repetition,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_counts_and_tie_rule(spark):
+    docs = _docs(
+        spark,
+        [
+            # 2-grams: "a b","b a","a b","b c" -> "a b" x2 top, dup=1
+            (1, "a b a b c"),
+            # all four 2-grams distinct and count 1: tie broken toward
+            # the lexicographically largest gram ("d e")
+            (2, "a b c d e"),
+            (3, "x"),          # shorter than n: absent
+            (4, ""),           # empty: absent
+        ],
+    )
+    got = {r.doc_id: r for r in ngram_repetition(docs, 2).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].n_grams, got[1].top_gram, got[1].top_n, got[1].dup_occ) == (
+        4, "a b", 2, 1,
+    )
+    assert (got[2].n_grams, got[2].top_gram, got[2].top_n, got[2].dup_occ) == (
+        4, "d e", 1, 0,
+    )
+
+
+def test_ngram_normalization_folds_case_and_whitespace(spark):
+    # "A  b" and "a b" are the same normalized 2-gram
+    docs = _docs(spark, [(1, "A  b a b")])
+    got = ngram_repetition(docs, 2).collect()[0]
+    assert (got.top_gram, got.top_n) == ("a b", 2)
+
+
+def test_trigram_window(spark):
+    docs = _docs(spark, [(1, "a b c a b c a")])
+    got = ngram_repetition(docs, 3).collect()[0]
+    # 3-grams: abc bca cab abc cba? -> positions: abc, bca, cab, abc, bca
+    assert got.n_grams == 5
+    assert (got.top_gram, got.top_n) in {("a b c", 2), ("b c a", 2)}
+    # top tie between "a b c"(2) and "b c a"(2): struct-max picks the
+    # lexicographically larger gram
+    assert (got.top_gram, got.top_n) == ("b c a", 2)
+    assert got.dup_occ == 2
+
+
+def test_line_repetition(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "hello\nworld\nhello\n\n  hello  \nx"),
+            (2, "\n \n"),  # only empty lines: absent
+        ],
+    )
+    got = {r.doc_id: r for r in line_repetition(docs).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    # lines: hello, world, hello, hello, x -> 5 total, 2 dup "hello"
+    assert (r.n_lines, r.dup_lines) == (5, 2)
+    assert r.dup_line_chars == 2 * 5
+    assert r.total_line_chars == 3 * 5 + 5 + 1
+
+
+def test_registry_columns_cover_short_docs(spark):
+    """The text_metrics left-join must emit zero counts (not drop the
+    row) for docs the per-n relation omits."""
+    import os
+
+    from geoestate_etl_spark.plans.queries_suites import q_text_metrics
+    from tests.conftest import SF_ORACLE
+
+    out = q_text_metrics(spark, SF_ORACLE)
+    assert out.filter("n_grams2 IS NULL OR dup3 IS NULL").count() == 0
+    n_docs = spark.read.parquet(
+        os.path.join(SF_ORACLE, "documents.parquet")
+    ).count()
+    assert out.count() == n_docs
