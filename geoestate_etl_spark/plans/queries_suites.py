@@ -660,26 +660,72 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule — then rescores exactly. Every served row is reproducible;
     ``ann_certify`` separately certifies the warehouse
     build/read/probe machinery against brute force."""
+    from geoestate_etl_spark.functions.vectors import cosine
     from geoestate_etl_spark.operators import similarity as SIM
     from geoestate_etl_spark.plans.queries_ext import _probe, read_ivf_artifact
 
     emb = _t(spark, sf_dir, "embeddings")
     probe = _probe(spark, sf_dir)
-    lsh = SIM.lsh_topk(emb, probe, k=10).select(
-        F.lit("lsh").alias("method"), "vec_id", "cos_sim"
+
+    # ONE corpus pass for all three variants (r4 perf pass): the
+    # bucketize scan tags every row with its LSH-candidate flag, a
+    # broadcast join against the cell-pruned assignment adds the IVF
+    # flag, and the union-filtered rows are scored once. Composing
+    # lsh_topk + ivf_probe + hybrid_topk would bucketize/scan the
+    # corpus three times for identical candidate sets. The scored
+    # frame (~scan-fraction of N) is eagerly checkpointed so the three
+    # top-10s don't re-run the scan; semantics are the operators' own:
+    # same planes, radius, probe-cell rule, rescore, (score, id) order.
+    dim = len(probe)
+    planes = SIM.make_hyperplanes(8, dim)
+    probe_bits = "".join(
+        "1" if sum(p[i] * probe[i] for i in range(dim)) >= 0 else "0"
+        for p in planes
     )
     assign, centroids = read_ivf_artifact(spark, sf_dir)
-    # reattach vectors: the committed checkpoint carries assignments
-    # only; the serving layout with vectors partitioned by cell is the
-    # warehouse index (ann_certify's subject)
-    assigned = assign.join(emb, "vec_id")
-    ivf = SIM.ivf_probe(assigned, centroids, probe, k=10, n_probe=4).select(
-        F.lit("ivf").alias("method"), "vec_id", "cos_sim"
+    # the committed checkpoint carries assignments only; the serving
+    # layout with vectors partitioned by cell is the warehouse index
+    # (ann_certify's subject)
+    probe_cells = SIM.nearest_cells(centroids, probe, 4)
+    ivf_ids = assign.filter(F.col("cell").isin(probe_cells)).select("vec_id")
+    probe_col = F.array(*[F.lit(float(v)) for v in probe])
+    scored = (
+        SIM.bucketize(emb, planes)
+        .withColumn(
+            "in_lsh", F.col("bucket").isin(SIM._probe_buckets(probe_bits, 2))
+        )
+        .join(
+            F.broadcast(ivf_ids.withColumn("in_ivf", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .withColumn("in_ivf", F.coalesce("in_ivf", F.lit(False)))
+        .filter(F.col("in_lsh") | F.col("in_ivf"))
+        .select(
+            "vec_id",
+            "in_lsh",
+            "in_ivf",
+            (F.round(cosine(F.col("embedding"), probe_col), 4) + 0.0).alias(
+                "cos_sim"
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
-    hybrid = SIM.hybrid_topk(emb, probe, assigned, centroids, k=10).select(
-        F.lit("hybrid").alias("method"), "vec_id", "cos_sim"
+
+    def top10(flag, method):
+        return (
+            scored.filter(F.col(flag) if flag else F.lit(True))
+            .select("vec_id", "cos_sim")
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(10)
+            .select(F.lit(method).alias("method"), "vec_id", "cos_sim")
+        )
+
+    return (
+        top10("in_lsh", "lsh")
+        .unionByName(top10("in_ivf", "ivf"))
+        .unionByName(top10(None, "hybrid"))
     )
-    return lsh.unionByName(ivf).unionByName(hybrid)
 
 
 def q_ann_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
