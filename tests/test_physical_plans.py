@@ -173,3 +173,31 @@ def test_registry_wide_no_accidental_product_joins(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             bad.append((name, "BroadcastNestedLoopJoin"))
     assert not bad, bad
+
+
+def test_similarity_ann_single_scan_with_broadcast_flags(spark):
+    """The r4 serving shape: ONE bucketize pass feeds all three
+    variants — the cell-pruned assignment (`cell IN (...)` pushed to
+    its scan) broadcast-joins the corpus for the IVF flag, the scored
+    candidate frame is checkpoint-backed, and each top-10 is a
+    TakeOrderedAndProject over it. Never a corpus shuffle, never a
+    product join."""
+    from geoestate_etl_spark.plans.queries_ext import ivf_assign_path
+
+    df = SPECS["similarity_ann"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("TakeOrderedAndProject") == 3
+    # the three variants read the checkpointed scored frame, not the
+    # parquet: no file scans and no shuffle exchanges appear at all
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    # ...and the scan that BUILT the checkpoint pushed the cell filter
+    # into the tiny assignment table's scan (the 100 TB pruning claim)
+    from geoestate_etl_spark.plans.queries_ext import read_ivf_artifact
+    from pyspark.sql import functions as F
+
+    assign, centroids = read_ivf_artifact(spark, SF_ORACLE)
+    pruned = assign.filter(F.col("cell").isin([0, 1, 2, 3]))
+    ap = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in ap and "In(cell" in ap, ap
