@@ -89,3 +89,29 @@ def test_registry_columns_cover_short_docs(spark):
         os.path.join(SF_ORACLE, "documents.parquet")
     ).count()
     assert out.count() == n_docs
+
+
+def test_onegram_agrees_with_inrow_ratios(spark):
+    """Two independent implementations of word repetition — the in-row
+    HOF `repetition_ratios` (pipeline gate) and the aggregated
+    `ngram_repetition(n=1)` (registry/metrics path) — must agree on
+    every document: dup_occ/n_grams == dup_word_frac."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geoestate_etl_spark.functions.text import repetition_ratios
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+    inrow = docs.select(
+        "doc_id", repetition_ratios("text")["dup_word_frac"].alias("f")
+    )
+    agg = ngram_repetition(docs, 1).select(
+        "doc_id",
+        F.round(F.col("dup_occ") / F.greatest("n_grams", F.lit(1)), 4).alias("g"),
+    )
+    joined = inrow.join(agg, "doc_id", "left").select(
+        "doc_id", "f", F.coalesce("g", F.lit(0.0)).alias("g")
+    )
+    assert joined.filter(F.col("f") != F.col("g")).count() == 0
