@@ -353,11 +353,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(path):
         cluster_embeddings(emb).write.mode("overwrite").parquet(path)
     clustered = spark.read.parquet(path).join(emb, "vec_id")
-    # persisted: the 'pair' branch and the keep/drop decisions both
-    # consume the pair scan — the operator's cost center (one
-    # interpreted vector fold per candidate pair); without this the
-    # union runs it twice
-    pairs = semantic_pairs(clustered, cosine_threshold=0.40).persist()
+    # eagerly checkpointed: the 'pair' branch and the keep/drop
+    # decisions both consume the pair scan — the operator's cost
+    # center (one interpreted vector fold per candidate pair); without
+    # this the union runs it twice. Checkpoint, not persist: the
+    # blocks release with the frame instead of accumulating in the
+    # cache across registry runs (r4 leak sweep).
+    pairs = semantic_pairs(clustered, cosine_threshold=0.40).localCheckpoint(
+        eager=True
+    )
     _, decisions = semantic_dedup(clustered, cosine_threshold=0.40, pairs=pairs)
     nl = F.lit(None).cast("bigint")
     p = pairs.select(

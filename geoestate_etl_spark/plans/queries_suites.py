@@ -828,10 +828,12 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small pruned parquet instead; only DERIVED frames (vocab below)
     # are cached.
     docs = _t(spark, sf_dir, "documents")
-    # persisted: the 'vocab' branch and the encode join both consume it
-    # — without this the wordcount + scalable renumber (including its
-    # range-partition sampling job) runs twice
-    vocab = build_vocab(docs, min_count=3).persist()
+    # eagerly checkpointed: the 'vocab' branch and the encode join both
+    # consume it — without this the wordcount + scalable renumber
+    # (including its range-partition sampling job) runs twice.
+    # Checkpoint, not persist: blocks release with the frame instead of
+    # accumulating in the cache across registry runs (r4 leak sweep).
+    vocab = build_vocab(docs, min_count=3).localCheckpoint(eager=True)
     v = vocab.select(
         F.lit("vocab").alias("variant"),
         "token",
@@ -1629,14 +1631,14 @@ SELECT doc_id,
             WHEN c_es > 0 AND c_es = greatest(stops, c_de, c_fr, c_es) THEN 'es'
             ELSE 'und' END AS pred_lang,
        md5({_NORM_SQL}) AS fp,
-       COALESCE(rep2.n_grams, 0) AS n_grams2,
+       CAST(COALESCE(rep2.n_grams, 0) AS BIGINT) AS n_grams2,
        rep2.top.g AS top2_gram,
-       COALESCE(rep2.top.c, 0) AS top2_n,
-       COALESCE(rep2.dup_occ, 0) AS dup2,
-       COALESCE(rep3.n_grams, 0) AS n_grams3,
+       CAST(COALESCE(rep2.top.c, 0) AS BIGINT) AS top2_n,
+       CAST(COALESCE(rep2.dup_occ, 0) AS BIGINT) AS dup2,
+       CAST(COALESCE(rep3.n_grams, 0) AS BIGINT) AS n_grams3,
        rep3.top.g AS top3_gram,
-       COALESCE(rep3.top.c, 0) AS top3_n,
-       COALESCE(rep3.dup_occ, 0) AS dup3
+       CAST(COALESCE(rep3.top.c, 0) AS BIGINT) AS top3_n,
+       CAST(COALESCE(rep3.dup_occ, 0) AS BIGINT) AS dup3
 FROM base
 LEFT JOIN rep2 USING (doc_id)
 LEFT JOIN rep3 USING (doc_id)

@@ -55,6 +55,7 @@ ALLOWED_DOUBLES = {
     ("tfidf_top_terms", "score"),  # tfidf + bm25 variants: ln-product sums
     ("similarity_bruteforce", "cos_sim"),
     ("ann_certify", "cos_sim"),
+    ("similarity_ann", "cos_sim"),  # same messy-repr cosine class
     ("pair_similarity", "value"),
     ("text_metrics", "punct_ratio"),
     ("text_metrics", "stop_ratio"),
