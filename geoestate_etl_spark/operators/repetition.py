@@ -88,7 +88,7 @@ def line_repetition(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    sep: str = "\n",
+    sep: str = "\r?\n",
 ) -> DataFrame:
     """Per-doc duplicate-line stats over ``sep``-separated lines
     (trimmed, empties dropped):
@@ -100,7 +100,10 @@ def line_repetition(
       ``dup_line_chars / total_line_chars``).
 
     Docs with no non-empty lines are absent (left-join + coalesce).
-    ``sep`` is a regex (``F.split``); the default splits on newlines.
+    ``sep`` is a regex (``F.split``); the default handles LF and CRLF
+    — ``F.trim`` strips spaces only, so a bare ``\\n`` split would
+    leave invisible ``\\r`` suffixes that break duplicate detection on
+    Windows-ending corpora (r4 review finding).
     """
     lines = (
         docs.select(

@@ -129,8 +129,7 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
-def _repo_root() -> str:
-    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from geoestate_etl_spark.plans.queries_ext import _repo_root  # noqa: E402
 
 
 def _morton_sql() -> str:

@@ -580,37 +580,41 @@ def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_components(spark, sf_dir)
     pairs = spark.read.parquet(dedup_pairs_path(sf_dir)).persist()
 
-    with ThreadPoolExecutor(max_workers=4) as ex:
-        f_graph = ex.submit(connected_components, edges)
-        f_star = ex.submit(connected_components_star, edges)
-        f_clusters = ex.submit(dedup_clusters, pairs)
-        f_stard = ex.submit(connected_components_star, pairs)
-        graph = f_graph.result().select(
-            F.lit("graph").alias("variant"),
-            F.col("id").alias("a"),
-            F.col("component").alias("b"),
-            _NULL_L().alias("c"),
-        )
-        star = f_star.result().select(
-            F.lit("star").alias("variant"),
-            F.col("id").alias("a"),
-            F.col("component").alias("b"),
-            _NULL_L().alias("c"),
-        )
-        clusters = f_clusters.result().select(
-            F.lit("dedup").alias("variant"),
-            F.col("component").alias("a"),
-            F.col("keeper_id").alias("b"),
-            F.col("cluster_size").alias("c"),
-        )
-        stard = f_stard.result().select(
-            F.lit("stard").alias("variant"),
-            F.col("id").alias("a"),
-            F.col("component").alias("b"),
-            _NULL_L().alias("c"),
-        )
-    edges.unpersist()
-    pairs.unpersist()
+    try:
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_graph = ex.submit(connected_components, edges)
+            f_star = ex.submit(connected_components_star, edges)
+            f_clusters = ex.submit(dedup_clusters, pairs)
+            f_stard = ex.submit(connected_components_star, pairs)
+            graph = f_graph.result().select(
+                F.lit("graph").alias("variant"),
+                F.col("id").alias("a"),
+                F.col("component").alias("b"),
+                _NULL_L().alias("c"),
+            )
+            star = f_star.result().select(
+                F.lit("star").alias("variant"),
+                F.col("id").alias("a"),
+                F.col("component").alias("b"),
+                _NULL_L().alias("c"),
+            )
+            clusters = f_clusters.result().select(
+                F.lit("dedup").alias("variant"),
+                F.col("component").alias("a"),
+                F.col("keeper_id").alias("b"),
+                F.col("cluster_size").alias("c"),
+            )
+            stard = f_stard.result().select(
+                F.lit("stard").alias("variant"),
+                F.col("id").alias("a"),
+                F.col("component").alias("b"),
+                _NULL_L().alias("c"),
+            )
+    finally:
+        # a failed variant build must not leak the shared caches
+        # across registry runs (r4 review finding)
+        edges.unpersist()
+        pairs.unpersist()
     return graph.unionByName(star).unionByName(clusters).unionByName(stard)
 
 
@@ -1363,6 +1367,7 @@ def _specs() -> list[QuerySpec]:
         _TOKEN_RE,
         _WC_SQL,
         _repo_root,
+        ivf_assign_path,
     )
     from geoestate_etl_spark.plans.queries_geo import _HAVERSINE, _coords_cte
 
@@ -1379,13 +1384,19 @@ def _specs() -> list[QuerySpec]:
     # the plane literals.
     from geoestate_etl_spark.operators.similarity import make_hyperplanes
 
+    # the driver's oracle scale; overridable for relocated testdata
+    # (r4 review: keep the literal in ONE place, not per-oracle)
+    oracle_sf = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+
     def _emb_dim(default: int = 64) -> int:
         try:
             import pyarrow.parquet as pq
 
             batch = next(
                 pq.ParquetFile(
-                    "/root/testdata/sf0.01/embeddings.parquet"
+                    os.path.join(oracle_sf, "embeddings.parquet")
                 ).iter_batches(batch_size=1, columns=["embedding"])
             )
             return len(batch.column(0)[0])
@@ -1415,12 +1426,13 @@ def _specs() -> list[QuerySpec]:
             con = duckdb.connect()
             cents = con.execute(
                 "SELECT cell, centroid FROM read_parquet("
-                f"'{ivf_centroids_path('/root/testdata/sf0.01')}/*.parquet') "
+                f"'{ivf_centroids_path(oracle_sf)}/*.parquet') "
                 "ORDER BY cell"
             ).fetchall()
             probe = con.execute(
                 "SELECT embedding FROM read_parquet("
-                "'/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id = 0"
+                f"'{os.path.join(oracle_sf, 'embeddings.parquet')}') "
+                "WHERE vec_id = 0"
             ).fetchone()[0]
             con.close()
             return nearest_cells(
@@ -1451,7 +1463,7 @@ def _specs() -> list[QuerySpec]:
         "lshc AS (SELECT vec_id FROM bits "
         "WHERE hamming(bucket, (SELECT bucket FROM pb)) <= 2), "
         "ivfc AS (SELECT vec_id FROM read_parquet("
-        f"'{_repo_root()}/data/derived/ivf_assign_sf0.01.parquet/*.parquet') "
+        f"'{ivf_assign_path(oracle_sf)}/*.parquet') "
         f"WHERE cell IN ({ivf_cells})), "
         "l10 AS (SELECT 'lsh' AS method, vec_id, cos_sim FROM sc "
         "WHERE vec_id IN (SELECT vec_id FROM lshc) "

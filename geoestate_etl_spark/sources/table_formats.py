@@ -23,9 +23,14 @@ from pyspark.sql import functions as F
 
 
 def delta_available(spark: SparkSession | None = None) -> bool:
-    """True iff the Delta Lake runtime is importable AND its SQL
-    extension classes are on the JVM classpath. Cheap enough to call
-    per-use; no session state is mutated by probing."""
+    """True iff the Delta Lake runtime is importable, its classes are
+    on the JVM classpath, AND the session was actually built with the
+    Delta SQL extension + catalog conf (:func:`delta_session_conf`).
+    The conf check matters: jars on the classpath with a plain session
+    would select the real path only for DeltaTable/MERGE to throw
+    'requires DeltaSparkSessionExtension' — the probe must answer
+    "can THIS session run Delta", not "could some session" (r4 review
+    finding). Cheap enough to call per-use; probing mutates nothing."""
     try:
         import delta  # noqa: F401
     except ImportError:
@@ -36,9 +41,17 @@ def delta_available(spark: SparkSession | None = None) -> bool:
         spark._jvm.java.lang.Class.forName(
             "org.apache.spark.sql.delta.catalog.DeltaCatalog"
         )
-        return True
     except Exception:
         return False
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        cat = spark.conf.get("spark.sql.catalog.spark_catalog", "") or ""
+    except Exception:
+        return False
+    return (
+        "io.delta.sql.DeltaSparkSessionExtension" in ext
+        and "DeltaCatalog" in cat
+    )
 
 
 def delta_session_conf() -> dict[str, str]:

@@ -97,9 +97,12 @@ def window_funnel_stream(
         )
     )
 
+    # the key keeps its INPUT type (string session ids, int32 users, …)
+    # — hardcoding LongType broke the "same semantics as batch"
+    # contract for non-long keys at the Arrow boundary (r4 review)
     out_schema = T.StructType(
         [
-            T.StructField(user_col, T.LongType()),
+            T.StructField(user_col, events_stream.schema[user_col].dataType),
             T.StructField("funnel_depth", T.LongType()),
         ]
     )

@@ -115,3 +115,12 @@ def test_onegram_agrees_with_inrow_ratios(spark):
         "doc_id", "f", F.coalesce("g", F.lit(0.0)).alias("g")
     )
     assert joined.filter(F.col("f") != F.col("g")).count() == 0
+
+
+def test_line_repetition_crlf(spark):
+    """CRLF corpora: the default separator strips \\r, so Windows and
+    Unix line endings produce identical duplicate-line stats."""
+    docs = _docs(spark, [(1, "hello\r\nworld\r\nhello"), (2, "hello\nworld\nhello")])
+    got = {r.doc_id: (r.n_lines, r.dup_lines, r.total_line_chars)
+           for r in line_repetition(docs).collect()}
+    assert got[1] == got[2] == (3, 1, 15)

@@ -143,3 +143,30 @@ def test_stream_pre_epoch(spark, tmp_path):
     b2 = mk([(1, 10, "click"), (1, 20, "purchase")])
     got, _ = _run_stream(spark, tmp_path, [b1, b2])
     assert got == {1: 3}
+
+
+def test_stream_string_keys(spark, tmp_path):
+    """Non-long entity keys (string session ids) must work — the
+    output schema mirrors the input key type (r4 review finding)."""
+    from geoestate_etl_spark.streaming.funnel import window_funnel_stream
+
+    rows = [("s1", T0, "view"), ("s1", T0 + timedelta(seconds=5), "click"),
+            ("s2", T0, "click")]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    src = str(tmp_path / "strkeys")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        window_funnel_stream(stream, STEPS, WINDOW)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("funnel_str").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.user_id: r.funnel_depth
+               for r in spark.sql("SELECT * FROM funnel_str").collect()}
+    finally:
+        q.stop()
+    assert got == {"s1": 2, "s2": 0}
