@@ -615,7 +615,24 @@ def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # across registry runs (r4 review finding)
         edges.unpersist()
         pairs.unpersist()
-    return graph.unionByName(star).unionByName(clusters).unionByName(stard)
+    # r4: per-node triangle participation over the same pair graph —
+    # the cluster-density metric (a k-clique of duplicates is C(k,3)
+    # triangles; a transitive chain is none). Non-iterative (two
+    # equi-joins), so it rides the lazy plan, not the thread pool.
+    from geoestate_etl_spark.operators.graph_metrics import triangle_counts
+
+    tri = triangle_counts(pairs).select(
+        F.lit("tri").alias("variant"),
+        F.col("id").alias("a"),
+        F.col("n_tri").alias("b"),
+        _NULL_L().alias("c"),
+    )
+    return (
+        graph.unionByName(star)
+        .unionByName(clusters)
+        .unionByName(stard)
+        .unionByName(tri)
+    )
 
 
 def q_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1917,7 +1934,7 @@ LEFT JOIN rep3 USING (doc_id)
             "g AS (SELECT src AS id, least(src, min(dst)) AS component "
             "FROM r GROUP BY src), "
             "p AS (SELECT id_a, id_b FROM read_parquet("
-            "'/root/repo/data/derived/dedup_pairs_sf0.01.parquet/*.parquet')), "
+            f"'{_repo_root()}/data/derived/dedup_pairs_sf0.01.parquet/*.parquet')), "
             "pe AS (SELECT id_a AS src, id_b AS dst FROM p "
             "UNION SELECT id_b, id_a FROM p), "
             "pr AS (SELECT src, dst FROM pe UNION "
@@ -1925,14 +1942,28 @@ LEFT JOIN rep3 USING (doc_id)
             "comp AS (SELECT src AS id, least(src, min(dst)) AS component "
             "FROM pr GROUP BY src), "
             "d AS (SELECT component, min(id) AS keeper_id, count(*) AS cluster_size "
-            "FROM comp GROUP BY component) "
+            "FROM comp GROUP BY component), "
+            # id-ordered triangle formulation — an INDEPENDENT algorithm
+            # from the Spark side's degree-oriented wedge close; the
+            # triangle SET is orientation-invariant, so the per-node
+            # counts hash identically (two-algorithm-families pattern)
+            "te AS (SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v "
+            "FROM p WHERE id_a <> id_b GROUP BY 1, 2), "
+            "tr AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM te a "
+            "JOIN te b ON a.v = b.u JOIN te c ON c.u = a.u AND c.v = b.v), "
+            "tn AS (SELECT node, count(*) AS n_tri FROM ("
+            "SELECT x AS node FROM tr UNION ALL SELECT y FROM tr "
+            "UNION ALL SELECT z FROM tr) GROUP BY node) "
             "SELECT 'graph' AS variant, id AS a, component AS b, "
             "CAST(NULL AS BIGINT) AS c FROM g "
             "UNION ALL SELECT 'star', id, component, CAST(NULL AS BIGINT) FROM g "
             "UNION ALL SELECT 'dedup', component, keeper_id, cluster_size FROM d "
-            "UNION ALL SELECT 'stard', id, component, CAST(NULL AS BIGINT) FROM comp",
+            "UNION ALL SELECT 'stard', id, component, CAST(NULL AS BIGINT) FROM comp "
+            "UNION ALL SELECT 'tri', node, CAST(n_tri AS BIGINT), "
+            "CAST(NULL AS BIGINT) FROM tn",
             "iterative-components label-prop + star-contraction + dedup-clusters "
-            "(merged, all vs recursive CTE)",
+            "+ per-node triangle counts (merged; components vs recursive CTE, "
+            "triangles vs id-ordered SQL join — degree-oriented on the Spark side)",
         ),
         QuerySpec(
             "pair_similarity",
