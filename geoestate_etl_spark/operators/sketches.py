@@ -63,6 +63,27 @@ def cms_build(
     )
 
 
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketches built with the SAME (depth, width, key
+    hashing): counter matrices are linear, so the merge is an
+    element-wise add — ``estimate(merge(A, B)) == estimate(A ∪ B)``
+    exactly, not approximately.
+
+    This is the property that makes the sketch a 100 TB tool: build
+    per-shard/per-day/per-stream-epoch sketches independently (d·w
+    rows each), merge them with this d·w-row aggregation, and query
+    the union without ever re-scanning history. The incremental twin
+    of ``cms_build`` — fold invariance (Σ batch sketches == one full
+    build) is pinned in tests.
+    """
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def cms_estimate(
     sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:

@@ -62,3 +62,33 @@ def test_cms_probe_join_broadcasts_sketch_side(spark):
     est = cms_estimate(cms_build(df, "key"), keys, "key")
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_cms_merge_fold_invariance(spark):
+    """Counter matrices are linear: merging per-batch sketches must
+    equal the one-pass full build bit-for-bit (the incremental /
+    per-shard deployment contract), and estimates over the merge must
+    equal estimates over the union."""
+    from geoestate_etl_spark.operators.sketches import cms_merge
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    parts = [
+        orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    merged = cms_merge(
+        *[cms_build(p, "o_orderpriority", 4, 256) for p in parts]
+    )
+    full = cms_build(orders, "o_orderpriority", 4, 256)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    keys = orders.select("o_orderpriority").distinct()
+    em = {
+        r.o_orderpriority: r.est
+        for r in cms_estimate(merged, keys, "o_orderpriority", 4, 256).collect()
+    }
+    ef = {
+        r.o_orderpriority: r.est
+        for r in cms_estimate(full, keys, "o_orderpriority", 4, 256).collect()
+    }
+    assert em == ef
