@@ -71,6 +71,11 @@ def ngram_repetition(
     Docs with fewer than ``n`` tokens are ABSENT from the result
     (callers left-join + coalesce, like the registry query does).
     """
+    # the gram build is an interpreted HOF (lambdas don't codegen) and
+    # is the CPU stage; a small/single-file source arrives as ONE
+    # partition, so spread it first — the minhash_signatures rule
+    # (caught by the r4 bench: 13s single-task vs ~1s spread)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     grams = docs.select(
         F.col(id_col), F.explode(_grams(_tokens(text_col), n)).alias("g")
     )
@@ -105,6 +110,7 @@ def line_repetition(
     leave invisible ``\\r`` suffixes that break duplicate detection on
     Windows-ending corpora (r4 review finding).
     """
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     lines = (
         docs.select(
             F.col(id_col), F.explode(F.split(text_col, sep)).alias("_l")

