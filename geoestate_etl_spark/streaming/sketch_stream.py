@@ -1,0 +1,94 @@
+"""Streaming frequency sketch: a standing count-min store maintained
+per micro-batch epoch (heavy-hitter serving over an unbounded stream).
+
+The CMS counter matrix is linear (:func:`operators.sketches.cms_merge`)
+so the stream never updates state in place: each epoch writes its OWN
+delta sketch — d·w rows regardless of batch size — to
+``sketch_dir/epoch=N`` (overwrite, so a retried micro-batch replaces
+its own delta and the fold stays exact: the corpus-ingest
+epoch-idempotency pattern applied to sketch state). The standing
+sketch is the SUM over epoch partitions, read-time merged; queries
+estimate against it without touching any event history.
+
+Scale notes: per-epoch state is d·w counters (a few KB) no matter how
+many events the batch carried — the whole point of sketching the
+stream instead of aggregating it; the merge is one groupBy over
+epochs·d·w rows. Old epochs can be compacted into one partition with
+the same ``cms_merge`` whenever the epoch count grows — linearity
+makes compaction exact, not lossy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def sketch_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    key_col: str,
+    sketch_dir: str,
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """One micro-batch: build the delta sketch, overwrite this epoch's
+    partition. Idempotent on retry — the epoch's previous delta is
+    replaced, never double-counted."""
+    cms_build(batch_df, key_col, depth, width).write.mode(
+        "overwrite"
+    ).parquet(f"{sketch_dir}/epoch={epoch_id}")
+
+
+def sketch_sink(
+    events_stream: DataFrame,
+    key_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """``writeStream.foreachBatch`` wiring for :func:`sketch_epoch` —
+    returns the DataStreamWriter (caller ``.start()``s it)."""
+
+    def run(df: DataFrame, epoch_id: int) -> None:
+        sketch_epoch(df, epoch_id, key_col, sketch_dir, depth, width)
+
+    return (
+        events_stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def standing_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The merged standing sketch over every committed epoch delta."""
+    deltas = spark.read.parquet(sketch_dir).select("depth", "bucket", "cnt")
+    return cms_merge(deltas)
+
+
+def heavy_hitters(
+    spark: SparkSession,
+    sketch_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Estimated-frequency filter over candidate ``keys`` against the
+    standing sketch: ``(key, est)`` where est ≥ min_count. CMS never
+    underestimates, so recall is 1.0 by construction; collisions can
+    only ADD false positives (bounded by the sketch width), never drop
+    a true heavy hitter — the safe direction for a candidate filter.
+    """
+    est = cms_estimate(
+        standing_sketch(spark, sketch_dir), keys, key_col, depth, width
+    )
+    return est.filter(F.col("est") >= min_count)

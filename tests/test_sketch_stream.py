@@ -1,0 +1,90 @@
+"""Streaming CMS store: the standing sketch folded over real
+micro-batch epochs must equal the one-pass batch build bit-for-bit,
+epoch retries must be idempotent, and heavy-hitter recall must be 1.0
+(CMS never underestimates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.operators.sketches import cms_build
+from geoestate_etl_spark.streaming.sketch_stream import (
+    heavy_hitters,
+    sketch_epoch,
+    sketch_sink,
+    standing_sketch,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _events(spark):
+    from geoestate_etl_spark.sources.parquet_io import load_events
+
+    return load_events(spark, SF_SMOKE).select("user_id", "event_type")
+
+
+def test_stream_folds_to_batch_sketch(spark, tmp_path):
+    events = _events(spark)
+    src = str(tmp_path / "ev_src")
+    events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sketch_dir = str(tmp_path / "sketches")
+    q = sketch_sink(
+        stream,
+        "event_type",
+        sketch_dir,
+        str(tmp_path / "ckpt"),
+    ).start()
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress["batchId"] >= 2  # multiple real epochs
+    finally:
+        q.stop()
+
+    merged = sorted(
+        map(tuple, standing_sketch(spark, sketch_dir).collect())
+    )
+    full = sorted(map(tuple, cms_build(events, "event_type").collect()))
+    assert merged == full  # linearity through real micro-batches
+
+    # heavy hitters: estimates over the standing store never
+    # undercount, so every key at/above the threshold is returned
+    truth = {
+        r.event_type: r.cnt
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    keys = events.select("event_type").distinct()
+    thresh = sorted(truth.values())[len(truth) // 2]  # median count
+    hh = {
+        r.event_type: r.est
+        for r in heavy_hitters(
+            spark, sketch_dir, keys, "event_type", thresh
+        ).collect()
+    }
+    for k, c in truth.items():
+        if c >= thresh:
+            assert k in hh and hh[k] >= c
+
+
+def test_epoch_retry_idempotent(spark, tmp_path):
+    events = _events(spark)
+    sketch_dir = str(tmp_path / "sk")
+    b0 = events.filter(F.col("user_id") % 2 == 0)
+    b1 = events.filter(F.col("user_id") % 2 == 1)
+    sketch_epoch(b0, 0, "event_type", sketch_dir)
+    sketch_epoch(b1, 1, "event_type", sketch_dir)
+    once = sorted(map(tuple, standing_sketch(spark, sketch_dir).collect()))
+    # a micro-batch RETRY re-runs the same epoch: state must not
+    # double-count (the overwrite-own-epoch contract)
+    sketch_epoch(b1, 1, "event_type", sketch_dir)
+    twice = sorted(map(tuple, standing_sketch(spark, sketch_dir).collect()))
+    assert once == twice
+    full = sorted(map(tuple, cms_build(events, "event_type").collect()))
+    assert once == full
