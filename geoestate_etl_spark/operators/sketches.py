@@ -84,6 +84,53 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def hll_build(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HLL distinct-count sketches (Apache DataSketches via
+    Spark 4's ``hll_sketch_agg``): ``group_cols... , hll binary``.
+
+    The distinct-count sibling of :func:`cms_build`: a grouped
+    ``count_distinct`` shuffles every distinct key; this shuffles one
+    ~2^lg_k-byte sketch per group, and the sketches MERGE
+    (:func:`hll_merge`) — so per-shard/per-epoch builds fold into a
+    standing store exactly like the CMS counters, no history rescan.
+    Merge accuracy caveat (unlike the CMS, whose counters are exactly
+    linear): the DataSketches union path uses its own composite
+    estimator, so a merged estimate lands within the sketch's rsd of
+    the direct build but is NOT bit-identical to it (measured ~1.6%
+    apart at lg_k=12 on 2k distincts) — size tolerances accordingly.
+    """
+    groups = group_cols or []
+    return df.groupBy(*groups).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge per-batch HLL relations built by :func:`hll_build` with
+    the same grouping + lg_k: union + ``hll_union_agg`` per group."""
+    if not sketches:
+        raise ValueError("need at least one sketch relation")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    groups = [c for c in out.columns if c != "hll"]
+    agg = F.hll_union_agg(F.col("hll"), F.lit(True)).alias("hll")
+    if groups:
+        return out.groupBy(*groups).agg(agg)
+    return out.agg(agg)
+
+
+def hll_estimate(sketches: DataFrame) -> DataFrame:
+    """Replace the binary ``hll`` column with its distinct estimate."""
+    others = [c for c in sketches.columns if c != "hll"]
+    return sketches.select(
+        *others, F.hll_sketch_estimate("hll").alias("n_distinct")
+    )
+
+
 def cms_estimate(
     sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:

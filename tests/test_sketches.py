@@ -92,3 +92,52 @@ def test_cms_merge_fold_invariance(spark):
         for r in cms_estimate(full, keys, "o_orderpriority", 4, 256).collect()
     }
     assert em == ef
+
+
+def test_hll_merge_equals_full_build(spark):
+    """DataSketches HLL: per-batch grouped sketches unioned with
+    hll_union_agg estimate within the sketch rsd of BOTH the one-pass
+    build and the exact truth (the union path uses its own composite
+    estimator, so bit-equality with the direct build is NOT the
+    contract - see the hll_build docstring)."""
+    from geoestate_etl_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    parts = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    merged = hll_merge(
+        *[hll_build(p, "l_partkey", ["l_returnflag"]) for p in parts]
+    )
+    full = hll_build(li, "l_partkey", ["l_returnflag"])
+    em = {r.l_returnflag: r.n_distinct for r in hll_estimate(merged).collect()}
+    ef = {r.l_returnflag: r.n_distinct for r in hll_estimate(full).collect()}
+    truth = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n in truth.items():
+        assert abs(em[k] - n) <= 0.05 * n  # lg_k=12 -> ~1% rsd, 5x slack
+        assert abs(ef[k] - n) <= 0.05 * n
+        assert abs(em[k] - ef[k]) <= 0.05 * max(n, 1)
+
+
+def test_hll_global_merge(spark):
+    from geoestate_etl_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    parts = [li.filter(F.col("l_orderkey") % 2 == i) for i in range(2)]
+    merged = hll_merge(*[hll_build(p, "l_partkey") for p in parts])
+    est = hll_estimate(merged).collect()[0].n_distinct
+    full = hll_estimate(hll_build(li, "l_partkey")).collect()[0].n_distinct
+    truth = li.select("l_partkey").distinct().count()
+    assert abs(est - truth) <= 0.05 * truth
+    assert abs(est - full) <= 0.05 * truth
