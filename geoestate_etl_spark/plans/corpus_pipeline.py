@@ -155,6 +155,12 @@ def run_corpus(
     aggregate (the survivor set is persisted before packing so the
     count doesn't recompute the LSH stage).
     """
+    # spread BEFORE the interpreted stages: the gate's repetition HOFs,
+    # markup regexes, and unicode repair don't codegen, and a small or
+    # single-file source arrives as ONE partition (docs/TUNING.md
+    # §traps). The minhash stage re-spreads itself; this covers the
+    # gate funnel and fingerprint stages upstream of it.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     if strip_html:
         # markup hygiene FIRST (stage zero of a web corpus): gates,
         # fingerprints, and shingles must see prose, not tag soup.
