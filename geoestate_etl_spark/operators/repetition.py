@@ -73,9 +73,13 @@ def ngram_repetition(
     """
     # the gram build is an interpreted HOF (lambdas don't codegen) and
     # is the CPU stage; a small/single-file source arrives as ONE
-    # partition, so spread it first — the minhash_signatures rule
-    # (caught by the r4 bench: 13s single-task vs ~1s spread)
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # partition, so spread it first (caught by the r4 bench: 13s
+    # single-task vs ~1s spread). GUARDED: an input that is already
+    # well partitioned must not be collapsed + reshuffled (the
+    # multimodal rule) — only under-partitioned inputs spread.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     grams = docs.select(
         F.col(id_col), F.explode(_grams(_tokens(text_col), n)).alias("g")
     )
@@ -110,7 +114,10 @@ def line_repetition(
     leave invisible ``\\r`` suffixes that break duplicate detection on
     Windows-ending corpora (r4 review finding).
     """
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # no repartition here: split/explode/trim all codegen, so the
+    # single-partition map side is cheap and the groupBy shuffle
+    # spreads the aggregation anyway (r4 review — the HOF-spread rule
+    # applies to ngram_repetition's interpreted gram build, not this)
     lines = (
         docs.select(
             F.col(id_col), F.explode(F.split(text_col, sep)).alias("_l")

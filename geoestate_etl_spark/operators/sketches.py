@@ -75,6 +75,13 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     the union without ever re-scanning history. The incremental twin
     of ``cms_build`` — fold invariance (Σ batch sketches == one full
     build) is pinned in tests.
+
+    Same-(depth, width, hashing) discipline is the CALLER's contract:
+    the counter relation carries no width metadata, so mixed-width
+    inputs would sum incompatible bucket spaces without a diagnostic.
+    Deployments that persist sketches should pin the params next to
+    the data and validate at read — the streaming store does exactly
+    that (``streaming/sketch_stream._cms_meta.json``).
     """
     if not sketches:
         raise ValueError("need at least one sketch")
@@ -117,7 +124,10 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     groups = [c for c in out.columns if c != "hll"]
-    agg = F.hll_union_agg(F.col("hll"), F.lit(True)).alias("hll")
+    # strict lg_k: allowing different configs would silently downgrade
+    # the union to the lowest precision, far outside the rsd callers
+    # sized their tolerances for — a mismatch should raise (r4 review)
+    agg = F.hll_union_agg(F.col("hll"), F.lit(False)).alias("hll")
     if groups:
         return out.groupBy(*groups).agg(agg)
     return out.agg(agg)

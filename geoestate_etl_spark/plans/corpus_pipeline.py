@@ -158,9 +158,13 @@ def run_corpus(
     # spread BEFORE the interpreted stages: the gate's repetition HOFs,
     # markup regexes, and unicode repair don't codegen, and a small or
     # single-file source arrives as ONE partition (docs/TUNING.md
-    # §traps). The minhash stage re-spreads itself; this covers the
-    # gate funnel and fingerprint stages upstream of it.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # §traps). GUARDED (the multimodal rule): an already-spread
+    # production input is left alone — collapsing a well-partitioned
+    # corpus to local parallelism and reshuffling raw text would be a
+    # regression at scale. The minhash stage re-spreads survivors.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     if strip_html:
         # markup hygiene FIRST (stage zero of a web corpus): gates,
         # fingerprints, and shingles must see prose, not tag soup.

@@ -241,6 +241,13 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def oracle_sf_dir() -> str:
+    """The scale the DuckDB oracles run at (the driver's sf0.01),
+    overridable for relocated testdata — kept in ONE place so every
+    committed-artifact oracle tracks the same scale (r4 review)."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 def dedup_pairs_path(sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(_repo_root(), "data", "derived", f"dedup_pairs_{tag}.parquet")
@@ -385,11 +392,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.unionByName(d)
 
 
-# artifact path templated from the package location (same derivation
-# the Spark side uses) so the oracle survives a relocated checkout
+# artifact path built by the same helper the Spark side uses, at the
+# oracle scale — survives a relocated checkout and tracks
+# SPARK_GRAFT_ORACLE_SF_DIR like the other committed-artifact oracles
 _SEMANTIC_DEDUP_SQL = (
     "WITH cl AS (SELECT vec_id, cell FROM read_parquet("
-    f"'{_repo_root()}/data/derived/semantic_clusters_sf0.01.parquet/*.parquet')), "
+    f"'{semantic_clusters_path(oracle_sf_dir())}/*.parquet')), "
     "e AS (SELECT cl.vec_id, cl.cell, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
     "FROM cl JOIN embeddings USING (vec_id)), "

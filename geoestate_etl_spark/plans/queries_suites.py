@@ -611,10 +611,13 @@ def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _NULL_L().alias("c"),
             )
     finally:
-        # a failed variant build must not leak the shared caches
-        # across registry runs (r4 review finding)
+        # edges has no consumer after the threaded builds — release it
+        # even if a variant build fails (r4 review finding). pairs
+        # stays CACHED: the lazy tri branch below consumes it at
+        # execution time (six subtree references through the oriented
+        # edge build), and the cacheManager bounds the lifetime at one
+        # entry per sf with cross-run reuse (docs/TUNING.md §traps).
         edges.unpersist()
-        pairs.unpersist()
     # r4: per-node triangle participation over the same pair graph —
     # the cluster-density metric (a k-clique of duplicates is C(k,3)
     # triangles; a transitive chain is none). Non-iterative (two
@@ -1383,8 +1386,10 @@ def _specs() -> list[QuerySpec]:
         _NORM_SQL,
         _TOKEN_RE,
         _WC_SQL,
-        _repo_root,
+        dedup_pairs_path,
         ivf_assign_path,
+        neardup_sigs_path,
+        oracle_sf_dir,
     )
     from geoestate_etl_spark.plans.queries_geo import _HAVERSINE, _coords_cte
 
@@ -1402,10 +1407,9 @@ def _specs() -> list[QuerySpec]:
     from geoestate_etl_spark.operators.similarity import make_hyperplanes
 
     # the driver's oracle scale; overridable for relocated testdata
-    # (r4 review: keep the literal in ONE place, not per-oracle)
-    oracle_sf = os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
+    # (r4 review: ONE definition — queries_ext.oracle_sf_dir — feeds
+    # every committed-artifact oracle path)
+    oracle_sf = oracle_sf_dir()
 
     def _emb_dim(default: int = 64) -> int:
         try:
@@ -1522,7 +1526,7 @@ def _specs() -> list[QuerySpec]:
     # for the embedding variant (same 8 inlined plane literals).
     near_dup_sql = (
         "WITH s AS (SELECT id, sh, sig, simhash FROM read_parquet("
-        f"'{_repo_root()}/data/derived/neardup_sigs_sf0.01.parquet/*.parquet')), "
+        f"'{neardup_sigs_path(oracle_sf)}/*.parquet')), "
         "mb AS (SELECT id, CAST(b AS VARCHAR) || ':' || "
         "CAST(list_slice(sig, b * 4 + 1, b * 4 + 4) AS VARCHAR) AS bkey "
         "FROM s, (SELECT unnest([0, 1, 2, 3]) AS b)), "
@@ -1934,7 +1938,7 @@ LEFT JOIN rep3 USING (doc_id)
             "g AS (SELECT src AS id, least(src, min(dst)) AS component "
             "FROM r GROUP BY src), "
             "p AS (SELECT id_a, id_b FROM read_parquet("
-            f"'{_repo_root()}/data/derived/dedup_pairs_sf0.01.parquet/*.parquet')), "
+            f"'{dedup_pairs_path(oracle_sf)}/*.parquet')), "
             "pe AS (SELECT id_a AS src, id_b AS dst FROM p "
             "UNION SELECT id_b, id_a FROM p), "
             "pr AS (SELECT src, dst FROM pe UNION "

@@ -30,6 +30,46 @@ from geoestate_etl_spark.operators.sketches import (
 )
 
 
+def _write_meta(sketch_dir: str, depth: int, width: int) -> None:
+    import json
+    import os
+
+    os.makedirs(sketch_dir, exist_ok=True)
+    meta_path = os.path.join(sketch_dir, "_cms_meta.json")
+    meta = {"depth": depth, "width": width}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            existing = json.load(f)
+        if existing != meta:
+            raise ValueError(
+                f"sketch store at {sketch_dir} was built with "
+                f"{existing}, refusing to mix in deltas with {meta}"
+            )
+        return
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+
+def _check_meta(sketch_dir: str, depth: int | None, width: int | None) -> tuple[int, int]:
+    """Read the store's (depth, width); validate the caller's params
+    against them. A probe computed with the wrong width lands in the
+    wrong buckets and min() returns 0 — silently DESTROYING the
+    never-underestimates guarantee (r4 review finding) — so a
+    mismatch must fail fast, and omitted params adopt the store's."""
+    import json
+    import os
+
+    with open(os.path.join(sketch_dir, "_cms_meta.json")) as f:
+        meta = json.load(f)
+    for name, given in (("depth", depth), ("width", width)):
+        if given is not None and given != meta[name]:
+            raise ValueError(
+                f"sketch store {sketch_dir} has {name}={meta[name]}, "
+                f"query asked for {given}"
+            )
+    return meta["depth"], meta["width"]
+
+
 def sketch_epoch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -40,7 +80,10 @@ def sketch_epoch(
 ) -> None:
     """One micro-batch: build the delta sketch, overwrite this epoch's
     partition. Idempotent on retry — the epoch's previous delta is
-    replaced, never double-counted."""
+    replaced, never double-counted. The store's (depth, width) are
+    pinned in ``_cms_meta.json`` on first write; later writers and
+    readers are validated against it."""
+    _write_meta(sketch_dir, depth, width)
     cms_build(batch_df, key_col, depth, width).write.mode(
         "overwrite"
     ).parquet(f"{sketch_dir}/epoch={epoch_id}")
@@ -67,8 +110,16 @@ def sketch_sink(
     )
 
 
-def standing_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
-    """The merged standing sketch over every committed epoch delta."""
+def standing_sketch(
+    spark: SparkSession,
+    sketch_dir: str,
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
+    """The merged standing sketch over every committed epoch delta.
+    Params, when given, are validated against the store's pinned
+    metadata (mismatch raises)."""
+    _check_meta(sketch_dir, depth, width)
     deltas = spark.read.parquet(sketch_dir).select("depth", "bucket", "cnt")
     return cms_merge(deltas)
 
@@ -79,15 +130,20 @@ def heavy_hitters(
     keys: DataFrame,
     key_col: str,
     min_count: int,
-    depth: int = 4,
-    width: int = 256,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Estimated-frequency filter over candidate ``keys`` against the
     standing sketch: ``(key, est)`` where est ≥ min_count. CMS never
     underestimates, so recall is 1.0 by construction; collisions can
     only ADD false positives (bounded by the sketch width), never drop
     a true heavy hitter — the safe direction for a candidate filter.
+
+    ``depth``/``width`` default to the STORE's pinned parameters (and
+    are validated when given): probing with the wrong width would put
+    every probe in the wrong bucket and silently estimate 0.
     """
+    depth, width = _check_meta(sketch_dir, depth, width)
     est = cms_estimate(
         standing_sketch(spark, sketch_dir), keys, key_col, depth, width
     )
