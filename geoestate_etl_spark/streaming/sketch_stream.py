@@ -27,6 +27,9 @@ from geoestate_etl_spark.operators.sketches import (
     cms_build,
     cms_estimate,
     cms_merge,
+    hll_build,
+    hll_estimate,
+    hll_merge,
 )
 
 
@@ -108,6 +111,34 @@ def sketch_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def hll_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    key_col: str,
+    hll_dir: str,
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> None:
+    """Distinct-count twin of :func:`sketch_epoch`: one ~2^lg_k-byte
+    HLL sketch per group per epoch, overwrite-own-epoch idempotent.
+    Answers "distinct keys per group over the whole stream" without
+    retaining keys — the CMS store counts frequency mass, this counts
+    cardinality; both fold at read time."""
+    hll_build(batch_df, key_col, group_cols, lg_k).write.mode(
+        "overwrite"
+    ).parquet(f"{hll_dir}/epoch={epoch_id}")
+
+
+def standing_distinct(spark: SparkSession, hll_dir: str) -> DataFrame:
+    """Per-group distinct estimates over every committed epoch delta.
+    Accuracy is the store's lg_k rsd — the DataSketches union path is
+    within-rsd of a direct build, not bit-identical (see
+    :func:`operators.sketches.hll_build`); mismatched lg_k deltas
+    raise inside ``hll_union_agg``."""
+    deltas = spark.read.parquet(hll_dir).drop("epoch")
+    return hll_estimate(hll_merge(deltas))
 
 
 def standing_sketch(

@@ -124,3 +124,45 @@ def test_line_repetition_crlf(spark):
     got = {r.doc_id: (r.n_lines, r.dup_lines, r.total_line_chars)
            for r in line_repetition(docs).collect()}
     assert got[1] == got[2] == (3, 1, 15)
+
+
+# --- hypothesis property tier ------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORDS = st.sampled_from(["a", "bb", "ccc", "dog", "fox", "the"])
+_DOC = st.lists(_WORDS, min_size=0, max_size=30).map(" ".join)
+
+
+def _py_ngram_stats(text: str, n: int):
+    """Pure-Python reference (independent of any Spark API)."""
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < n:
+        return None
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    from collections import Counter
+
+    c = Counter(grams)
+    top_n = max(c.values())
+    # struct-max tie rule: lexicographically largest among max-count
+    top_g = max(g for g, k in c.items() if k == top_n)
+    return (len(grams), top_g, top_n, sum(k - 1 for k in c.values()))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_ngram_matches_python_reference(spark, texts):
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for n in (1, 2, 3):
+        got = {
+            r.doc_id: (r.n_grams, r.top_gram, r.top_n, r.dup_occ)
+            for r in ngram_repetition(docs, n).collect()
+        }
+        want = {
+            i: s
+            for i, t in enumerate(texts)
+            if (s := _py_ngram_stats(t, n)) is not None
+        }
+        assert got == want, (n, texts)

@@ -88,3 +88,33 @@ def test_epoch_retry_idempotent(spark, tmp_path):
     assert once == twice
     full = sorted(map(tuple, cms_build(events, "event_type").collect()))
     assert once == full
+
+
+def test_hll_epoch_store(spark, tmp_path):
+    """Distinct-count twin: per-epoch HLL deltas fold to within-rsd of
+    the exact per-group distincts, and an epoch retry is idempotent."""
+    from geoestate_etl_spark.streaming.sketch_stream import (
+        hll_epoch,
+        standing_distinct,
+    )
+
+    events = _events(spark)
+    hll_dir = str(tmp_path / "hll")
+    b0 = events.filter(F.col("user_id") % 2 == 0)
+    b1 = events.filter(F.col("user_id") % 2 == 1)
+    hll_epoch(b0, 0, "user_id", hll_dir, ["event_type"])
+    hll_epoch(b1, 1, "user_id", hll_dir, ["event_type"])
+    hll_epoch(b1, 1, "user_id", hll_dir, ["event_type"])  # retry
+    got = {
+        r.event_type: r.n_distinct
+        for r in standing_distinct(spark, hll_dir).collect()
+    }
+    truth = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for k, n in truth.items():
+        assert abs(got[k] - n) <= max(0.05 * n, 2)
