@@ -93,3 +93,57 @@ def ngram_logprob(
         F.count("*").alias("n_grams"),
         F.round(F.avg("_lp"), 4).alias("avg_logprob"),
     )
+
+
+def ngram_logprob_micro(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Hash-stable integer twin of :func:`ngram_logprob` —
+    ``(id_col, lm_grams, lm_sum_micro)`` where each gram contributes
+    ``round(ln(P(g)) * 1e6)`` as a BIGINT and the per-document score is
+    the EXACT integer sum of those contributions.
+
+    Why this shape (docs/ORACLE_NOTES.md): a double ``sum``/``avg`` of
+    log-probabilities is partial-sum-order dependent at the ulp level,
+    so it can never hash-match a different engine; rounding each gram's
+    (irrational) log-probability to micro-units FIRST and summing the
+    resulting integers is order-independent by construction.
+    ``round``-to-integer of an irrational is cross-engine safe (the
+    shortest decimal repr never straddles .5).
+
+    Scale shape: one corpus explode + one equi-join on the gram
+    (broadcast when the model is small — AQE decides) + one hash
+    aggregation; the model scalars ride in as a broadcast 1-row frame.
+    OOV grams fall back to the smoothed floor so scoring a held-out
+    batch is the same plan. NOT persisted here (registry queries must
+    stay cache-leak-free across repeated runs); at scale, materialize
+    the model once and pass the read-back frame.
+    """
+    totals = model.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_vocab")
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(sliding_char_ngrams(text_col, n)).alias("gram")
+    )
+    denom = F.col("_total") + F.lit(alpha) * F.col("_vocab")
+    lp_micro = (
+        F.round(
+            F.log((F.coalesce(F.col("_cnt"), F.lit(0)) + F.lit(alpha)) / denom)
+            * 1e6
+        ).cast("long")
+    )
+    return (
+        grams.join(model.withColumnRenamed("cnt", "_cnt"), "gram", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), lp_micro.alias("_lp_micro"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("lm_grams"),
+            F.sum("_lp_micro").alias("lm_sum_micro"),
+        )
+    )

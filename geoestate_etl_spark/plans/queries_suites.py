@@ -410,8 +410,16 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher-style n-gram repetition signals (r4:
     :mod:`operators.repetition` — per-doc top-2/3-gram counts and
     repeated-gram mass as exact integers, left-joined by id; a doc
-    shorter than n coalesces to zero counts / NULL top gram)."""
+    shorter than n coalesces to zero counts / NULL top gram) +
+    char-3-gram LM perplexity-style quality score (r4:
+    :func:`functions.ngram_lm.ngram_logprob_micro` — the KenLM-shaped
+    quality gate of a training-data pipeline, hash-stable because each
+    gram's ln P is rounded to micro-units BEFORE the integer sum)."""
     from geoestate_etl_spark.functions import text as TX
+    from geoestate_etl_spark.functions.ngram_lm import (
+        char_ngram_counts,
+        ngram_logprob_micro,
+    )
     from geoestate_etl_spark.operators.repetition import ngram_repetition
 
     docs = _t(spark, sf_dir, "documents")
@@ -437,6 +445,10 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_occ").alias(f"dup{n}"),
         )
         out = out.join(rep, "doc_id", "left")
+    lm = ngram_logprob_micro(
+        docs, char_ngram_counts(docs, "text", 3), "doc_id", "text", 3
+    )
+    out = out.join(lm, "doc_id", "left")
     return out.select(
         *base.columns,
         *[
@@ -449,6 +461,8 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(f"dup{n}", F.lit(0)).alias(f"dup{n}"),
             )
         ],
+        F.coalesce("lm_grams", F.lit(0)).alias("lm_grams"),
+        F.coalesce("lm_sum_micro", F.lit(0)).alias("lm_sum_micro"),
     )
 
 
@@ -1646,7 +1660,22 @@ tok AS (
   FROM documents
 ),
 {_rep_cte(2)},
-{_rep_cte(3)}
+{_rep_cte(3)},
+lmg AS (
+  SELECT doc_id, substr(text, i, 3) AS gram
+  FROM documents CROSS JOIN generate_series(1, 1000) t(i)
+  WHERE length(text) > 0 AND i <= greatest(length(text) - 2, 1)
+),
+lmm AS (SELECT gram, count(*) AS c FROM lmg GROUP BY gram),
+lmt AS (SELECT sum(c) AS total, count(*) AS vocab FROM lmm),
+lmlp AS (
+  SELECT gram, CAST(round(ln((c + 1.0) / (total + vocab)) * 1000000) AS BIGINT) AS lp
+  FROM lmm, lmt
+),
+lms AS (
+  SELECT doc_id, count(*) AS lm_grams, CAST(sum(lp) AS BIGINT) AS lm_sum_micro
+  FROM lmg JOIN lmlp USING (gram) GROUP BY doc_id
+)
 SELECT doc_id,
        length(text) AS n_chars_calc,
        wc AS n_words,
@@ -1671,10 +1700,13 @@ SELECT doc_id,
        CAST(COALESCE(rep3.n_grams, 0) AS BIGINT) AS n_grams3,
        rep3.top.g AS top3_gram,
        CAST(COALESCE(rep3.top.c, 0) AS BIGINT) AS top3_n,
-       CAST(COALESCE(rep3.dup_occ, 0) AS BIGINT) AS dup3
+       CAST(COALESCE(rep3.dup_occ, 0) AS BIGINT) AS dup3,
+       CAST(COALESCE(lms.lm_grams, 0) AS BIGINT) AS lm_grams,
+       CAST(COALESCE(lms.lm_sum_micro, 0) AS BIGINT) AS lm_sum_micro
 FROM base
 LEFT JOIN rep2 USING (doc_id)
 LEFT JOIN rep3 USING (doc_id)
+LEFT JOIN lms USING (doc_id)
 """
 
     return [

@@ -59,6 +59,58 @@ def test_junk_scores_below_typical_text(spark):
     assert scores[1] > scores[2], scores
 
 
+def test_micro_twin_matches_pure_python(spark):
+    """ngram_logprob_micro == an independent stdlib recomputation on a
+    tiny corpus: per-gram round(ln P * 1e6) summed as exact ints."""
+    import math
+    from collections import Counter
+
+    from geoestate_etl_spark.functions.ngram_lm import ngram_logprob_micro
+
+    rows = [(1, "abcabc"), (2, "abcd"), (3, "zz"), (4, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def grams(t):
+        if not t:
+            return []
+        return [t[i : i + 3] for i in range(max(len(t) - 2, 1))]
+
+    model = Counter(g for _, t in rows for g in grams(t))
+    total, vocab = sum(model.values()), len(model)
+    expect = {}
+    for i, t in rows:
+        gs = grams(t)
+        if not gs:
+            continue
+        lps = [
+            round(math.log((model[g] + 1.0) / (total + vocab)) * 1e6) for g in gs
+        ]
+        expect[i] = (len(gs), sum(lps))
+    got = {
+        r.doc_id: (r.lm_grams, r.lm_sum_micro)
+        for r in ngram_logprob_micro(
+            docs, char_ngram_counts(docs, "text", 3)
+        ).collect()
+    }
+    assert got == expect, (got, expect)
+
+
+def test_micro_twin_oov_floor(spark):
+    """Held-out grams fall back to the smoothed alpha floor instead of
+    dropping out or producing NULL sums."""
+    import math
+
+    from geoestate_etl_spark.functions.ngram_lm import ngram_logprob_micro
+
+    train = spark.createDataFrame([(1, "abcabcabc")], ["doc_id", "text"])
+    probe = spark.createDataFrame([(9, "xyz")], ["doc_id", "text"])
+    model = char_ngram_counts(train, "text", 3)
+    [(total, vocab)] = model.agg(F.sum("cnt"), F.count("*")).collect()
+    floor = round(math.log(1.0 / (total + vocab)) * 1e6)
+    [row] = ngram_logprob_micro(probe, model).collect()
+    assert (row.lm_grams, row.lm_sum_micro) == (1, floor)
+
+
 def test_short_and_empty_docs_do_not_crash(spark):
     probe = spark.createDataFrame(
         [(1, "ab"), (2, ""), (3, None)], ["doc_id", "text"]
