@@ -43,7 +43,14 @@ def sliding_char_ngrams(c: Column | str, n: int = 3) -> Column:
 def char_ngram_counts(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Corpus n-gram model: (gram, cnt) via explode + hash agg."""
+    """Corpus n-gram model: (gram, cnt) via explode + hash agg.
+
+    The gram build is an interpreted HOF — spread under-partitioned
+    (single-file) inputs across the cluster first, guarded so already
+    well-partitioned inputs are untouched (docs/TUNING.md)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     return (
         df.select(F.explode(sliding_char_ngrams(text_col, n)).alias("gram"))
         .groupBy("gram")
@@ -127,6 +134,13 @@ def ngram_logprob_micro(
     totals = model.agg(
         F.sum("cnt").alias("_total"), F.count("*").alias("_vocab")
     )
+    # the sliding-gram build is an interpreted HOF (the CPU stage); a
+    # single-file source arrives as ONE partition — spread it first,
+    # guarded so well-partitioned inputs are not collapsed (the
+    # repetition/multimodal rule, docs/TUNING.md)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     grams = df.select(
         F.col(id_col), F.explode(sliding_char_ngrams(text_col, n)).alias("gram")
     )

@@ -1,0 +1,195 @@
+"""Model-based document quality filtering — the fastText-style
+classifier gate (Joulin et al. 2016; used by CCNet/LLaMA-style corpus
+pipelines to keep "reference-like" text) next to the heuristic
+:func:`functions.text.quality_score`.
+
+Split the lifecycle the way a 100 TB deployment must:
+
+- **Training** runs on a BOUNDED labeled set (thousands of docs, not
+  the corpus) with stock ``pyspark.ml`` LogisticRegression — iterative
+  LBFGS is fine there because the input fits a few executors.
+- **Serving** runs over the full corpus with PURE Column expressions:
+  explode tokens → ``pmod(hash(token), dims)`` → broadcast-join the
+  (idx, weight) table → one hash aggregation per doc → sigmoid. No
+  Python in the hot path, no fitted vocabulary, no driver loop — the
+  weight table (≤ dims rows) broadcasts everywhere.
+
+Train/serve skew is eliminated BY CONSTRUCTION: both paths feature
+documents with the same SQL-native hashing trick
+(:func:`hashed_token_features`). We do NOT use ``HashingTF`` — its
+murmur3 variant (``hashUnsafeBytes2``) differs from SQL ``hash()``
+(``hashUnsafeBytes``), so mixing the two would silently mis-index
+every term at serving time (verified empirically; see
+``tests/test_quality_model.py::test_sql_hash_is_not_hashingtf``).
+
+Reference scope: the reference (`dags/main.py`) has no model surface;
+this extends the engine's training-data toolkit (SURVEY §2 extension
+tier) alongside dedup/decontam/repetition/LM-score.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.functions.text import TOKEN_PATTERN, normalize_text
+
+
+def hashed_token_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 4096,
+    token_pattern: str = TOKEN_PATTERN,
+) -> DataFrame:
+    """``(id_col, idx, tf)`` — term-frequency features under the
+    hashing trick, one row per (document, hash bucket).
+
+    Long/sparse layout on purpose: the corpus-scale serving join needs
+    (doc, idx) rows, and the trainer densifies only its bounded
+    labeled subset. All JVM: regexp tokenize → explode → murmur3
+    ``hash`` mod dims → count. Empty/NULL docs yield no rows (score
+    falls back to the intercept)."""
+    if dims <= 0 or dims > (1 << 31) - 1:
+        raise ValueError(f"dims must be in [1, 2^31-1], got {dims}")
+    toks = F.regexp_extract_all(normalize_text(text_col), F.lit(token_pattern), 0)
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        .select(
+            id_col, F.pmod(F.hash("_tok"), F.lit(dims)).cast("int").alias("idx")
+        )
+        .groupBy(id_col, "idx")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    """Frozen serving artifact: the sparse (idx, weight) relation plus
+    the intercept and the featurization params it was trained under.
+    ``weights`` holds only NON-ZERO coefficients (L1-regularized
+    training prunes most buckets), so the broadcast stays small."""
+
+    weights: DataFrame  # (idx int, w double)
+    intercept: float
+    dims: int
+    token_pattern: str = TOKEN_PATTERN
+
+    def save(self, path: str) -> None:
+        """One tiny parquet: weight rows + an idx=-1 intercept row
+        (dims rides in the same row's ``w2`` slot)."""
+        meta = self.weights.sparkSession.range(1).select(
+            F.lit(-1).cast("int").alias("idx"),
+            F.lit(float(self.intercept)).alias("w"),
+            F.lit(self.dims).cast("long").alias("dims"),
+            F.lit(self.token_pattern).alias("pat"),
+        )
+        rows = self.weights.select(
+            F.col("idx").cast("int"),
+            F.col("w").cast("double"),
+            F.lit(None).cast("long").alias("dims"),
+            F.lit(None).cast("string").alias("pat"),
+        )
+        meta.unionByName(rows).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "QualityModel":
+        raw = spark.read.parquet(path)
+        meta = raw.filter(F.col("idx") == -1).select("w", "dims", "pat").head()
+        return QualityModel(
+            weights=raw.filter(F.col("idx") >= 0).select("idx", "w"),
+            intercept=float(meta.w),
+            dims=int(meta.dims),
+            token_pattern=meta.pat,
+        )
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    dims: int = 4096,
+    reg_param: float = 1e-3,
+    elastic_net: float = 0.5,
+    max_iter: int = 60,
+) -> QualityModel:
+    """Fit the classifier on a bounded labeled frame and return the
+    frozen serving artifact.
+
+    The labeled features are densified row-per-doc through a plain
+    Python UDF producing ``ml.linalg`` sparse vectors — the ONE place
+    Python touches rows, and it is bounded by the labeled-set size,
+    never the corpus (ml VectorUDT cannot cross the Arrow boundary, so
+    a pandas_udf is not an option here). Elastic-net keeps the weight
+    relation sparse for the serving broadcast."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    feats = hashed_token_features(labeled, text_col, id_col, dims).groupBy(
+        id_col
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("idx"), F.col("tf")))
+        ).alias("_pairs")
+    )
+
+    def to_vec(pairs):
+        return Vectors.sparse(
+            dims, [p["idx"] for p in pairs], [p["tf"] for p in pairs]
+        )
+
+    to_vec_udf = F.udf(to_vec, VectorUDT())
+    train = labeled.select(id_col, F.col(label_col).cast("double").alias("label")).join(
+        feats, id_col, "left"
+    ).select(
+        "label",
+        to_vec_udf(
+            F.coalesce(
+                "_pairs",
+                F.array().cast("array<struct<idx:int,tf:double>>"),
+            )
+        ).alias("features"),
+    )
+    lr = LogisticRegression(
+        maxIter=max_iter,
+        regParam=reg_param,
+        elasticNetParam=elastic_net,
+        standardization=False,
+    )
+    m = lr.fit(train)
+    spark = labeled.sparkSession
+    coefs = [(i, float(w)) for i, w in enumerate(m.coefficients) if w != 0.0]
+    weights = spark.createDataFrame(
+        coefs or [(0, 0.0)], "idx int, w double"
+    ).filter(F.lit(bool(coefs)))
+    return QualityModel(
+        weights=weights, intercept=float(m.intercept), dims=dims
+    )
+
+
+def score_quality(
+    df: DataFrame,
+    model: QualityModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id_col, quality_prob)`` for every input row — the corpus-
+    scale path: one explode + one BROADCAST equi-join on the hash
+    bucket + one per-doc aggregation; docs with no surviving feature
+    (empty text, or all tokens hashed to zero-weight buckets) score
+    ``sigmoid(intercept)`` via the left join back to the input."""
+    feats = hashed_token_features(
+        df, text_col, id_col, model.dims, model.token_pattern
+    )
+    dots = (
+        feats.join(F.broadcast(model.weights), "idx")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("_dot"))
+    )
+    margin = F.coalesce(F.col("_dot"), F.lit(0.0)) + F.lit(model.intercept)
+    return df.select(id_col).join(dots, id_col, "left").select(
+        id_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("quality_prob")
+    )
