@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geoestate_etl_spark.functions.text import TOKEN_PATTERN, normalize_text
@@ -93,6 +93,49 @@ class QualityModel:
             F.lit(None).cast("string").alias("pat"),
         )
         meta.unionByName(rows).coalesce(1).write.mode("overwrite").parquet(path)
+
+    def as_column(self, text_col: str = "text") -> Column:
+        """ZERO-shuffle serving: the classifier probability as a pure
+        Column expression — tokens → hash bucket → weight looked up in
+        a LITERAL map → per-row fold → sigmoid. No explode, no join,
+        no aggregation: the whole score is map-side, which makes it
+        composable as a ``run_corpus(gate=...)`` predicate term and
+        the cheapest possible 100 TB shape.
+
+        The weight relation is collected ONCE here — bounded by the
+        number of non-zero coefficients (elastic-net pruned, ≤ dims by
+        construction), the same rows the join path broadcasts. Prefer
+        :func:`score_quality` when weights are dense enough that a
+        literal map would bloat the plan (rule of thumb: >≈20k)."""
+        rows = self.weights.collect()  # bounded: non-zero coefs only
+        if rows:
+            wmap = F.create_map(
+                *[
+                    x
+                    for r in rows
+                    for x in (F.lit(int(r.idx)), F.lit(float(r.w)))
+                ]
+            )
+        else:
+            wmap = F.create_map().cast("map<int,double>")
+        # NULL text scores sigmoid(intercept) exactly like the join
+        # path (regexp over NULL would otherwise poison the fold)
+        toks = F.coalesce(
+            F.regexp_extract_all(
+                normalize_text(text_col), F.lit(self.token_pattern), 0
+            ),
+            F.array().cast("array<string>"),
+        )
+        idxs = F.transform(
+            toks, lambda t: F.pmod(F.hash(t), F.lit(self.dims)).cast("int")
+        )
+        dot = F.aggregate(
+            idxs,
+            F.lit(0.0),
+            lambda acc, i: acc + F.coalesce(wmap[i], F.lit(0.0)),
+        )
+        margin = dot + F.lit(self.intercept)
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "QualityModel":

@@ -141,6 +141,70 @@ def test_weights_are_sparse_for_broadcast(spark):
     assert 0 < n_w < 4096 / 4, n_w
 
 
+def test_inline_column_matches_join_scoring(spark):
+    """as_column (literal-map, zero-shuffle fold) == score_quality
+    (broadcast-join path) on every doc, including NULL/empty text —
+    two serving shapes, one semantics."""
+    labeled = _labeled(spark)
+    model = train_quality_model(labeled, dims=DIMS)
+    probe = labeled.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(900, ""), (901, None)], "doc_id long, text string"
+        )
+    )
+    join_scores = {
+        r.doc_id: r.quality_prob
+        for r in score_quality(probe, model).collect()
+    }
+    inline_scores = {
+        r.doc_id: r.p
+        for r in probe.select(
+            "doc_id", model.as_column("text").alias("p")
+        ).collect()
+    }
+    assert set(join_scores) == set(inline_scores)
+    for k in join_scores:
+        assert abs(join_scores[k] - inline_scores[k]) < 1e-9, k
+
+
+def test_inline_column_plan_has_no_shuffle_or_python(spark):
+    """The inline score is map-side only: no Exchange, no Python."""
+    labeled = _labeled(spark, n=60)
+    model = train_quality_model(labeled, dims=DIMS)
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("quick brown fox").alias("text")
+    )
+    plan = (
+        docs.select("doc_id", model.as_column("text").alias("p"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_model_gate_composes_into_run_corpus(spark):
+    """The inline score is a Column, so it composes into run_corpus's
+    gate predicate — the model-filtered pipeline keeps its funnel
+    accounting exact."""
+    from geoestate_etl_spark.plans.corpus_pipeline import quality_gate, run_corpus
+
+    labeled = _labeled(spark, n=120)
+    model = train_quality_model(labeled, dims=DIMS)
+    docs = labeled.select("doc_id", "text")
+    gate = quality_gate("text") & (model.as_column("text") >= 0.5)
+    res = run_corpus(docs, gate=gate)
+    try:
+        kept = {r.doc_id for r in res.cached.select("doc_id").collect()}
+        labels = {r.doc_id: r.label for r in labeled.collect()}
+        # junk never survives the model term; the heuristic gate may
+        # additionally drop some clean docs, never add junk back
+        assert kept, "model gate emptied the corpus"
+        assert all(labels[i] == 1 for i in kept)
+        assert res.n_gated >= len(kept)
+    finally:
+        res.unpersist()
+
+
 def test_scoring_plan_is_broadcast_no_python(spark):
     """The serving plan must contain a broadcast join and NO Python
     eval (BatchEvalPython/ArrowEvalPython) — the hot path stays JVM."""
