@@ -149,6 +149,40 @@ class QualityModel:
         )
 
 
+def token_margin_micro(
+    weights_micro: dict[str, int],
+    intercept_micro: int,
+    text_col: str = "text",
+    token_pattern: str = TOKEN_PATTERN,
+) -> Column:
+    """EXACT-integer classifier margin from frozen token-keyed weights
+    (``functions/quality_weights.py``) as a pure map-side Column:
+
+        intercept_micro + Σ_token_occurrences weights_micro[token]
+
+    Integer micro-unit arithmetic makes the score order-independent
+    and cross-engine reproducible — this is the serving shape the
+    ``text_metrics`` oracle certifies (column ``mq_margin_micro``).
+    Unknown tokens contribute 0; NULL/empty text scores the intercept.
+    Threshold the margin directly (sigmoid is monotone)."""
+    wmap = F.create_map(
+        *[
+            x
+            for t, w in sorted(weights_micro.items())
+            for x in (F.lit(t), F.lit(int(w)))
+        ]
+    )
+    toks = F.coalesce(
+        F.regexp_extract_all(normalize_text(text_col), F.lit(token_pattern), 0),
+        F.array().cast("array<string>"),
+    )
+    return F.aggregate(
+        toks,
+        F.lit(int(intercept_micro)).cast("long"),
+        lambda acc, t: acc + F.coalesce(wmap[t], F.lit(0)).cast("long"),
+    )
+
+
 def train_quality_model(
     labeled: DataFrame,
     text_col: str = "text",

@@ -414,12 +414,21 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-3-gram LM perplexity-style quality score (r4:
     :func:`functions.ngram_lm.ngram_logprob_micro` — the KenLM-shaped
     quality gate of a training-data pipeline, hash-stable because each
-    gram's ln P is rounded to micro-units BEFORE the integer sum)."""
+    gram's ln P is rounded to micro-units BEFORE the integer sum) +
+    the frozen-literal classifier margin (r4:
+    :func:`operators.quality_model.token_margin_micro` over
+    ``functions/quality_weights.py`` — model-based quality scoring as
+    EXACT integer arithmetic, the hyperplane-literals technique)."""
     from geoestate_etl_spark.functions import text as TX
     from geoestate_etl_spark.functions.ngram_lm import (
         char_ngram_counts,
         ngram_logprob_micro,
     )
+    from geoestate_etl_spark.functions.quality_weights import (
+        INTERCEPT_MICRO,
+        TOKEN_WEIGHTS_MICRO,
+    )
+    from geoestate_etl_spark.operators.quality_model import token_margin_micro
     from geoestate_etl_spark.operators.repetition import ngram_repetition
 
     docs = _t(spark, sf_dir, "documents")
@@ -434,6 +443,9 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         TX.lang_id("text").alias("pred_lang"),
         TX.fingerprint_md5("text").alias("fp"),
+        token_margin_micro(TOKEN_WEIGHTS_MICRO, INTERCEPT_MICRO, "text").alias(
+            "mq_margin_micro"
+        ),
     )
     out = base
     for n in (2, 3):
@@ -1642,6 +1654,16 @@ def _specs() -> list[QuerySpec]:
             f"sum(c - 1) AS dup_occ FROM gc{n} GROUP BY doc_id)"
         )
 
+    # frozen-literal quality model: ONE source of truth — the oracle's
+    # VALUES table is generated from the same dict the Spark plan
+    # inlines, so the two sides cannot drift
+    from geoestate_etl_spark.functions.quality_weights import (
+        INTERCEPT_MICRO as _mq_intercept,
+        TOKEN_WEIGHTS_MICRO as _mq_w,
+    )
+
+    _mq_values = ", ".join(f"('{t}', {w})" for t, w in sorted(_mq_w.items()))
+
     text_metrics_sql = f"""
 WITH base AS (
   SELECT doc_id, lang, text,
@@ -1675,6 +1697,15 @@ lmlp AS (
 lms AS (
   SELECT doc_id, count(*) AS lm_grams, CAST(sum(lp) AS BIGINT) AS lm_sum_micro
   FROM lmg JOIN lmlp USING (gram) GROUP BY doc_id
+),
+mqt AS (
+  SELECT doc_id, unnest(regexp_extract_all({_NORM_SQL}, '{_TOKEN_RE}')) AS tok
+  FROM documents
+),
+mqw (tok, wm) AS (VALUES {_mq_values}),
+mqs AS (
+  SELECT doc_id, CAST(sum(wm) AS BIGINT) AS s
+  FROM mqt JOIN mqw USING (tok) GROUP BY doc_id
 )
 SELECT doc_id,
        length(text) AS n_chars_calc,
@@ -1693,6 +1724,7 @@ SELECT doc_id,
             WHEN c_es > 0 AND c_es = greatest(stops, c_de, c_fr, c_es) THEN 'es'
             ELSE 'und' END AS pred_lang,
        md5({_NORM_SQL}) AS fp,
+       CAST(COALESCE(mqs.s, 0) + {_mq_intercept} AS BIGINT) AS mq_margin_micro,
        CAST(COALESCE(rep2.n_grams, 0) AS BIGINT) AS n_grams2,
        rep2.top.g AS top2_gram,
        CAST(COALESCE(rep2.top.c, 0) AS BIGINT) AS top2_n,
@@ -1707,6 +1739,7 @@ FROM base
 LEFT JOIN rep2 USING (doc_id)
 LEFT JOIN rep3 USING (doc_id)
 LEFT JOIN lms USING (doc_id)
+LEFT JOIN mqs USING (doc_id)
 """
 
     return [

@@ -205,6 +205,46 @@ def test_model_gate_composes_into_run_corpus(spark):
         res.unpersist()
 
 
+def test_token_margin_micro_matches_pure_python(spark):
+    """The frozen-literal integer margin == an independent stdlib
+    recomputation (normalize → regex tokens → weight sum), including
+    unknown-token, empty and NULL text."""
+    import re
+
+    from geoestate_etl_spark.functions.quality_weights import (
+        INTERCEPT_MICRO,
+        TOKEN_WEIGHTS_MICRO,
+    )
+    from geoestate_etl_spark.functions.text import TOKEN_PATTERN
+    from geoestate_etl_spark.operators.quality_model import token_margin_micro
+
+    rows = [
+        (1, "The QUICK   a a JOIN join zz"),
+        (2, ""),
+        (3, None),
+        (4, "unseen tokens only xyzzy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_margin(t):
+        if not t:
+            return INTERCEPT_MICRO
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        toks = re.findall(TOKEN_PATTERN, norm)
+        return INTERCEPT_MICRO + sum(TOKEN_WEIGHTS_MICRO.get(x, 0) for x in toks)
+
+    got = {
+        r.doc_id: r.m
+        for r in df.select(
+            "doc_id",
+            token_margin_micro(
+                TOKEN_WEIGHTS_MICRO, INTERCEPT_MICRO, "text"
+            ).alias("m"),
+        ).collect()
+    }
+    assert got == {i: py_margin(t) for i, t in rows}
+
+
 def test_scoring_plan_is_broadcast_no_python(spark):
     """The serving plan must contain a broadcast join and NO Python
     eval (BatchEvalPython/ArrowEvalPython) — the hot path stays JVM."""
