@@ -99,8 +99,10 @@ class QualityModel:
         Column expression — tokens → hash bucket → weight looked up in
         a LITERAL map → per-row fold → sigmoid. No explode, no join,
         no aggregation: the whole score is map-side, which makes it
-        composable as a ``run_corpus(gate=...)`` predicate term and
-        the cheapest possible 100 TB shape.
+        composable as a gate predicate term in BOTH corpus pipelines
+        (``run_corpus(gate=...)`` and the streaming
+        ``ingest_batch``/``start_corpus_ingest`` gate) and the
+        cheapest possible 100 TB shape.
 
         The weight relation is collected ONCE here — bounded by the
         number of non-zero coefficients (elastic-net pruned, ≤ dims by

@@ -586,3 +586,58 @@ def test_minhash_1m_planted_duplicates(spark):
     # throttling doesn't flake the suite while a quadratic regression
     # — hours at this volume — still fails fast)
     assert elapsed < 300, f"minhash 1M took {elapsed:.0f}s"
+
+
+def test_quality_model_inline_scoring_1m_docs_map_only(spark):
+    """The literal-map classifier Column scores 1M synthetic docs in
+    one map-only pass: the executed plan carries NO Exchange and no
+    Python eval, and wall time stays bounded (a shuffle- or
+    Python-bearing regression is an order of magnitude slower)."""
+    import time
+
+    from geoestate_etl_spark.functions.quality_weights import (
+        INTERCEPT_MICRO,
+        TOKEN_WEIGHTS_MICRO,
+    )
+    from geoestate_etl_spark.operators.quality_model import token_margin_micro
+
+    docs = spark.range(1_000_000).select(
+        F.col("id"),
+        F.concat_ws(
+            " ",
+            F.lit("the"),
+            (F.col("id") % 97).cast("string"),
+            F.lit("join scan table a"),
+            (F.col("id") % 31).cast("string"),
+        ).alias("text"),
+    )
+    scored = docs.select(
+        "id",
+        token_margin_micro(TOKEN_WEIGHTS_MICRO, INTERCEPT_MICRO, "text").alias(
+            "m"
+        ),
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+    t0 = time.perf_counter()
+    agg = scored.agg(
+        F.count("*").alias("n"), F.min("m").alias("lo"), F.max("m").alias("hi")
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert agg.n == 1_000_000
+    # every doc shares the fixed tokens; margins differ only via the
+    # two id-derived tokens (almost always OOV -> weight 0), so the
+    # band is tight and entirely above the all-OOV floor
+    base = (
+        INTERCEPT_MICRO
+        + TOKEN_WEIGHTS_MICRO["the"]
+        + TOKEN_WEIGHTS_MICRO["join"]
+        + TOKEN_WEIGHTS_MICRO["scan"]
+        + TOKEN_WEIGHTS_MICRO["table"]
+        + TOKEN_WEIGHTS_MICRO["a"]
+    )
+    assert agg.lo == base  # ids whose digit-tokens are all OOV
+    assert agg.hi >= base
+    assert elapsed < 120, f"1M inline scoring took {elapsed:.0f}s"
