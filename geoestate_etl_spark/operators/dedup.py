@@ -50,6 +50,82 @@ def dedup_by_key(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Sub-document dedup, CCNet/RefinedWeb-style: remove every
+    DUPLICATED line/paragraph occurrence corpus-wide, keeping only its
+    first occurrence — boilerplate (nav bars, licence headers, cookie
+    banners) repeats across pages even when whole documents don't.
+
+    Returns the input frame with ``text_col`` rebuilt from the
+    surviving spans (re-joined with ``delimiter``) plus
+    ``n_spans_dropped``. Rules:
+
+    - spans are ``text`` split on the literal ``delimiter`` ('\\n' =
+      line dedup, '\\n\\n' = paragraph dedup);
+    - only spans with ``len(trim(span)) >= min_chars`` participate —
+      blank/short spans are STRUCTURE and are always kept, so blank
+      lines are never collapsed across documents;
+    - first occurrence = minimum ``(id, position)`` — deterministic
+      keeper, identical on every rerun and partitioning;
+    - docs whose every span is a later duplicate come back with empty
+      text (the caller's length gate drops them — same funnel position
+      the batch pipeline uses).
+
+    Scale shape (all JVM): one posexplode pass, one hash aggregation
+    on the span fingerprint (winner per span), one equi-join back on
+    the fingerprint (AQE broadcasts when the winner table is small),
+    one per-doc aggregation to reassemble. Linear in corpus size —
+    never an all-pairs comparison. Span identity is md5 of the EXACT
+    span text; normalize upstream if byte-variants must dedup together.
+    """
+    import re as _re
+
+    spans = df.select(
+        F.col(id_col).alias("_sid"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(delimiter), -1)
+        ).alias("_pos", "_span"),
+    ).withColumn(
+        "_elig", F.length(F.trim("_span")) >= F.lit(int(min_chars))
+    ).withColumn(
+        "_key", F.md5("_span")
+    )
+    winners = (
+        spans.filter("_elig")
+        .groupBy("_key")
+        .agg(F.min(F.struct("_sid", "_pos")).alias("_win"))
+    )
+    joined = spans.join(winners, "_key", "left").withColumn(
+        "_keep",
+        ~F.col("_elig") | (F.struct("_sid", "_pos") == F.col("_win")),
+    )
+    rebuilt = joined.groupBy("_sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_pos", "_span"))
+                    )
+                ),
+                lambda x: x["_span"],
+            ),
+            delimiter,
+        ).alias("_new_text"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_spans_dropped"),
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt.withColumnRenamed("_sid", id_col), id_col)
+        .withColumnRenamed("_new_text", text_col)
+    )
+
+
 # --- LSH hot-bucket guard ---------------------------------------------------
 
 

@@ -75,6 +75,7 @@ class CorpusResult:
     n_decontam_dropped: int = 0
     n_semantic_dropped: int = 0
     n_tokens_masked: int = 0
+    n_spans_dropped: int = 0  # duplicated lines/paragraphs removed
     n_mix_selected: int | None = None  # rows surviving the budget mix
     shard_manifest: dict | None = None
 
@@ -129,6 +130,8 @@ def run_corpus(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.92,
     semantic_cells: int = 16,
+    span_dedup_delimiter: str | None = None,
+    span_dedup_min_chars: int = 1,
     mask_spans_ngram: int | None = None,
     mix_budgets: dict[str, int] | None = None,
     mix_domain_col: str = "lang",
@@ -200,6 +203,26 @@ def run_corpus(
         F.sum(F.col("_pass").cast("long")).alias("n_gated"),
     ).first()
     gated = flagged.filter("_pass").drop("_pass")
+
+    # sub-document (line/paragraph) dedup FIRST among the content
+    # stages, CCNet-style: boilerplate spans repeat across pages even
+    # when documents don't, and every later stage (fingerprints,
+    # shingles, token accounting) must see the de-boilerplated text.
+    # Docs whose every span was a later duplicate are dropped here —
+    # they carry zero novel content.
+    n_spans_dropped = 0
+    if span_dedup_delimiter is not None:
+        from geoestate_etl_spark.operators.dedup import dedup_spans
+
+        gated = dedup_spans(
+            gated, text_col, id_col, span_dedup_delimiter, span_dedup_min_chars
+        )
+        n_spans_dropped = int(
+            gated.agg(F.sum("n_spans_dropped")).first()[0] or 0
+        )
+        gated = gated.filter(F.length(F.trim(text_col)) > 0).drop(
+            "n_spans_dropped"
+        )
 
     with_fp = gated.withColumn("_fp", fingerprint_md5(text_col))
     if seen is not None:
@@ -386,6 +409,7 @@ def run_corpus(
         n_decontam_dropped=n_decontam_dropped,
         n_semantic_dropped=n_semantic_dropped,
         n_tokens_masked=n_tokens_masked,
+        n_spans_dropped=n_spans_dropped,
         n_mix_selected=n_mix_selected,
         shard_manifest=shard_manifest,
     )
