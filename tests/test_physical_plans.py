@@ -159,7 +159,9 @@ def test_registry_wide_no_accidental_product_joins(spark):
     # deliberate 1-row-broadcast shapes, each justified:
     #   global_aggs    — scalar count/mean/median facts crossJoined
     #   temporal_join  — the tagged union's probe-timestamp literal row
-    BNLJ_OK = {"global_aggs", "temporal_join"}
+    #   text_metrics   — the char-3-gram LM's (total, vocab) scalar row
+    #                    broadcast into the scoring join (ngram_lm)
+    BNLJ_OK = {"global_aggs", "temporal_join", "text_metrics"}
     bad = []
     for name, spec in SPECS.items():
         plan = (
