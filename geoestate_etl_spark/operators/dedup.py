@@ -20,6 +20,8 @@ Four tiers, all shuffle-disciplined for 100 TB:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -84,12 +86,10 @@ def dedup_spans(
     never an all-pairs comparison. Span identity is md5 of the EXACT
     span text; normalize upstream if byte-variants must dedup together.
     """
-    import re as _re
-
     spans = df.select(
         F.col(id_col).alias("_sid"),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(delimiter), -1)
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(delimiter), -1)
         ).alias("_pos", "_span"),
     ).withColumn(
         "_elig", F.length(F.trim("_span")) >= F.lit(int(min_chars))
@@ -124,6 +124,75 @@ def dedup_spans(
         .join(rebuilt.withColumnRenamed("_sid", id_col), id_col)
         .withColumnRenamed("_new_text", text_col)
     )
+
+
+def dedup_spans_incremental(
+    batch: DataFrame,
+    seen_spans: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_chars: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental :func:`dedup_spans` against a standing history:
+    spans already in ``seen_spans`` (column ``span_fp``) drop from the
+    whole batch; within the batch, first occurrence wins exactly like
+    the corpus-wide operator. Returns ``(rebuilt_batch, new_fps)`` —
+    union ``new_fps`` into the standing table for the next epoch.
+
+    Fold invariance (pinned in ``tests/test_span_dedup.py``): feeding
+    batches through this in id order reproduces ``dedup_spans`` over
+    the concatenated corpus, so per-epoch ingest and a full rerun
+    agree. O(batch) work: the history participates only through one
+    equi-join on the span fingerprint, never a rescan."""
+    spans = batch.select(
+        F.col(id_col).alias("_sid"),
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")), re.escape(delimiter), -1
+            )
+        ).alias("_pos", "_span"),
+    ).withColumn(
+        "_elig", F.length(F.trim("_span")) >= F.lit(int(min_chars))
+    ).withColumn("_key", F.md5("_span"))
+    if seen_spans is not None:
+        hist = seen_spans.select(F.col("span_fp").alias("_key")).distinct()
+        spans = spans.join(
+            hist.withColumn("_in_hist", F.lit(True)), "_key", "left"
+        ).withColumn("_in_hist", F.coalesce("_in_hist", F.lit(False)))
+    else:
+        spans = spans.withColumn("_in_hist", F.lit(False))
+    winners = (
+        spans.filter(F.col("_elig") & ~F.col("_in_hist"))
+        .groupBy("_key")
+        .agg(F.min(F.struct("_sid", "_pos")).alias("_win"))
+    )
+    joined = spans.join(winners, "_key", "left").withColumn(
+        "_keep",
+        ~F.col("_elig")
+        | (~F.col("_in_hist") & (F.struct("_sid", "_pos") == F.col("_win"))),
+    )
+    rebuilt = joined.groupBy("_sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_pos", "_span"))
+                    )
+                ),
+                lambda x: x["_span"],
+            ),
+            delimiter,
+        ).alias("_new_text"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_spans_dropped"),
+    )
+    out = (
+        batch.drop(text_col)
+        .join(rebuilt.withColumnRenamed("_sid", id_col), id_col)
+        .withColumnRenamed("_new_text", text_col)
+    )
+    new_fps = winners.select(F.col("_key").alias("span_fp"))
+    return out, new_fps
 
 
 # --- LSH hot-bucket guard ---------------------------------------------------

@@ -256,3 +256,48 @@ def test_scoring_plan_is_broadcast_no_python(spark):
     plan = score_quality(docs, model)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+# --- hypothesis property tier ------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_TOK = st.sampled_from(
+    ["the", "a", "join", "scan", "fast", "slow", "XYZZY", "Zz9", "!", "7",
+     "TABLE", "The"]
+)
+_TXT = st.lists(_TOK, min_size=0, max_size=25).map("  ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_TXT, min_size=1, max_size=6))
+def test_margin_micro_matches_python_reference(spark, texts):
+    """Random casings/spacings/unknown tokens: the Column margin ==
+    the stdlib recomputation (normalize → regex tokens → int sum)."""
+    import re
+
+    from geoestate_etl_spark.functions.quality_weights import (
+        INTERCEPT_MICRO,
+        TOKEN_WEIGHTS_MICRO,
+    )
+    from geoestate_etl_spark.functions.text import TOKEN_PATTERN
+    from geoestate_etl_spark.operators.quality_model import token_margin_micro
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.m
+        for r in df.select(
+            "doc_id",
+            token_margin_micro(
+                TOKEN_WEIGHTS_MICRO, INTERCEPT_MICRO, "text"
+            ).alias("m"),
+        ).collect()
+    }
+    for i, t in rows:
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        toks = re.findall(TOKEN_PATTERN, norm)
+        want = INTERCEPT_MICRO + sum(
+            TOKEN_WEIGHTS_MICRO.get(x, 0) for x in toks
+        )
+        assert got[i] == want, (i, t)

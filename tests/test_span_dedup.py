@@ -167,3 +167,73 @@ FROM kept GROUP BY doc_id
 
     ok, msg = compare_spark_duckdb(out, duck, sql)
     assert ok, msg
+
+
+# --- hypothesis property tier ------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_SPAN = st.sampled_from(
+    ["shared boiler", "alpha", "beta beta", "", " ", "x", "unique tail"]
+)
+_TEXT = st.lists(_SPAN, min_size=0, max_size=6).map("\n".join)
+
+
+def _py_dedup_spans(rows, delim="\n", min_chars=1):
+    """Pure-Python reference: global first-occurrence (min id, pos)
+    wins; short/blank spans always kept."""
+    seen = set()
+    out = {}
+    for i, t in sorted(rows, key=lambda x: x[0]):
+        kept, dropped = [], 0
+        for s in (t or "").split(delim):
+            if len(s.strip()) >= min_chars:
+                if s in seen:
+                    dropped += 1
+                    continue
+                seen.add(s)
+            kept.append(s)
+        out[i] = (delim.join(kept), dropped)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=8))
+def test_span_dedup_matches_python_reference(spark, texts):
+    rows = list(enumerate(texts))
+    got = {
+        r.doc_id: (r.text, r.n_spans_dropped)
+        for r in dedup_spans(_df(spark, rows)).collect()
+    }
+    assert got == _py_dedup_spans(rows)
+
+
+def test_incremental_fold_invariance(spark):
+    """Per-epoch span dedup against a standing seen-spans table folds
+    to EXACTLY the corpus-wide operator: batches in id order, history
+    unioned between epochs, concatenated output == full rerun."""
+    from geoestate_etl_spark.operators.dedup import dedup_spans_incremental
+
+    rows = [
+        (1, "boiler\nalpha\nboiler"),
+        (2, "beta\nboiler"),
+        (3, "alpha\ngamma"),
+        (4, "gamma\nboiler\ndelta"),
+        (5, ""),
+        (6, "delta\nepsilon\n\nbeta"),
+    ]
+    full = {
+        r.doc_id: (r.text, r.n_spans_dropped)
+        for r in dedup_spans(_df(spark, rows)).collect()
+    }
+
+    got = {}
+    seen = None
+    for batch_rows in (rows[:2], rows[2:4], rows[4:]):
+        out, new_fps = dedup_spans_incremental(_df(spark, batch_rows), seen)
+        for r in out.collect():
+            got[r.doc_id] = (r.text, r.n_spans_dropped)
+        seen = new_fps if seen is None else seen.unionByName(new_fps)
+        # standing table stays queryable frame-to-frame (no persist
+        # needed for the test; production materializes per epoch)
+    assert got == full
