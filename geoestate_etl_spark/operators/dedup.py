@@ -70,9 +70,9 @@ def dedup_spans(
 
     - spans are ``text`` split on the literal ``delimiter`` ('\\n' =
       line dedup, '\\n\\n' = paragraph dedup);
-    - only spans with ``len(trim(span)) >= min_chars`` participate —
-      blank/short spans are STRUCTURE and are always kept, so blank
-      lines are never collapsed across documents;
+    - only spans whose whitespace-stripped length is ``>= min_chars``
+      participate — blank/short spans are STRUCTURE and are always
+      kept, so blank lines are never collapsed across documents;
     - first occurrence = minimum ``(id, position)`` — deterministic
       keeper, identical on every rerun and partitioning;
     - docs whose every span is a later duplicate come back with empty
@@ -86,44 +86,11 @@ def dedup_spans(
     never an all-pairs comparison. Span identity is md5 of the EXACT
     span text; normalize upstream if byte-variants must dedup together.
     """
-    spans = df.select(
-        F.col(id_col).alias("_sid"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(delimiter), -1)
-        ).alias("_pos", "_span"),
-    ).withColumn(
-        "_elig", F.length(F.trim("_span")) >= F.lit(int(min_chars))
-    ).withColumn(
-        "_key", F.md5("_span")
+    # exactly the incremental operator with an empty history
+    out, _ = dedup_spans_incremental(
+        df, None, text_col, id_col, delimiter, min_chars
     )
-    winners = (
-        spans.filter("_elig")
-        .groupBy("_key")
-        .agg(F.min(F.struct("_sid", "_pos")).alias("_win"))
-    )
-    joined = spans.join(winners, "_key", "left").withColumn(
-        "_keep",
-        ~F.col("_elig") | (F.struct("_sid", "_pos") == F.col("_win")),
-    )
-    rebuilt = joined.groupBy("_sid").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("_keep"), F.struct("_pos", "_span"))
-                    )
-                ),
-                lambda x: x["_span"],
-            ),
-            delimiter,
-        ).alias("_new_text"),
-        F.sum((~F.col("_keep")).cast("long")).alias("n_spans_dropped"),
-    )
-    return (
-        df.drop(text_col)
-        .join(rebuilt.withColumnRenamed("_sid", id_col), id_col)
-        .withColumnRenamed("_new_text", text_col)
-    )
+    return out
 
 
 def dedup_spans_incremental(
@@ -153,7 +120,12 @@ def dedup_spans_incremental(
             )
         ).alias("_pos", "_span"),
     ).withColumn(
-        "_elig", F.length(F.trim("_span")) >= F.lit(int(min_chars))
+        # whitespace-stripped length: F.trim strips ONLY spaces, which
+        # would let a tab/CR-only "blank" line count as dedupable
+        # content — structure detection must cover all whitespace
+        "_elig",
+        F.length(F.regexp_replace("_span", r"^\s+|\s+$", ""))
+        >= F.lit(int(min_chars)),
     ).withColumn("_key", F.md5("_span"))
     if seen_spans is not None:
         hist = seen_spans.select(F.col("span_fp").alias("_key")).distinct()

@@ -78,8 +78,8 @@ class QualityModel:
     token_pattern: str = TOKEN_PATTERN
 
     def save(self, path: str) -> None:
-        """One tiny parquet: weight rows + an idx=-1 intercept row
-        (dims rides in the same row's ``w2`` slot)."""
+        """One tiny parquet: weight rows + an idx=-1 meta row carrying
+        the intercept (``w``), ``dims``, and the token pattern."""
         meta = self.weights.sparkSession.range(1).select(
             F.lit(-1).cast("int").alias("idx"),
             F.lit(float(self.intercept)).alias("w"),

@@ -152,7 +152,9 @@ def run_corpus(
     job the slower-cadence full re-cluster. Maintain the table with
     :meth:`CorpusResult.fingerprints`.
 
-    Four to five actions total: the gate-funnel aggregate, the unseen
+    Four to six actions total: the gate-funnel aggregate, the span-drop
+    count (only when ``span_dedup_delimiter`` is given — the span-dedup
+    output is persisted so the downstream stages reuse it), the unseen
     count (only when ``seen`` is given — otherwise it equals the gate
     count), the two dedup-stage counts, and the final token/chunk
     aggregate (the survivor set is persisted before packing so the
@@ -211,18 +213,25 @@ def run_corpus(
     # Docs whose every span was a later duplicate are dropped here —
     # they carry zero novel content.
     n_spans_dropped = 0
+    despanned = None
     if span_dedup_delimiter is not None:
         from geoestate_etl_spark.operators.dedup import dedup_spans
 
-        gated = dedup_spans(
+        # persisted: the span count below is an eager action, and the
+        # fingerprint/minhash stages re-consume the same rebuilt text —
+        # without the cache the posexplode+rebuild would run twice
+        despanned = dedup_spans(
             gated, text_col, id_col, span_dedup_delimiter, span_dedup_min_chars
-        )
+        ).persist()
         n_spans_dropped = int(
-            gated.agg(F.sum("n_spans_dropped")).first()[0] or 0
+            despanned.agg(F.sum("n_spans_dropped")).first()[0] or 0
         )
-        gated = gated.filter(F.length(F.trim(text_col)) > 0).drop(
-            "n_spans_dropped"
-        )
+        # drop docs with no non-whitespace content left: F.trim strips
+        # ONLY spaces, so a doc rebuilt to pure structure (e.g. "\n")
+        # would otherwise survive and be packed as zero-content tape
+        gated = despanned.filter(
+            F.length(F.regexp_replace(text_col, r"\s", "")) > 0
+        ).drop("n_spans_dropped")
 
     with_fp = gated.withColumn("_fp", fingerprint_md5(text_col))
     if seen is not None:
@@ -359,6 +368,8 @@ def run_corpus(
     # drop-list persists only existed to keep their counts and the
     # survivor anti-joins on one computation each
     exact.unpersist()
+    if despanned is not None:
+        despanned.unpersist()
     if sem_dropped is not None:
         sem_dropped.unpersist()
     if flagged_ids is not None:

@@ -99,6 +99,9 @@ def test_run_corpus_span_stage(spark):
         (1, f"shared cookie banner line is long\n{body} one"),
         (2, f"shared cookie banner line is long\n{body} two"),
         (3, "shared cookie banner line is long"),  # boilerplate-only
+        # boilerplate + blank structure only: rebuilds to "\n\n", which
+        # is whitespace, not content — must drop like doc 3 does
+        (4, "shared cookie banner line is long\n\n\nshared cookie banner line is long"),
     ]
     res = run_corpus(
         _df(spark, rows),
@@ -112,9 +115,10 @@ def test_run_corpus_span_stage(spark):
         assert set(texts) == {1, 2}
         assert texts[1].startswith("shared cookie banner")
         assert "banner" not in texts[2]
-        # doc2 lost the banner line; doc3 lost its only span
-        assert res.n_spans_dropped == 2
-        assert res.n_gated == 3 and res.n_exact_unique == 2
+        # doc2 lost the banner line; doc3 lost its only span; doc4
+        # lost both banner occurrences
+        assert res.n_spans_dropped == 4
+        assert res.n_gated == 4 and res.n_exact_unique == 2
     finally:
         res.unpersist()
 
@@ -141,7 +145,7 @@ def test_duckdb_parity_full_rebuild(spark, duck):
 WITH docs(doc_id, text) AS (VALUES {vals}),
 spans AS (
   SELECT doc_id, i - 1 AS pos, s[i] AS span,
-         length(trim(s[i])) >= 1 AS elig
+         length(regexp_replace(s[i], '^\\s+|\\s+$', '', 'g')) >= 1 AS elig
   FROM (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS s FROM docs),
        UNNEST(range(1, len(s) + 1)) AS r(i)
 ),
@@ -174,7 +178,7 @@ FROM kept GROUP BY doc_id
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 _SPAN = st.sampled_from(
-    ["shared boiler", "alpha", "beta beta", "", " ", "x", "unique tail"]
+    ["shared boiler", "alpha", "beta beta", "", " ", "\t", "x", "unique tail"]
 )
 _TEXT = st.lists(_SPAN, min_size=0, max_size=6).map("\n".join)
 
