@@ -104,3 +104,63 @@ def decontaminate(
         docs, benchmark, text_col, id_col, n
     ).filter(F.col("n_shared") > max_shared)
     return docs.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def semantic_contamination_report(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    scale: int = 4,
+) -> DataFrame:
+    """Embedding-level decontamination: ``(id_col, bench_id, cos_sim)``
+    for every corpus vector within ``threshold`` cosine of SOME
+    benchmark vector — the leakage class n-gram overlap cannot see
+    (paraphrased eval items, translations, light rewrites).
+
+    Same scale shape as the n-gram tier: the benchmark side is small
+    and BROADCASTS (L2-normalized once, so each candidate pair costs
+    one dot product — the SemDeDup norm-hoist discipline); the corpus
+    streams through in ONE pass with no pre-join shuffle, and only
+    pairs at/above threshold reach the per-doc reduction. Keeps the
+    single closest benchmark item per flagged doc (max cos_sim,
+    min bench id on ties) as review evidence. Scores are rounded to
+    ``scale`` dp with -0.0 normalized, so results are deterministic
+    across partitionings.
+
+    Compose with :func:`contamination_report` the way `run_corpus`
+    uses it: flag → anti-join ids out of the survivor set.
+    """
+    from geoestate_etl_spark.functions.vectors import to_double_array
+
+    def _unit(c):
+        x = to_double_array(c)
+        n = F.sqrt(F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v))
+        return F.when(n == 0, x).otherwise(
+            F.transform(x, lambda v: v / n)
+        )
+
+    corpus = corpus_emb.select(F.col(id_col), _unit(vec_col).alias("_u"))
+    bench = bench_emb.select(F.col(bench_id_col), _unit(vec_col).alias("_bu"))
+    dot = F.aggregate(
+        F.zip_with("_u", "_bu", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(
+            id_col,
+            bench_id_col,
+            (F.round(dot, scale) + 0.0).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+    )
+    return pairs.groupBy(id_col).agg(
+        F.max_by(
+            bench_id_col, F.struct(F.col("cos_sim"), -F.col(bench_id_col))
+        ).alias(bench_id_col),
+        F.max("cos_sim").alias("cos_sim"),
+    )

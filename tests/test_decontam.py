@@ -79,3 +79,95 @@ def test_registry_decontaminate_nonempty_at_smoke_scale(spark):
     rows = out.collect()
     assert out.columns == ["doc_id", "n_shared"]
     assert all(r.doc_id % 7 != 0 for r in rows)
+
+
+# --- semantic (embedding-level) decontamination ------------------------------
+
+
+def test_semantic_contamination_flags_paraphrase_scale_invariant(spark):
+    """A benchmark vector parallel to a corpus vector (any magnitude)
+    flags at cos 1.0; orthogonal vectors never flag; the closest bench
+    item is kept as evidence with min-id tie-break."""
+    from geoestate_etl_spark.operators.decontam import (
+        semantic_contamination_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: never flags
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [
+            (10, [2.5, 0.0, 0.0, 0.0]),   # scaled copy of doc 1
+            (11, [-1.0, 0.0, 0.0, 0.0]),  # anti-parallel: cos -1
+            (12, [1.0, 0.0, 0.0, 0.0]),   # tie with 10 at cos 1.0
+        ],
+        "bench_id long, embedding array<double>",
+    )
+    got = {
+        r.doc_id: (r.bench_id, r.cos_sim)
+        for r in semantic_contamination_report(
+            corpus, bench, threshold=0.95
+        ).collect()
+    }
+    assert got == {1: (10, 1.0)}  # min bench id among the cos-1.0 tie
+
+
+def test_semantic_contamination_matches_numpy(spark):
+    """threshold=-1 keeps every pair → per-doc argmax must equal a
+    numpy recomputation on the real embeddings table."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.decontam import (
+        semantic_contamination_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.filter("vec_id < 40").selectExpr(
+        "vec_id AS doc_id", "embedding"
+    )
+    bench = emb.filter("vec_id >= 480").selectExpr(
+        "vec_id AS bench_id", "embedding"
+    )
+    got = {
+        r.doc_id: (r.bench_id, r.cos_sim)
+        for r in semantic_contamination_report(
+            corpus, bench, threshold=-1.0
+        ).collect()
+    }
+    C = {r.doc_id: np.array(r.embedding, dtype=np.float64) for r in corpus.collect()}
+    B = {r.bench_id: np.array(r.embedding, dtype=np.float64) for r in bench.collect()}
+    for d, cv in C.items():
+        sims = {
+            b: round(float(cv @ bv / (np.linalg.norm(cv) * np.linalg.norm(bv))), 4)
+            for b, bv in B.items()
+        }
+        best = max(sims.values())
+        want_b = min(b for b, s in sims.items() if s == best)
+        assert got[d] == (want_b, best + 0.0), d
+
+
+def test_semantic_contamination_plan_shape(spark):
+    """Corpus side streams once through a broadcast nested-loop (the
+    deliberate small-bench replication); no CartesianProduct; the only
+    exchange is the per-doc reduction of the FLAGGED subset."""
+    from geoestate_etl_spark.operators.decontam import (
+        semantic_contamination_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.selectExpr("vec_id AS doc_id", "embedding")
+    bench = emb.limit(5).selectExpr("vec_id AS bench_id", "embedding")
+    plan = (
+        semantic_contamination_report(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
