@@ -28,6 +28,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def epoch_shuffle_col(id_col: str = "doc_id", epoch: int = 0) -> F.Column:
+    """Deterministic epoch-seeded training order: a pure key column —
+    ``xxhash64(id, epoch)`` — to pass as ``write_shards(order_col=)``
+    (materialize it first) or any sort.
+
+    Data loaders need a different document order per epoch, but the
+    order must be REPRODUCIBLE (resume mid-epoch, compare runs, audit
+    which docs a step saw) — ``rand()`` re-rolls per execution and
+    ``shuffle``-at-read doesn't exist. A keyed hash is a pure function
+    of (id, epoch): same epoch → same permutation on every rerun and
+    partitioning, different epoch → a decorrelated one. At 100 TB the
+    sort is the range-partitioned shard rank this module already does;
+    no extra shuffle beyond the one the shard writer pays anyway.
+    Collisions (~n²/2⁶⁴) are broken by the writer's rank tie-order —
+    append ``id_col`` as a tiebreaker where strict uniqueness matters.
+    """
+    return F.xxhash64(F.col(id_col), F.lit(int(epoch)))
+
+
 def assign_shards(
     df: DataFrame, rows_per_shard: int, order_col: str = "doc_id"
 ) -> DataFrame:

@@ -96,3 +96,34 @@ def test_verify_reports_false_for_missing_shard(spark, tmp_path):
         json.dump(m, f)
     res2 = {r.shard: r for r in verify_shards(spark, path).collect()}
     assert res2[3].rows_match is False and res2[3].checksum_match is False
+
+
+def test_epoch_shuffle_reproducible_and_decorrelated(spark, tmp_path):
+    """Epoch-seeded order: same epoch → identical permutation across
+    reruns/partitionings; different epochs → different permutations;
+    composing with write_shards gives a reproducible shard layout."""
+    from geoestate_etl_spark.sources.shards import epoch_shuffle_col, write_shards
+
+    df = spark.range(500).selectExpr("id AS doc_id", "id * 2 AS payload")
+
+    def order(epoch, parts):
+        return [
+            r.doc_id
+            for r in df.repartition(parts)
+            .withColumn("_ord", epoch_shuffle_col("doc_id", epoch))
+            .orderBy("_ord", "doc_id")
+            .collect()
+        ]
+
+    assert order(1, 4) == order(1, 9)          # reproducible
+    assert order(1, 4) != order(2, 4)          # epochs decorrelate
+    assert sorted(order(2, 4)) == list(range(500))  # a permutation
+
+    d1 = str(tmp_path / "e1")
+    d1b = str(tmp_path / "e1b")
+    with_ord = df.withColumn("_ord", epoch_shuffle_col("doc_id", 1))
+    m1 = write_shards(with_ord, d1, rows_per_shard=100, order_col="_ord")
+    m2 = write_shards(with_ord, d1b, rows_per_shard=100, order_col="_ord")
+    assert [s["checksum"] for s in m1["shards"]] == [
+        s["checksum"] for s in m2["shards"]
+    ]
