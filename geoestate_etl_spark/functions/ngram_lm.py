@@ -104,7 +104,7 @@ def ngram_logprob(
 
 def ngram_logprob_micro(
     df: DataFrame,
-    model: DataFrame,
+    model: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
@@ -127,10 +127,22 @@ def ngram_logprob_micro(
     (broadcast when the model is small — AQE decides) + one hash
     aggregation; the model scalars ride in as a broadcast 1-row frame.
     OOV grams fall back to the smoothed floor so scoring a held-out
-    batch is the same plan. NOT persisted here (registry queries must
-    stay cache-leak-free across repeated runs); at scale, materialize
-    the model once and pass the read-back frame.
+    batch is the same plan.
+
+    ``model=None`` (self-scoring, the registry shape) builds the model
+    here with :func:`char_ngram_counts`. Either way the MODEL is what
+    persists — it is bounded by alphabet^n (tiny next to the corpus,
+    so the cache is scale-viable, unlike caching the exploded grams)
+    and both the totals aggregate and the scoring join consume it;
+    unpersisted, its corpus explode+agg lineage would run twice.
+    Persist lifetime is bounded — the cache manager dedups by analyzed
+    plan, so repeated registry runs reuse one entry rather than
+    accumulating (docs/TUNING.md). At scale, materialize the model to
+    parquet once and pass the read-back frame.
     """
+    if model is None:
+        model = char_ngram_counts(df, text_col, n)
+    model = model.persist()
     totals = model.agg(
         F.sum("cnt").alias("_total"), F.count("*").alias("_vocab")
     )

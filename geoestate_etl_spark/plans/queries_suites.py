@@ -420,10 +420,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``functions/quality_weights.py`` — model-based quality scoring as
     EXACT integer arithmetic, the hyperplane-literals technique)."""
     from geoestate_etl_spark.functions import text as TX
-    from geoestate_etl_spark.functions.ngram_lm import (
-        char_ngram_counts,
-        ngram_logprob_micro,
-    )
+    from geoestate_etl_spark.functions.ngram_lm import ngram_logprob_micro
     from geoestate_etl_spark.functions.quality_weights import (
         INTERCEPT_MICRO,
         TOKEN_WEIGHTS_MICRO,
@@ -457,9 +454,8 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_occ").alias(f"dup{n}"),
         )
         out = out.join(rep, "doc_id", "left")
-    lm = ngram_logprob_micro(
-        docs, char_ngram_counts(docs, "text", 3), "doc_id", "text", 3
-    )
+    # model=None: self-scored corpus — ONE shared persisted gram pass
+    lm = ngram_logprob_micro(docs, None, "doc_id", "text", 3)
     out = out.join(lm, "doc_id", "left")
     return out.select(
         *base.columns,
