@@ -641,3 +641,41 @@ def test_quality_model_inline_scoring_1m_docs_map_only(spark):
     assert agg.lo == base  # ids whose digit-tokens are all OOV
     assert agg.hi >= base
     assert elapsed < 120, f"1M inline scoring took {elapsed:.0f}s"
+
+
+def test_span_dedup_500k_docs_planted_boilerplate(spark):
+    """Sub-document dedup at width: 500k docs × 3 lines, one of three
+    boilerplate lines planted in every doc (~500k duplicate
+    occurrences). Winner selection is a hash agg on the span
+    fingerprint — never pairwise — so output volume and wall time stay
+    linear-ish; correctness spot-checked on the funnel totals."""
+    import time
+
+    from geoestate_etl_spark.operators.dedup import dedup_spans
+
+    docs = spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("banner variant "), (F.col("id") % 3).cast("string")),
+            F.concat(F.lit("unique body line number "), F.col("id").cast("string")),
+            F.lit("global footer shared by all documents"),
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    agg = (
+        dedup_spans(docs)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_spans_dropped").alias("dropped"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .collect()[0]
+    )
+    elapsed = time.perf_counter() - t0
+    assert agg.n == 500_000
+    # survivors: 3 banner variants + 1 footer kept once each; every
+    # other of the 4 planted occurrences per doc drops
+    assert agg.dropped == (500_000 - 3) + (500_000 - 1)
+    assert agg.chars > 0
+    assert elapsed < 240, f"span dedup 500k took {elapsed:.0f}s"
