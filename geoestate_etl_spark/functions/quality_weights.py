@@ -1,7 +1,8 @@
 """Frozen token-weight quality model — the literal-constant serving
 artifact that makes model-based quality scoring DRIVER-ORACLED.
 
-Provenance (reproducible offline, not re-run in tests): a logistic
+Provenance (``tools/gen_quality_weights.py`` regenerates and diffs
+against these literals — zero drift at commit time): a logistic
 regression (pyspark.ml, maxIter=100, regParam=1e-4, L2,
 standardization=False) self-distilled from the heuristic gate — labels
 ``quality_score(text) >= 0.5`` — over the sf0.01 ``documents`` table's
