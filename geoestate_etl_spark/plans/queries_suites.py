@@ -475,6 +475,15 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + keyed dedup, plus the r4 ``span`` variant certifying
+    sub-document dedup (:func:`operators.dedup.dedup_spans`) on
+    DRIVER data: the flat documents table has no line structure, so
+    multi-line docs are DERIVED by joining consecutive ids
+    (``text_i \\n text_{i+1}``) — every original text then occurs in
+    two derived docs and the corpus-wide first-occurrence winner, the
+    within-doc positions, and the reassembly are all genuinely
+    exercised. Output per derived doc: md5 of the rebuilt text (k1)
+    and the spans-dropped count (n_copies slot)."""
     from geoestate_etl_spark.operators import dedup as DD
 
     docs = _t(spark, sf_dir, "documents")
@@ -492,7 +501,23 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper_id",
         "n_copies",
     )
-    return exact.unionByName(keyed)
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_t2")
+    )
+    derived = docs.select("doc_id", "text").join(nxt, "doc_id").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.coalesce("text", F.lit("")), F.coalesce("_t2", F.lit(""))
+        ).alias("text"),
+    )
+    span = DD.dedup_spans(derived, "text", "doc_id").select(
+        F.lit("span").alias("kind"),
+        F.md5(F.col("text").cast("binary")).alias("k1"),
+        _NULL_S().alias("k2"),
+        F.col("doc_id").alias("keeper_id"),
+        F.col("n_spans_dropped").alias("n_copies"),
+    )
+    return exact.unionByName(keyed).unionByName(span)
 
 
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1975,12 +2000,40 @@ LEFT JOIN mqs USING (doc_id)
         QuerySpec(
             "dedup_exact_suite",
             q_dedup_exact_suite,
+            # span CTEs: consecutive-id derived docs, literal-'\n' split,
+            # global first-occurrence winner = min (doc, pos) struct,
+            # whitespace-stripped eligibility ('g' flag — DuckDB
+            # replaces first match only by default), ORDER BY pos
+            # string_agg rebuild (NULL-skipping mirrors collect_list)
+            "WITH sdocs AS ("
+            "  SELECT a.doc_id, concat_ws(chr(10), COALESCE(a.text, ''), "
+            "COALESCE(b.text, '')) AS text "
+            "  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1), "
+            "sspans AS ("
+            "  SELECT doc_id, i - 1 AS pos, s[i] AS span, "
+            "length(regexp_replace(s[i], '^\\s+|\\s+$', '', 'g')) >= 1 AS elig "
+            "  FROM (SELECT doc_id, string_split(text, chr(10)) AS s FROM sdocs), "
+            "UNNEST(range(1, len(s) + 1)) AS r(i)), "
+            "swin AS (SELECT span, min(struct_pack(doc_id := doc_id, pos := pos)) "
+            "AS w FROM sspans WHERE elig GROUP BY span), "
+            "skept AS ("
+            "  SELECT sp.doc_id, sp.pos, sp.span, (NOT sp.elig) OR "
+            "(w.w.doc_id = sp.doc_id AND w.w.pos = sp.pos) AS keep "
+            "  FROM sspans sp LEFT JOIN swin w USING (span)), "
+            "sreb AS ("
+            "  SELECT doc_id, COALESCE(string_agg(CASE WHEN keep THEN span END, "
+            "chr(10) ORDER BY pos), '') AS text, "
+            "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped "
+            "  FROM skept GROUP BY doc_id) "
             f"SELECT 'exact' AS kind, md5({_NORM_SQL}) AS k1, "
             "CAST(NULL AS VARCHAR) AS k2, min(doc_id) AS keeper_id, "
             "count(*) AS n_copies FROM documents GROUP BY k1 "
             "UNION ALL SELECT 'keyed', lang, source, min(doc_id), count(*) "
-            "FROM documents GROUP BY lang, source",
-            "ext-dedup-exact+keyed (merged)",
+            "FROM documents GROUP BY lang, source "
+            "UNION ALL SELECT 'span', md5(text), CAST(NULL AS VARCHAR), "
+            "doc_id, dropped FROM sreb",
+            "ext-dedup-exact+keyed+span (merged; span = sub-document dedup "
+            "over consecutive-id derived multi-line docs)",
         ),
         QuerySpec(
             "near_dup_pairs",
