@@ -422,14 +422,44 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by tests. Grams travel as xxhash64; the oracle counts the
     same grams as strings (hash is injective absent 64-bit collisions,
     deterministic either way)."""
-    from geoestate_etl_spark.operators.decontam import contamination_report
+    from geoestate_etl_spark.operators.decontam import (
+        contamination_report,
+        semantic_contamination_report,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 7 == 0)
     train = docs.filter(F.col("doc_id") % 7 != 0)
-    return contamination_report(train, bench, "text", "doc_id", n=8).orderBy(
-        "doc_id"
+    _nl = lambda: F.lit(None).cast("long")  # noqa: E731
+    ng = contamination_report(train, bench, "text", "doc_id", n=8).select(
+        F.lit("ngram").alias("kind"),
+        "doc_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        _nl().alias("bench_id"),
+        _nl().alias("cos_e4"),
     )
+    # r4 `semantic` variant: the same eval-set framing over the
+    # embeddings table — corpus vectors within cosine 0.35 of some
+    # benchmark vector (paraphrase-leakage tier). Scores travel as
+    # scaled BIGINT (cos_e4, the semantic_dedup discipline).
+    emb = _t(spark, sf_dir, "embeddings")
+    bench_e = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    corp_e = emb.filter(F.col("vec_id") % 7 != 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    sem = semantic_contamination_report(
+        corp_e, bench_e, threshold=0.35, id_col="doc_id",
+        bench_id_col="bench_id",
+    ).select(
+        F.lit("semantic").alias("kind"),
+        "doc_id",
+        _nl().alias("n_shared"),
+        F.col("bench_id").cast("long").alias("bench_id"),
+        F.round(F.col("cos_sim") * 10000).cast("long").alias("cos_e4"),
+    )
+    return ng.unionByName(sem)
 
 
 _WC_SQL = (
@@ -567,10 +597,28 @@ SPECS = [
         "FROM words, UNNEST(range(1, len(w) - 6)) AS t(i) "
         "WHERE len(w) >= 8), "
         "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0), "
-        "train AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 7 != 0) "
-        "SELECT t.doc_id, count(*) AS n_shared FROM train t "
-        "JOIN bench b USING (g) GROUP BY t.doc_id ORDER BY t.doc_id",
-        "llm-decontamination ngram-overlap",
+        "train AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 7 != 0), "
+        # semantic variant: float32 widened to DOUBLE before the cosine
+        # (list_cosine_similarity on FLOAT[] would compute in float32),
+        # scores as scaled BIGINT, per-doc argmax with min-bench tie
+        "emb2 AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        "sb AS (SELECT vec_id AS bench_id, v FROM emb2 WHERE vec_id % 7 = 0), "
+        "sc2 AS (SELECT vec_id AS doc_id, v FROM emb2 WHERE vec_id % 7 != 0), "
+        "sp AS (SELECT doc_id, bench_id, "
+        "CAST(round(list_cosine_similarity(c.v, b.v) * 10000) AS BIGINT) "
+        "AS cos_e4 FROM sc2 c, sb b), "
+        "sfl AS (SELECT doc_id, max(cos_e4) AS cos_e4 FROM sp "
+        "WHERE cos_e4 >= 3500 GROUP BY doc_id), "
+        "sev AS (SELECT p.doc_id, min(p.bench_id) AS bench_id, f.cos_e4 "
+        "FROM sp p JOIN sfl f ON p.doc_id = f.doc_id AND p.cos_e4 = f.cos_e4 "
+        "GROUP BY p.doc_id, f.cos_e4) "
+        "SELECT 'ngram' AS kind, t.doc_id, count(*) AS n_shared, "
+        "CAST(NULL AS BIGINT) AS bench_id, CAST(NULL AS BIGINT) AS cos_e4 "
+        "FROM train t JOIN bench b USING (g) GROUP BY t.doc_id "
+        "UNION ALL SELECT 'semantic', doc_id, CAST(NULL AS BIGINT), "
+        "bench_id, cos_e4 FROM sev",
+        "llm-decontamination ngram-overlap + semantic (embedding cosine) variant",
     ),
     QuerySpec(
         "semantic_dedup",

@@ -77,8 +77,12 @@ def test_registry_decontaminate_nonempty_at_smoke_scale(spark):
 
     out = q_decontaminate(spark, "/root/testdata/sf0.001")
     rows = out.collect()
-    assert out.columns == ["doc_id", "n_shared"]
+    assert out.columns == ["kind", "doc_id", "n_shared", "bench_id", "cos_e4"]
+    assert {r.kind for r in rows} == {"ngram", "semantic"}
     assert all(r.doc_id % 7 != 0 for r in rows)
+    for r in rows:
+        if r.kind == "semantic":
+            assert r.bench_id % 7 == 0 and r.cos_e4 >= 3500
 
 
 # --- semantic (embedding-level) decontamination ------------------------------

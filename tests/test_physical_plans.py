@@ -161,7 +161,11 @@ def test_registry_wide_no_accidental_product_joins(spark):
     #   temporal_join  — the tagged union's probe-timestamp literal row
     #   text_metrics   — the char-3-gram LM's (total, vocab) scalar row
     #                    broadcast into the scoring join (ngram_lm)
-    BNLJ_OK = {"global_aggs", "temporal_join", "text_metrics"}
+    #   decontaminate  — the semantic variant's benchmark-embedding
+    #                    broadcast (eval sets are small; the corpus
+    #                    streams through once — brute_force_topk_batch's
+    #                    documented shape)
+    BNLJ_OK = {"global_aggs", "temporal_join", "text_metrics", "decontaminate"}
     bad = []
     for name, spec in SPECS.items():
         plan = (
