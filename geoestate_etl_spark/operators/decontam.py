@@ -142,6 +142,13 @@ def semantic_contamination_report(
             F.transform(x, lambda v: v / n)
         )
 
+    # the per-pair dot is an interpreted HOF over |corpus|×|bench|
+    # rows — spread an under-partitioned (single-file) corpus first,
+    # guarded so well-partitioned production inputs are untouched
+    # (the repetition/multimodal rule, docs/TUNING.md)
+    parallelism = corpus_emb.sparkSession.sparkContext.defaultParallelism
+    if corpus_emb.rdd.getNumPartitions() < parallelism:
+        corpus_emb = corpus_emb.repartition(parallelism)
     corpus = corpus_emb.select(F.col(id_col), _unit(vec_col).alias("_u"))
     bench = bench_emb.select(F.col(bench_id_col), _unit(vec_col).alias("_bu"))
     dot = F.aggregate(
