@@ -79,16 +79,56 @@ def q_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_null_pad(df: DataFrame, used: list[str]) -> DataFrame:
+    """Pad a variant's frame to the suite's normalized schema
+    (kind, k1, k2, v1..v8 — keys string, values long)."""
+    cols = []
+    for c in ["kind", "k1", "k2"] + [f"v{i}" for i in range(1, 9)]:
+        if c in used:
+            cols.append(F.col(c))
+        elif c in ("k1", "k2"):
+            cols.append(F.lit(None).cast(T.StringType()).alias(c))
+        else:
+            cols.append(F.lit(None).cast(T.LongType()).alias(c))
+    return df.select(*cols)
+
+
+def _rev_e4(price: str = "l_extendedprice", disc: str = "l_discount"):
+    """Per-row revenue in exact 1e-4 units (ORACLE_NOTES float rule:
+    round each row at the scale, sum exact BIGINTs)."""
+    return F.round(F.col(price) * (1 - F.col(disc)) * 10_000).cast("long")
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary: the canonical wide-agg OLAP
-    pattern (2 keys, 8 aggregates, one shuffle)."""
+    """TPC-H suite (entry name kept for driver-history continuity;
+    absorbed q3/q5/q6/q10 variants in r4 — tagged union normalized to
+    (kind, k1, k2, v1..v8)).
+
+    - ``q1``  wide agg: 2 keys, 8 aggregates, one shuffle.
+    - ``q3``  shipping-priority: customer⋈orders⋈lineitem, top-10
+      unshipped orders by revenue (two shuffle joins + TopK).
+    - ``q5``  local-supplier volume: 6-way join with the
+      c_nationkey = s_nationkey co-location constraint; region and
+      nation dims explicitly broadcast (at 100 TB they stay tiny —
+      the only scan-sized shuffles are the fact-side equi-joins).
+    - ``q6``  forecast-revenue: pure scan+filter+scalar agg — the
+      predicate-pushdown showcase (integer-scaled discount band
+      avoids double-literal comparison ambiguity cross-engine).
+    - ``q10`` returned-item reporting: quarter of orders, R-flag
+      lineitems, top-20 customers by lost revenue.
+
+    Money travels as scaled BIGINTs (cents / 1e-4 / 1e-6 per-row
+    rounds, exact integer sums); averages derive from the exact sums
+    (double(S)/double(n) matches across engines, raw double-sum means
+    do not). Reference parity: the reference has no joins at all —
+    this suite is engine-declared surface (SURVEY §2 'beyond')."""
     li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    # money columns travel as scaled BIGINTs (cents / 1e-4 / 1e-6
-    # units — each per-row value is an exact decimal rational at that
-    # scale), averages as round-to-integer of the scaled mean: both
-    # formulations are cross-engine hash-stable, unlike round(agg, k)
+
+    # --- q1: pricing summary -------------------------------------
     agged = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -103,22 +143,161 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
-    # averages derive from the EXACT integer sums (double(S)/double(n)
-    # is the same computation on both engines; a raw double-sum mean
-    # can differ in ulps at the .5 rounding boundary)
     n = F.col("count_order")
-    return agged.select(
-        "l_returnflag",
-        "l_linestatus",
-        "sum_qty",
-        "sum_base_cents",
-        "sum_disc_e4",
-        "sum_charge_e6",
-        F.round(F.col("sum_qty") * 10_000 / n).cast("long").alias("avg_qty_e4"),
-        F.round(F.col("sum_base_cents") / n).cast("long").alias("avg_price_cents"),
-        F.round(F.col("_disc_e4") / n).cast("long").alias("avg_disc_e4"),
-        "count_order",
-    ).orderBy("l_returnflag", "l_linestatus")
+    q1 = _tpch_null_pad(
+        agged.select(
+            F.lit("q1").alias("kind"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            F.round(F.col("sum_qty")).cast("long").alias("v1"),
+            F.col("sum_base_cents").alias("v2"),
+            F.col("sum_disc_e4").alias("v3"),
+            F.col("sum_charge_e6").alias("v4"),
+            F.round(F.col("sum_qty") * 10_000 / n).cast("long").alias("v5"),
+            F.round(F.col("sum_base_cents") / n).cast("long").alias("v6"),
+            F.round(F.col("_disc_e4") / n).cast("long").alias("v7"),
+            F.col("count_order").alias("v8"),
+        ),
+        ["kind", "k1", "k2", "v1", "v2", "v3", "v4", "v5", "v6", "v7", "v8"],
+    )
+
+    # --- q3: unshipped orders, top-10 by revenue ------------------
+    cutoff = F.lit("1998-03-15")
+    q3_base = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff).select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_shipdate") > cutoff).select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_rev_e4()).alias("rev_e4"))
+        .orderBy(F.desc("rev_e4"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+    odate_int = (
+        F.year("o_orderdate") * 10_000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    ).cast("long")
+    q3 = _tpch_null_pad(
+        q3_base.select(
+            F.lit("q3").alias("kind"),
+            F.col("o_orderkey").cast("string").alias("k1"),
+            F.col("rev_e4").alias("v1"),
+            odate_int.alias("v2"),
+        ),
+        ["kind", "k1", "v1", "v2"],
+    )
+
+    # --- q5: local supplier volume (ASIA, 1996) -------------------
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    sup = _t(spark, sf_dir, "supplier")
+    asia_nat = F.broadcast(
+        nat.join(
+            F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    q5_base = (
+        cust.select("c_custkey", "c_nationkey")
+        .join(asia_nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            sup.select("s_suppkey", "s_nationkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_rev_e4()).alias("rev_e4"))
+    )
+    q5 = _tpch_null_pad(
+        q5_base.select(
+            F.lit("q5").alias("kind"),
+            F.col("n_name").alias("k1"),
+            F.col("rev_e4").alias("v1"),
+        ),
+        ["kind", "k1", "v1"],
+    )
+
+    # --- q6: forecast revenue (scan + scalar agg) -----------------
+    disc_pct = F.round(F.col("l_discount") * 100).cast("int")
+    q6_base = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & disc_pct.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 10_000).cast(
+                    "long"
+                )
+            ).alias("rev_e4"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    q6 = _tpch_null_pad(
+        q6_base.select(
+            F.lit("q6").alias("kind"),
+            F.col("rev_e4").alias("v1"),
+            F.col("n_rows").alias("v2"),
+        ),
+        ["kind", "v1", "v2"],
+    )
+
+    # --- q10: returned items, top-20 customers by lost revenue ----
+    q10_base = (
+        cust.select("c_custkey", "c_name")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-07-01"))
+                & (F.col("o_orderdate") < F.lit("1997-10-01"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(_rev_e4()).alias("rev_e4"))
+        .orderBy(F.desc("rev_e4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+    q10 = _tpch_null_pad(
+        q10_base.select(
+            F.lit("q10").alias("kind"),
+            F.col("c_name").alias("k1"),
+            F.col("rev_e4").alias("v1"),
+            F.col("c_custkey").alias("v2"),
+        ),
+        ["kind", "k1", "v1", "v2"],
+    )
+
+    return q1.unionByName(q3).unionByName(q5).unionByName(q6).unionByName(q10)
 
 
 def q_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,15 +413,75 @@ SPECS = [
         "sum(CAST(round(l_discount * 10000) AS BIGINT)) AS disc_e4, "
         "count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
-        "GROUP BY l_returnflag, l_linestatus) "
-        "SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents, "
-        "sum_disc_e4, sum_charge_e6, "
-        "CAST(round(sum_qty * 10000 / count_order) AS BIGINT) AS avg_qty_e4, "
-        "CAST(round(sum_base_cents / count_order) AS BIGINT) AS avg_price_cents, "
-        "CAST(round(disc_e4 / count_order) AS BIGINT) AS avg_disc_e4, "
-        "count_order FROM a "
-        "ORDER BY l_returnflag, l_linestatus",
-        "tpch-q1-wide-agg",
+        "GROUP BY l_returnflag, l_linestatus), "
+        "q1 AS (SELECT 'q1' AS kind, l_returnflag AS k1, l_linestatus AS k2, "
+        "CAST(round(sum_qty) AS BIGINT) AS v1, sum_base_cents AS v2, "
+        "sum_disc_e4 AS v3, sum_charge_e6 AS v4, "
+        "CAST(round(sum_qty * 10000 / count_order) AS BIGINT) AS v5, "
+        "CAST(round(sum_base_cents / count_order) AS BIGINT) AS v6, "
+        "CAST(round(disc_e4 / count_order) AS BIGINT) AS v7, "
+        "count_order AS v8 FROM a), "
+        "q3 AS (SELECT 'q3' AS kind, CAST(o_orderkey AS VARCHAR) AS k1, "
+        "CAST(NULL AS VARCHAR) AS k2, rev_e4 AS v1, odate_int AS v2, "
+        "CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4, "
+        "CAST(NULL AS BIGINT) AS v5, CAST(NULL AS BIGINT) AS v6, "
+        "CAST(NULL AS BIGINT) AS v7, CAST(NULL AS BIGINT) AS v8 FROM ("
+        "SELECT o_orderkey, "
+        "CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 "
+        "+ day(o_orderdate) AS BIGINT) AS odate_int, "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev_e4 "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-03-15' "
+        "AND l_shipdate > TIMESTAMP '1998-03-15' "
+        "GROUP BY o_orderkey, o_orderdate "
+        "ORDER BY rev_e4 DESC, o_orderkey ASC LIMIT 10)), "
+        "q5 AS (SELECT 'q5' AS kind, n_name AS k1, CAST(NULL AS VARCHAR) AS k2, "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS v1, "
+        "CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3, "
+        "CAST(NULL AS BIGINT) AS v4, CAST(NULL AS BIGINT) AS v5, "
+        "CAST(NULL AS BIGINT) AS v6, CAST(NULL AS BIGINT) AS v7, "
+        "CAST(NULL AS BIGINT) AS v8 "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "WHERE r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name), "
+        "q6 AS (SELECT 'q6' AS kind, CAST(NULL AS VARCHAR) AS k1, "
+        "CAST(NULL AS VARCHAR) AS k2, "
+        "CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS v1, "
+        "count(*) AS v2, "
+        "CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4, "
+        "CAST(NULL AS BIGINT) AS v5, CAST(NULL AS BIGINT) AS v6, "
+        "CAST(NULL AS BIGINT) AS v7, CAST(NULL AS BIGINT) AS v8 "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND CAST(round(l_discount * 100) AS INT) BETWEEN 5 AND 7 "
+        "AND l_quantity < 24), "
+        "q10 AS (SELECT 'q10' AS kind, c_name AS k1, CAST(NULL AS VARCHAR) AS k2, "
+        "rev_e4 AS v1, c_custkey AS v2, "
+        "CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4, "
+        "CAST(NULL AS BIGINT) AS v5, CAST(NULL AS BIGINT) AS v6, "
+        "CAST(NULL AS BIGINT) AS v7, CAST(NULL AS BIGINT) AS v8 FROM ("
+        "SELECT c_custkey, c_name, "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev_e4 "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderdate >= TIMESTAMP '1997-07-01' "
+        "AND o_orderdate < TIMESTAMP '1997-10-01' "
+        "AND l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name "
+        "ORDER BY rev_e4 DESC, c_custkey ASC LIMIT 20)) "
+        "SELECT * FROM q1 UNION ALL SELECT * FROM q3 "
+        "UNION ALL SELECT * FROM q5 UNION ALL SELECT * FROM q6 "
+        "UNION ALL SELECT * FROM q10",
+        "tpch-suite (q1 wide-agg + q3/q5/q6/q10 join variants, r4)",
     ),
     QuerySpec(
         "upsert_customers",

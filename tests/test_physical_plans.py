@@ -95,7 +95,15 @@ def test_decontaminate_corpus_side_no_shuffle(spark):
     dedup, the matched-hits groupBy, and the final order."""
     plan = plan_of(spark, "decontaminate")
     assert "BroadcastHashJoin" in plan
-    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    # the guarded single-file spread on the semantic corpus side is a
+    # deliberate round-robin exchange (operators/decontam.py, r4) —
+    # it redistributes rows without a key and cannot be the global
+    # distinct this audit exists to forbid; hash shuffles stay capped
+    shuffles = (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.lower().count("roundrobinpartitioning")
+    )
     assert shuffles <= 3
     assert "CartesianProduct" not in plan
 
