@@ -47,9 +47,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "train_codebooks_np",
+    "encode_np",
     "pq_train",
     "pq_encode",
     "pq_adc_topk",
+    "pq_adc_scores",
+    "adc_lut_e6",
     "pq_recall_table",
     "pq_bytes_per_vector",
 ]
@@ -87,6 +91,42 @@ def _kmeans_1d(sub: np.ndarray, k: int, seed: int, iters: int = 12) -> np.ndarra
     return c
 
 
+def train_codebooks_np(
+    x: np.ndarray, m: int, k: int, seed: int
+) -> list[list[list[float]]]:
+    """numpy core of :func:`pq_train` — shared verbatim by the Spark
+    wrapper and the committed-artifact generator/oracle builder, so
+    cross-surface parity holds by construction (the ``gen_houses_raw``
+    single-source rule)."""
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    books = []
+    for j in range(m):
+        sub = x[:, j * ds : (j + 1) * ds]
+        c = _kmeans_1d(sub, k, seed=seed + j)
+        books.append([[float(v) for v in row] for row in c])
+    return books
+
+
+def encode_np(x: np.ndarray, codebooks: list[list[list[float]]]) -> np.ndarray:
+    """numpy core of :func:`pq_encode`: (n × d) float64 → (n × m)
+    int64 centroid ids. Argmin over ``||c||² − 2·s·c`` (the ``||s||²``
+    term is constant per row); ties break to the lowest centroid id
+    (numpy's documented argmin rule)."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    codes = np.empty((x.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        book = np.asarray(codebooks[j], dtype=np.float64)
+        sub = x[:, j * ds : (j + 1) * ds]
+        dots = sub @ book.T
+        cn = (book**2).sum(axis=1)
+        codes[:, j] = (cn[None, :] - 2.0 * dots).argmin(axis=1)
+    return codes
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -110,16 +150,7 @@ def pq_train(
         .collect()
     )
     x = np.asarray([r[1] for r in rows], dtype=np.float64)
-    d = x.shape[1]
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    ds = d // m
-    books = []
-    for j in range(m):
-        sub = x[:, j * ds : (j + 1) * ds]
-        c = _kmeans_1d(sub, k, seed=seed + j)
-        books.append([[float(v) for v in row] for row in c])
-    return books
+    return train_codebooks_np(x, m, k, seed)
 
 
 def pq_encode(
@@ -133,41 +164,63 @@ def pq_encode(
     numpy argmin per subspace against the broadcast codebooks; codes
     come back as ``array<int>`` (0-based). Spread an under-partitioned
     single-file source before calling in hot paths (docs/TUNING.md)."""
-    m = len(codebooks)
-    ds = len(codebooks[0][0])
-    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
-
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _enc(s: pd.Series) -> pd.Series:
         if len(s) == 0:
             return pd.Series([], dtype=object)
         x = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
-        codes = np.empty((x.shape[0], m), dtype=np.int64)
-        for j in range(m):
-            sub = x[:, j * ds : (j + 1) * ds]
-            # ||s - c||^2 = ||s||^2 - 2 s·c + ||c||^2; argmin drops ||s||^2
-            dots = sub @ books[j].T
-            cn = (books[j] ** 2).sum(axis=1)
-            codes[:, j] = (cn[None, :] - 2.0 * dots).argmin(axis=1)
+        codes = encode_np(x, codebooks)
         return pd.Series([[int(c) for c in row] for row in codes])
 
     return df.withColumn(out_col, _enc(F.col(vec_col)))
 
 
-def _lut_literal(codebooks: list[list[list[float]]], probe: list[float]) -> Column:
-    """Driver-side ADC lookup table: lut[j][c] = probe_j · codebook[j][c]
-    (inner-product metric — cosine when corpus and probe are unit-norm),
-    rounded to 1e-6 partials so the m-term sum is an exact decimal
-    rational on every engine/partitioning (ORACLE_NOTES discipline)."""
+def adc_lut_e6(
+    codebooks: list[list[list[float]]], probe: list[float]
+) -> list[list[int]]:
+    """ADC lookup table in integer micro-units:
+    ``lut[j][c] = round(probe_j · codebook[j][c] · 1e6)`` — the
+    inner-product partial per (subspace, centroid), an exact BIGINT.
+    Integer partials make the m-term score sum exactly reproducible on
+    any engine/partitioning (ORACLE_NOTES: micro-units over
+    round-the-float-sum), which is what lets the ADC path be
+    hash-oracled."""
     m = len(codebooks)
     ds = len(codebooks[0][0])
     p = np.asarray(probe, dtype=np.float64)
     lut = []
     for j in range(m):
         pj = p[j * ds : (j + 1) * ds]
-        row = [round(float(np.dot(pj, c)), 6) for c in codebooks[j]]
-        lut.append(F.array(*[F.lit(v) for v in row]))
-    return F.array(*lut)
+        lut.append([int(round(float(np.dot(pj, c)) * 1e6)) for c in codebooks[j]])
+    return lut
+
+
+def _score_e6(codebooks, probe, code_col: str) -> Column:
+    lut_ints = adc_lut_e6(codebooks, probe)
+    lut = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut_ints]
+    )
+    terms = [
+        F.element_at(F.element_at(lut, j + 1), F.element_at(F.col(code_col), j + 1) + 1)
+        for j in range(len(lut_ints))
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def pq_adc_scores(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Every row's ADC score (no cutoff) — the certify surface:
+    ``(id, pq_score_e6)`` with the score an exact integer sum of m
+    micro-unit partials. Map-only, pure codegen Columns."""
+    return codes_df.select(
+        F.col(id_col),
+        _score_e6(codebooks, probe, code_col).cast("long").alias("pq_score_e6"),
+    )
 
 
 def pq_adc_topk(
@@ -180,23 +233,13 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes — pure Columns.
 
-    Score = Σ_j lut[j][code_j]: m ``element_at`` picks and a sum, all
-    inside whole-stage codegen; ``orderBy().limit(k)`` plans as
-    TakeOrderedAndProject (per-partition heaps). Ties break to the
-    lower id, like every top-k in the engine."""
-    m = len(codebooks)
-    lut = _lut_literal(codebooks, probe)
-    terms = [
-        F.element_at(F.element_at(lut, j + 1), F.element_at(F.col(code_col), j + 1) + 1)
-        for j in range(m)
-    ]
-    score = reduce(lambda a, b: a + b, terms)
+    Score = Σ_j lut[j][code_j]: m ``element_at`` picks and an exact
+    integer sum, all inside whole-stage codegen; ``orderBy().limit(k)``
+    plans as TakeOrderedAndProject (per-partition heaps). Ties break
+    to the lower id, like every top-k in the engine."""
     return (
-        codes_df.select(
-            F.col(id_col),
-            (F.round(score, 6) + 0.0).alias("pq_score"),
-        )
-        .orderBy(F.desc("pq_score"), F.asc(id_col))
+        pq_adc_scores(codes_df, codebooks, probe, id_col, code_col)
+        .orderBy(F.desc("pq_score_e6"), F.asc(id_col))
         .limit(k)
     )
 

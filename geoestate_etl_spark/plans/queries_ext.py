@@ -289,6 +289,17 @@ def neardup_sigs_path(sf_dir: str) -> str:
     )
 
 
+#: PQ certify constants — ONE definition feeding the Spark variant,
+#: the committed-codes artifact, and the import-time oracle LUT
+#: (drift between surfaces is impossible by construction)
+PQ_M, PQ_K, PQ_SEED = 8, 16, 7
+
+
+def pq_codes_path(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_repo_root(), "data", "derived", f"pq_codes_{tag}.parquet")
+
+
 def ensure_neardup_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized near-dup signature table
     ``(id, sh shingle-ids, sig minhash, simhash)`` — written ONCE per

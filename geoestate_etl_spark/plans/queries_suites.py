@@ -813,9 +813,25 @@ def q_ann_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
       hamming<=2 neighborhood) with exact cosines. The oracle rebuilds
       the sign-bit buckets from the same deterministic hyperplane
       literals, certifying bucketize + neighborhood enumeration.
+    - ``pq_adc`` (r4): every vector's product-quantization ADC score
+      against the same probe, from LIVE train + encode + pure-Column
+      scoring (``operators/pq.py``). Scores are exact integer sums of
+      micro-unit LUT partials, so the oracle reproduces them bit-for-
+      bit from the committed codes artifact + the LUT inlined at
+      oracle-build time (the hyperplane-literal technique applied to
+      codebooks). A drifted codebook, a wrong argmin, or a broken
+      element_at pick each flips the hash.
     """
+    from geoestate_etl_spark.operators import pq as PQ
     from geoestate_etl_spark.operators import similarity as SIM
-    from geoestate_etl_spark.plans.queries_ext import _probe, ensure_warehouse_index
+    from geoestate_etl_spark.plans.queries_ext import (
+        PQ_K,
+        PQ_M,
+        PQ_SEED,
+        _probe,
+        ensure_warehouse_index,
+        pq_codes_path,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
 
@@ -852,7 +868,27 @@ def q_ann_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return ivf_full.unionByName(lsh_cand)
+    # pq_adc: live train → live Arrow-batched encode → integer-LUT ADC.
+    # The committed codes artifact is only the ORACLE's input (written
+    # once if missing, like the dedup-pair checkpoint); the Spark side
+    # recomputes codes every run, so code drift shows as a red driver
+    # row, not a silently re-certified artifact.
+    embd = emb.select(
+        "vec_id", F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("embedding")
+    )
+    books = PQ.pq_train(embd, m=PQ_M, k=PQ_K, seed=PQ_SEED)
+    cpath = pq_codes_path(sf_dir)
+    if not os.path.exists(cpath):
+        PQ.pq_encode(embd, books).select("vec_id", "pq_code").write.mode(
+            "overwrite"
+        ).parquet(cpath)
+    pq_adc = PQ.pq_adc_scores(PQ.pq_encode(embd, books), books, probe1).select(
+        F.lit("pq_adc").alias("variant"),
+        "vec_id",
+        # exact BIGINT micro-units → the identical double on any engine
+        (F.col("pq_score_e6") / F.lit(1_000_000.0)).alias("cos_sim"),
+    )
+    return ivf_full.unionByName(lsh_cand).unionByName(pq_adc)
 
 
 def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1437,6 +1473,7 @@ def _specs() -> list[QuerySpec]:
         ivf_assign_path,
         neardup_sigs_path,
         oracle_sf_dir,
+        pq_codes_path,
     )
     from geoestate_etl_spark.plans.queries_geo import _HAVERSINE, _coords_cte
 
@@ -1516,6 +1553,50 @@ def _specs() -> list[QuerySpec]:
             return [0, 1, 2, 3]
 
     ivf_cells = ", ".join(str(c) for c in _ann_probe_cells())
+
+    # pq_adc oracle: codebooks + LUT rebuilt at ORACLE-BUILD time with
+    # the SAME numpy core the Spark path uses (operators/pq.py —
+    # single-source parity), then inlined as integer micro-unit list
+    # literals; the per-row score is m 1-based list picks + an exact
+    # BIGINT sum over the committed codes artifact.
+    def _pq_lut_e6() -> list[list[int]]:
+        try:
+            import duckdb as _dd
+            import numpy as _np
+
+            from geoestate_etl_spark.operators.pq import (
+                adc_lut_e6,
+                train_codebooks_np,
+            )
+            from geoestate_etl_spark.plans.queries_ext import (
+                PQ_K,
+                PQ_M,
+                PQ_SEED,
+            )
+
+            con = _dd.connect()
+            rows = con.execute(
+                "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+                f"FROM read_parquet('{os.path.join(oracle_sf, 'embeddings.parquet')}') "
+                "ORDER BY vec_id"
+            ).fetchall()
+            con.close()
+            x = _np.asarray([r[1] for r in rows], dtype=_np.float64)[:16384]
+            books = train_codebooks_np(x, PQ_M, PQ_K, PQ_SEED)
+            probe = next(list(r[1]) for r in rows if r[0] == 1)
+            return adc_lut_e6(books, [float(v) for v in probe])
+        except Exception:
+            # testdata absent at import: placeholder keeps the registry
+            # importable; a driver run would show a red row, never a
+            # silent pass (the _ann_probe_cells contract)
+            return [[0] * 16 for _ in range(8)]
+
+    _pq_lut = _pq_lut_e6()
+    pq_adc_score_sql = " + ".join(
+        f"([{','.join(str(v) for v in row)}])[pq_code[{j + 1}] + 1]"
+        for j, row in enumerate(_pq_lut)
+    )
+    pq_codes_path_sql = os.path.join(pq_codes_path(oracle_sf), "*.parquet")
     similarity_ann_sql = (
         "WITH emb AS (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
@@ -1561,7 +1642,10 @@ def _specs() -> list[QuerySpec]:
         "UNION ALL SELECT 'lsh_cand', b.vec_id, "
         "round(list_cosine_similarity(emb.e, (SELECT e FROM p0)), 4) + 0 "
         "FROM bits b JOIN emb ON emb.vec_id = b.vec_id "
-        "WHERE hamming(b.bucket, (SELECT bucket FROM pb)) <= 2"
+        "WHERE hamming(b.bucket, (SELECT bucket FROM pb)) <= 2 "
+        "UNION ALL SELECT 'pq_adc', vec_id, "
+        f"CAST({pq_adc_score_sql} AS BIGINT) / 1000000.0 "
+        f"FROM read_parquet('{pq_codes_path_sql}')"
     )
 
     # near_dup_pairs oracle: everything downstream of the committed

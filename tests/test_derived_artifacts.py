@@ -195,3 +195,54 @@ def test_committed_ivf_artifact_matches_current_code(spark):
     assert nearest_cells(committed_cents, probe, 4) == nearest_cells(
         fresh_cents, probe, 4
     ), "probe-cell selection drifted between committed and fresh centroids"
+
+
+def test_committed_pq_codes_match_current_code(spark):
+    """Drift gate for the PQ ADC oracle checkpoint (`ann_certify`
+    pq_adc variant): the committed (vec_id, pq_code) table must equal
+    what the current deterministic pq_train + pq_encode produce, and
+    the numpy twin (the oracle LUT builder's path) must agree with the
+    Spark encode row-for-row."""
+    import numpy as np
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from geoestate_etl_spark.operators.pq import encode_np, pq_encode, pq_train
+    from geoestate_etl_spark.plans.queries_ext import (
+        PQ_K,
+        PQ_M,
+        PQ_SEED,
+        pq_codes_path,
+    )
+
+    path = pq_codes_path(SF_ORACLE)
+    if not _os.path.exists(path):
+        pytest.skip("no committed artifact for this sf (first run writes it)")
+    committed = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in spark.read.parquet(path).collect()
+    }
+    emb = (
+        spark.read.parquet(_os.path.join(SF_ORACLE, "embeddings.parquet"))
+        .select(
+            "vec_id",
+            F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("embedding"),
+        )
+    )
+    books = pq_train(emb, m=PQ_M, k=PQ_K, seed=PQ_SEED)
+    fresh = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(emb, books).select("vec_id", "pq_code").collect()
+    }
+    assert committed == fresh, (
+        "committed PQ codes drifted from current pq_train/pq_encode — "
+        f"delete {path}, rerun ann_certify, and commit"
+    )
+    # numpy twin parity (the exact path the oracle LUT builder uses)
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    twin = encode_np(x, books)
+    for r, codes in zip(rows, twin):
+        assert committed[r["vec_id"]] == [int(c) for c in codes]
