@@ -209,7 +209,10 @@ def main() -> None:
         "geo_distance_radius": ("kind", ["grid", "pip", "point", "radius", "topk"]),
         "vocab_suite": ("variant", ["bpe", "encode", "mix", "pack", "vocab"]),
         "status_extrema": ("kind", ["argmax", "argmin", "boolbit", "cond", "top3"]),
-        "tpch_q1": ("kind", ["q1", "q3", "q5", "q6", "q10"]),
+        "tpch_q1": (
+            "kind",
+            ["q1", "q3", "q5", "q6", "q7", "q10", "q13", "q14", "q15", "q17", "q18", "q22"],
+        ),
     }
     from pyspark.sql import functions as _Fv
 

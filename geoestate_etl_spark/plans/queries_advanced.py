@@ -117,6 +117,36 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``q10`` returned-item reporting: quarter of orders, R-flag
       lineitems, top-20 customers by lost revenue.
 
+    r4 late-session additions (adapted where the slimmed testdata
+    schema lacks a TPC-H column — noted per variant):
+
+    - ``q7``  volume shipping between two nations: symmetric
+      disjunctive pair predicate over supp/cust nation, revenue by
+      (supp_nation, cust_nation, ship-year). No l_commitdate in the
+      data, so the year comes from l_shipdate (as in spec).
+    - ``q13`` customer order-count distribution: LEFT join survives
+      into a two-level aggregation (count per customer → histogram
+      of counts). Orders restricted to status 'F' (no o_comment
+      column for the NOT LIKE filter) so zero-order customers exist.
+    - ``q14`` promo revenue ratio: conditional aggregate over a
+      broadcast part join; ratio derived from the two exact integer
+      sums in micro-units.
+    - ``q15`` top supplier: revenue view + scalar max subquery,
+      equality join back (all maxima returned — deterministic
+      without a tiebreak).
+    - ``q17`` small-quantity-order revenue: the correlated per-part
+      average-quantity subquery, expressed as a grouped twin joined
+      back (quantities are integers, so avg = exact-int-sum/count is
+      bit-identical across engines). Brand filter stands in for the
+      missing p_container.
+    - ``q18`` large-volume customers: HAVING-subquery semi join
+      (sum(l_quantity) > 320) back into orders × customer.
+    - ``q22`` dormant rich customers: exact-integer cross-multiplied
+      global-average threshold (cents·n > Σcents — zero FP in the
+      predicate) + anti join on 'F' orders (every customer has SOME
+      order in this data; no c_phone for the prefix filter), grouped
+      by nation.
+
     Money travels as scaled BIGINTs (cents / 1e-4 / 1e-6 per-row
     rounds, exact integer sums); averages derive from the exact sums
     (double(S)/double(n) matches across engines, raw double-sum means
@@ -297,7 +327,210 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["kind", "k1", "v1", "v2"],
     )
 
-    return q1.unionByName(q3).unionByName(q5).unionByName(q6).unionByName(q10)
+    # --- q7: volume shipping between NATION_1 and NATION_2 --------
+    q7_base = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(
+            ((F.col("s_nationkey") == 1) & (F.col("c_nationkey") == 2))
+            | ((F.col("s_nationkey") == 2) & (F.col("c_nationkey") == 1))
+        )
+        .groupBy("s_nationkey", "c_nationkey", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev_e4()).alias("rev_e4"))
+    )
+    q7 = _tpch_null_pad(
+        q7_base.select(
+            F.lit("q7").alias("kind"),
+            F.concat(F.lit("NATION_"), F.col("s_nationkey")).alias("k1"),
+            F.concat(F.lit("NATION_"), F.col("c_nationkey")).alias("k2"),
+            F.col("rev_e4").alias("v1"),
+            F.col("l_year").cast("long").alias("v2"),
+        ),
+        ["kind", "k1", "k2", "v1", "v2"],
+    )
+
+    # --- q13: order-count distribution (LEFT join → histogram) ----
+    q13_counts = (
+        cust.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    q13 = _tpch_null_pad(
+        q13_counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select(
+            F.lit("q13").alias("kind"),
+            F.col("c_count").alias("v1"),
+            F.col("custdist").alias("v2"),
+        ),
+        ["kind", "v1", "v2"],
+    )
+
+    # --- q14: promo revenue share (conditional agg, e6 ratio) -----
+    part = _t(spark, sf_dir, "part")
+    q14_base = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", _rev_e4()).otherwise(F.lit(0))
+            ).alias("promo_e4"),
+            F.sum(_rev_e4()).alias("total_e4"),
+        )
+    )
+    q14 = _tpch_null_pad(
+        q14_base.select(
+            F.lit("q14").alias("kind"),
+            F.col("promo_e4").alias("v1"),
+            F.col("total_e4").alias("v2"),
+            # share in micro-units, derived from the two exact sums
+            F.round(F.col("promo_e4") * 1_000_000.0 / F.col("total_e4"))
+            .cast("long")
+            .alias("v3"),
+        ),
+        ["kind", "v1", "v2", "v3"],
+    )
+
+    # --- q15: top supplier (scalar max subquery over an agg view) -
+    q15_rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_e4()).alias("rev_e4"))
+    )
+    q15_max = q15_rev.agg(F.max("rev_e4").alias("max_rev"))
+    q15 = _tpch_null_pad(
+        q15_rev.join(F.broadcast(q15_max), F.col("rev_e4") == F.col("max_rev"))
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.lit("q15").alias("kind"),
+            F.col("s_name").alias("k1"),
+            F.col("rev_e4").alias("v1"),
+            F.col("s_suppkey").cast("long").alias("v2"),
+        ),
+        ["kind", "k1", "v1", "v2"],
+    )
+
+    # --- q17: small-quantity orders vs per-part average -----------
+    # The correlated avg-quantity subquery as a grouped twin joined
+    # back. Quantities are small integers: the per-part avg is an
+    # exact-integer sum over an exact count, so 0.2·avg compares
+    # bit-identically across engines and partitionings.
+    q17_li = li.join(
+        F.broadcast(
+            part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q17_avg = q17_li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    q17_base = (
+        q17_li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(q17_avg.withColumnRenamed("l_partkey", "ap"), F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    q17 = _tpch_null_pad(
+        q17_base.select(
+            F.lit("q17").alias("kind"),
+            F.col("sum_cents").alias("v1"),
+            F.col("n_rows").alias("v2"),
+        ),
+        ["kind", "v1", "v2"],
+    )
+
+    # --- q18: large-volume customers (HAVING-subquery semi join) --
+    q18_big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 320)
+    )
+    q18 = _tpch_null_pad(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(q18_big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            cust.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.lit("q18").alias("kind"),
+            F.col("c_name").alias("k1"),
+            F.col("o_orderkey").alias("v1"),
+            odate_int.alias("v2"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v3"),
+            F.round(F.col("sum_qty")).cast("long").alias("v4"),
+            F.col("c_custkey").alias("v5"),
+        ),
+        ["kind", "k1", "v1", "v2", "v3", "v4", "v5"],
+    )
+
+    # --- q22: dormant rich customers (anti join + exact-int avg) --
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    q22_thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(cents).alias("sum_cents"),
+            F.count("*").alias("n_pos"),
+        )
+    )
+    q22 = _tpch_null_pad(
+        cust.select("c_custkey", "c_nationkey", cents.alias("bal_cents"))
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(q22_thresh))
+        # cents·n > Σcents — the avg threshold with zero FP involved
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), F.sum("bal_cents").alias("tot_cents"))
+        .select(
+            F.lit("q22").alias("kind"),
+            F.col("c_nationkey").cast("long").alias("v1"),
+            F.col("numcust").alias("v2"),
+            F.col("tot_cents").alias("v3"),
+        ),
+        ["kind", "v1", "v2", "v3"],
+    )
+
+    out = q1
+    for v in (q3, q5, q6, q10, q7, q13, q14, q15, q17, q18, q22):
+        out = out.unionByName(v)
+    return out
 
 
 def q_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,10 +711,99 @@ SPECS = [
         "AND l_returnflag = 'R' "
         "GROUP BY c_custkey, c_name "
         "ORDER BY rev_e4 DESC, c_custkey ASC LIMIT 20)) "
+        ", q7 AS (SELECT 'q7' AS kind, 'NATION_' || s_nationkey AS k1, "
+        "'NATION_' || c_nationkey AS k2, "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS v1, "
+        "CAST(year(l_shipdate) AS BIGINT) AS v2, "
+        "CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4, "
+        "CAST(NULL AS BIGINT) AS v5, CAST(NULL AS BIGINT) AS v6, "
+        "CAST(NULL AS BIGINT) AS v7, CAST(NULL AS BIGINT) AS v8 "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE (s_nationkey = 1 AND c_nationkey = 2) "
+        "OR (s_nationkey = 2 AND c_nationkey = 1) "
+        "GROUP BY s_nationkey, c_nationkey, year(l_shipdate)), "
+        "q13 AS (SELECT 'q13' AS kind, CAST(NULL AS VARCHAR) AS k1, "
+        "CAST(NULL AS VARCHAR) AS k2, c_count AS v1, count(*) AS v2, "
+        "CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4, "
+        "CAST(NULL AS BIGINT) AS v5, CAST(NULL AS BIGINT) AS v6, "
+        "CAST(NULL AS BIGINT) AS v7, CAST(NULL AS BIGINT) AS v8 FROM ("
+        "SELECT c_custkey, count(o_custkey) AS c_count "
+        "FROM customer LEFT JOIN (SELECT o_custkey FROM orders "
+        "WHERE o_orderstatus = 'F') o ON c_custkey = o_custkey "
+        "GROUP BY c_custkey) GROUP BY c_count), "
+        "q14 AS (SELECT 'q14' AS kind, CAST(NULL AS VARCHAR) AS k1, "
+        "CAST(NULL AS VARCHAR) AS k2, promo_e4 AS v1, total_e4 AS v2, "
+        "CAST(round(promo_e4 * 1000000.0 / total_e4) AS BIGINT) AS v3, "
+        "CAST(NULL AS BIGINT) AS v4, "
+        "CAST(NULL AS BIGINT) AS v5, CAST(NULL AS BIGINT) AS v6, "
+        "CAST(NULL AS BIGINT) AS v7, CAST(NULL AS BIGINT) AS v8 FROM ("
+        "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+        "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) "
+        "ELSE 0 END) AS BIGINT) AS promo_e4, "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_e4 "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-02-01')), "
+        "q15r AS (SELECT l_suppkey, "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev_e4 "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey), "
+        "q15 AS (SELECT 'q15' AS kind, s_name AS k1, "
+        "CAST(NULL AS VARCHAR) AS k2, rev_e4 AS v1, "
+        "CAST(s_suppkey AS BIGINT) AS v2, "
+        "CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4, "
+        "CAST(NULL AS BIGINT) AS v5, CAST(NULL AS BIGINT) AS v6, "
+        "CAST(NULL AS BIGINT) AS v7, CAST(NULL AS BIGINT) AS v8 "
+        "FROM q15r JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE rev_e4 = (SELECT max(rev_e4) FROM q15r)), "
+        "q17 AS (SELECT 'q17' AS kind, CAST(NULL AS VARCHAR) AS k1, "
+        "CAST(NULL AS VARCHAR) AS k2, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v1, "
+        "count(*) AS v2, "
+        "CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4, "
+        "CAST(NULL AS BIGINT) AS v5, CAST(NULL AS BIGINT) AS v6, "
+        "CAST(NULL AS BIGINT) AS v7, CAST(NULL AS BIGINT) AS v8 "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand = 'Brand#12' "
+        "AND l_quantity < 0.2 * (SELECT avg(l2.l_quantity) "
+        "FROM lineitem l2 JOIN part p2 ON l2.l_partkey = p2.p_partkey "
+        "WHERE p2.p_brand = 'Brand#12' AND l2.l_partkey = part.p_partkey)), "
+        "q18 AS (SELECT 'q18' AS kind, c_name AS k1, "
+        "CAST(NULL AS VARCHAR) AS k2, o_orderkey AS v1, "
+        "CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 "
+        "+ day(o_orderdate) AS BIGINT) AS v2, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v3, "
+        "CAST(round(sum_qty) AS BIGINT) AS v4, c_custkey AS v5, "
+        "CAST(NULL AS BIGINT) AS v6, "
+        "CAST(NULL AS BIGINT) AS v7, CAST(NULL AS BIGINT) AS v8 "
+        "FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty "
+        "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 320) b "
+        "ON o_orderkey = l_orderkey "
+        "JOIN customer ON o_custkey = c_custkey), "
+        "q22t AS (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents, "
+        "count(*) AS n_pos FROM customer WHERE c_acctbal > 0), "
+        "q22 AS (SELECT 'q22' AS kind, CAST(NULL AS VARCHAR) AS k1, "
+        "CAST(NULL AS VARCHAR) AS k2, CAST(c_nationkey AS BIGINT) AS v1, "
+        "count(*) AS v2, "
+        "CAST(sum(bal_cents) AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4, "
+        "CAST(NULL AS BIGINT) AS v5, CAST(NULL AS BIGINT) AS v6, "
+        "CAST(NULL AS BIGINT) AS v7, CAST(NULL AS BIGINT) AS v8 FROM ("
+        "SELECT c_custkey, c_nationkey, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderstatus = 'F')) c, q22t "
+        "WHERE bal_cents * n_pos > sum_cents "
+        "GROUP BY c_nationkey) "
         "SELECT * FROM q1 UNION ALL SELECT * FROM q3 "
         "UNION ALL SELECT * FROM q5 UNION ALL SELECT * FROM q6 "
-        "UNION ALL SELECT * FROM q10",
-        "tpch-suite (q1 wide-agg + q3/q5/q6/q10 join variants, r4)",
+        "UNION ALL SELECT * FROM q10 UNION ALL SELECT * FROM q7 "
+        "UNION ALL SELECT * FROM q13 UNION ALL SELECT * FROM q14 "
+        "UNION ALL SELECT * FROM q15 UNION ALL SELECT * FROM q17 "
+        "UNION ALL SELECT * FROM q18 UNION ALL SELECT * FROM q22",
+        "tpch-suite (q1 wide-agg + q3/q5/q6/q10 + "
+        "q7/q13/q14/q15/q17/q18/q22 variants, r4)",
     ),
     QuerySpec(
         "upsert_customers",
