@@ -89,6 +89,46 @@ def contamination_report(
     )
 
 
+def contamination_report_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bench_text_col: str | None = None,
+    num_words: int = 1 << 16,
+) -> DataFrame:
+    """:func:`contamination_report` with a split-block Bloom pre-gate
+    (`operators/bloom.py`) between the corpus grams and the exact
+    benchmark join.
+
+    Same answer as the exact path BY CONSTRUCTION (the Bloom filter
+    never drops a true member; its false positives are removed by the
+    exact join that follows) — certified by the `bloom` variant of
+    the `decontaminate` driver query hash-matching the exact
+    variant's oracle. The point is scale headroom: the exact distinct
+    gram set costs 8 bytes an entry to broadcast, the filter ~1 byte,
+    so a benchmark battery too big for the exact broadcast still gets
+    a map-only first pass, and only the FP-rate-bounded survivor
+    stream reaches the exact (now much smaller) join.
+    """
+    from geoestate_etl_spark.operators.bloom import bloom_build, bloom_probe
+
+    bench_grams = (
+        word_ngram_hashes(benchmark, bench_text_col or text_col, id_col, n)
+        .select("gram_hash")
+        .distinct()
+    )
+    bf = bloom_build(bench_grams, "gram_hash", num_words)
+    doc_grams = word_ngram_hashes(docs, text_col, id_col, n)
+    candidates = bloom_probe(doc_grams, "gram_hash", bf, num_words)
+    return (
+        candidates.join(F.broadcast(bench_grams), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

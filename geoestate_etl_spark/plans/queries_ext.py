@@ -435,6 +435,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic either way)."""
     from geoestate_etl_spark.operators.decontam import (
         contamination_report,
+        contamination_report_bloom,
         semantic_contamination_report,
     )
 
@@ -444,6 +445,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _nl = lambda: F.lit(None).cast("long")  # noqa: E731
     ng = contamination_report(train, bench, "text", "doc_id", n=8).select(
         F.lit("ngram").alias("kind"),
+        "doc_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        _nl().alias("bench_id"),
+        _nl().alias("cos_e4"),
+    )
+    # r4 `bloom` variant: the SAME report through the split-block
+    # Bloom pre-gate (operators/bloom.py). Oracled against the exact
+    # variant's SQL — a filter false NEGATIVE (the only way bloom can
+    # be wrong) would drop a shared gram and flip the hash. num_words
+    # is deliberately undersized (4096 words for ~100k bench grams at
+    # sf0.1) so the gate runs at a high load factor and real false
+    # positives flow through the exact join — the regime the
+    # certification must cover.
+    bl = contamination_report_bloom(
+        train, bench, "text", "doc_id", n=8, num_words=1 << 12
+    ).select(
+        F.lit("bloom").alias("kind"),
         "doc_id",
         F.col("n_shared").cast("long").alias("n_shared"),
         _nl().alias("bench_id"),
@@ -470,7 +488,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bench_id").cast("long").alias("bench_id"),
         F.round(F.col("cos_sim") * 10000).cast("long").alias("cos_e4"),
     )
-    return ng.unionByName(sem)
+    return ng.unionByName(bl).unionByName(sem)
 
 
 _WC_SQL = (
@@ -627,9 +645,16 @@ SPECS = [
         "SELECT 'ngram' AS kind, t.doc_id, count(*) AS n_shared, "
         "CAST(NULL AS BIGINT) AS bench_id, CAST(NULL AS BIGINT) AS cos_e4 "
         "FROM train t JOIN bench b USING (g) GROUP BY t.doc_id "
+        # bloom variant: Spark runs the Bloom-gated pipeline; the
+        # oracle is the EXACT computation again (the no-false-negative
+        # contract makes them equal by construction)
+        "UNION ALL SELECT 'bloom' AS kind, t.doc_id, count(*) AS n_shared, "
+        "CAST(NULL AS BIGINT) AS bench_id, CAST(NULL AS BIGINT) AS cos_e4 "
+        "FROM train t JOIN bench b USING (g) GROUP BY t.doc_id "
         "UNION ALL SELECT 'semantic', doc_id, CAST(NULL AS BIGINT), "
         "bench_id, cos_e4 FROM sev",
-        "llm-decontamination ngram-overlap + semantic (embedding cosine) variant",
+        "llm-decontamination ngram-overlap + bloom-gated + semantic "
+        "(embedding cosine) variants",
     ),
     QuerySpec(
         "semantic_dedup",
