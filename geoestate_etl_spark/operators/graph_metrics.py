@@ -85,3 +85,63 @@ def triangle_counts(
         F.explode(F.array("x", "y", "z")).alias("id")
     )
     return nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Maximal subgraph with minimum degree ≥ k — ``(id, core_deg)``
+    for every surviving node, with its degree INSIDE the core.
+
+    Dedup QA reads it next to `triangle_counts`: the 2-core separates
+    nodes embedded in cyclic duplicate structure from tree/chain
+    appendages (a transitive near-dup chain is all 1-core), and
+    higher k isolates the dense hearts of mega-clusters.
+
+    Algorithm: the distributed peel — drop nodes under degree k,
+    recompute, repeat. The fixpoint is the UNIQUE maximal k-core
+    (peeling is confluent), so iteration count never affects the
+    result — what lets the oracle unroll a fixed number of SQL
+    rounds. Scale shape: each round is one degree aggregation + two
+    semi joins on a monotonically SHRINKING edge set, with
+    localCheckpoint truncating lineage per round (the
+    connected_components discipline); rounds ≤ the peel depth, which
+    is small on power-law graphs (most nodes fall in the first
+    rounds).
+    """
+    cur = (
+        edges.select(
+            F.least(left_col, right_col).alias("u"),
+            F.greatest(left_col, right_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("u").alias("id"))
+            .union(cur.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        keep = deg.filter(F.col("cnt") >= k)
+        nxt = (
+            cur.join(keep.select(F.col("id").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("id").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+        n_cur, n_nxt = cur.count(), nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            break
+    return (
+        cur.select(F.col("u").alias("id"))
+        .union(cur.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )

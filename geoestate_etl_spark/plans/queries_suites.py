@@ -627,12 +627,15 @@ def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_components(spark, sf_dir)
     pairs = spark.read.parquet(dedup_pairs_path(sf_dir)).persist()
 
+    from geoestate_etl_spark.operators.graph_metrics import k_core
+
     try:
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=5) as ex:
             f_graph = ex.submit(connected_components, edges)
             f_star = ex.submit(connected_components_star, edges)
             f_clusters = ex.submit(dedup_clusters, pairs)
             f_stard = ex.submit(connected_components_star, pairs)
+            f_kcore = ex.submit(k_core, pairs, 2)
             graph = f_graph.result().select(
                 F.lit("graph").alias("variant"),
                 F.col("id").alias("a"),
@@ -655,6 +658,16 @@ def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("stard").alias("variant"),
                 F.col("id").alias("a"),
                 F.col("component").alias("b"),
+                _NULL_L().alias("c"),
+            )
+            # late-r4: 2-core of the pair graph — nodes in cyclic
+            # duplicate structure with their in-core degree (the peel
+            # fixpoint is unique, so the oracle's fixed 12-round SQL
+            # unroll reaches the same set at any iteration count)
+            kcore = f_kcore.result().select(
+                F.lit("kcore").alias("variant"),
+                F.col("id").alias("a"),
+                F.col("core_deg").alias("b"),
                 _NULL_L().alias("c"),
             )
     finally:
@@ -682,6 +695,7 @@ def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(clusters)
         .unionByName(stard)
         .unionByName(tri)
+        .unionByName(kcore)
     )
 
 
@@ -1463,6 +1477,37 @@ def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- oracle SQL -------------------------------------------------------------
 
+def _kcore_unroll_sql(rounds: int, k: int = 2) -> str:
+    """The k-core peel as ``rounds`` unrolled CTE rounds over the
+    canonical edge CTE ``te`` (defined earlier in the components
+    oracle): degree → keep ≥ k → filter edges, repeated. ``kdf`` ends
+    with the surviving nodes and their in-core degrees. Correct as an
+    oracle for ANY Spark-side iteration count because the peel
+    fixpoint is unique; ``rounds`` only has to be ≥ the peel depth at
+    the tested scale (hash flips if not — see the tri-scale drill)."""
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous one 3× — with DuckDB's default inlining the expansion
+    # is exponential in rounds, and past ~8 rounds the planner fails
+    # with a SPURIOUS "No files found" IOException on the read_parquet
+    # leaf (observed on 1.x). Materializing keeps it linear.
+    parts = [", ke0 AS MATERIALIZED (SELECT u, v FROM te)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", kd{i} AS MATERIALIZED (SELECT id, count(*) AS cnt FROM ("
+            f"SELECT u AS id FROM ke{i-1} UNION ALL SELECT v FROM ke{i-1}"
+            f") GROUP BY id)"
+            f", ke{i} AS MATERIALIZED (SELECT u, v FROM ke{i-1} "
+            f"WHERE u IN (SELECT id FROM kd{i} WHERE cnt >= {k}) "
+            f"AND v IN (SELECT id FROM kd{i} WHERE cnt >= {k}))"
+        )
+    parts.append(
+        f", kdf AS (SELECT id, count(*) AS cnt FROM ("
+        f"SELECT u AS id FROM ke{rounds} UNION ALL SELECT v FROM ke{rounds}"
+        f") GROUP BY id)"
+    )
+    return "".join(parts)
+
+
 def _specs() -> list[QuerySpec]:
     from geoestate_etl_spark.plans.queries_etl import _morton_sql
     from geoestate_etl_spark.plans.queries_ext import (
@@ -2155,17 +2200,25 @@ LEFT JOIN mqs USING (doc_id)
             "JOIN te b ON a.v = b.u JOIN te c ON c.u = a.u AND c.v = b.v), "
             "tn AS (SELECT node, count(*) AS n_tri FROM ("
             "SELECT x AS node FROM tr UNION ALL SELECT y FROM tr "
-            "UNION ALL SELECT z FROM tr) GROUP BY node) "
-            "SELECT 'graph' AS variant, id AS a, component AS b, "
+            "UNION ALL SELECT z FROM tr) GROUP BY node)"
+            # kcore: 12 unrolled peel rounds over the same canonical
+            # edge set te — enough for fixpoint at every tested scale
+            # (the tri-scale sweep proves it: an unconverged unroll
+            # would keep extra nodes and flip the hash)
+            + _kcore_unroll_sql(12)
+            + " SELECT 'graph' AS variant, id AS a, component AS b, "
             "CAST(NULL AS BIGINT) AS c FROM g "
             "UNION ALL SELECT 'star', id, component, CAST(NULL AS BIGINT) FROM g "
             "UNION ALL SELECT 'dedup', component, keeper_id, cluster_size FROM d "
             "UNION ALL SELECT 'stard', id, component, CAST(NULL AS BIGINT) FROM comp "
             "UNION ALL SELECT 'tri', node, CAST(n_tri AS BIGINT), "
-            "CAST(NULL AS BIGINT) FROM tn",
+            "CAST(NULL AS BIGINT) FROM tn "
+            "UNION ALL SELECT 'kcore', id, CAST(cnt AS BIGINT), "
+            "CAST(NULL AS BIGINT) FROM kdf",
             "iterative-components label-prop + star-contraction + dedup-clusters "
-            "+ per-node triangle counts (merged; components vs recursive CTE, "
-            "triangles vs id-ordered SQL join — degree-oriented on the Spark side)",
+            "+ per-node triangle counts + 2-core peel (merged; components vs "
+            "recursive CTE, triangles vs id-ordered SQL join — degree-oriented "
+            "on the Spark side; kcore vs a 12-round unrolled SQL peel)",
         ),
         QuerySpec(
             "pair_similarity",

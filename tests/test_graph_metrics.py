@@ -80,3 +80,35 @@ def test_clique_density_identity(spark):
     got = {r.id: r.n_tri for r in triangle_counts(df).collect()}
     assert all(got[i] == 10 for i in range(k))  # C(5,2)
     assert not any(i >= 100 for i in got)
+
+
+def test_k_core_peels_chains_keeps_cycles(spark):
+    """2-core drops tree/chain appendages and keeps cyclic structure
+    with in-core degrees; a pendant hanging off a triangle goes too."""
+    from geoestate_etl_spark.operators.graph_metrics import k_core
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    pendant = [(3, 99)]
+    got = {
+        r.id: r.core_deg
+        for r in k_core(_edges(spark, tri + chain + pendant), k=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_higher_k_and_fixpoint_uniqueness(spark):
+    """k=3 on K4-plus-appendage isolates exactly the K4; running the
+    peel with different max_iter budgets (past convergence) yields the
+    identical set — the uniqueness the SQL-unroll oracle rides on."""
+    import itertools
+
+    from geoestate_etl_spark.operators.graph_metrics import k_core
+
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    tail = [(4, 5), (5, 6), (6, 4)]  # a 2-core triangle, not a 3-core
+    df = _edges(spark, k4 + tail)
+    core3 = {r.id: r.core_deg for r in k_core(df, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    again = {r.id: r.core_deg for r in k_core(df, k=3, max_iter=7).collect()}
+    assert again == core3
