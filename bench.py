@@ -206,7 +206,7 @@ def main() -> None:
             "kind",
             ["funnel", "resample", "retention", "session", "sliding", "tumbling"],
         ),
-        "geo_distance_radius": ("kind", ["grid", "pip", "point", "radius", "topk"]),
+        "geo_distance_radius": ("kind", ["grid", "nn", "pip", "point", "radius", "topk"]),
         "vocab_suite": ("variant", ["bpe", "encode", "mix", "pack", "vocab"]),
         "status_extrema": ("kind", ["argmax", "argmin", "boolbit", "cond", "top3"]),
         "tpch_q1": (

@@ -45,6 +45,7 @@ from geoestate_etl_spark.functions.geo import grid_cell, haversine_km, neighbor_
 
 __all__ = [
     "radius_join",
+    "nearest_join",
     "point_in_polygon",
     "polygon_cell_count",
     "polygon_cells",
@@ -204,3 +205,94 @@ def spatial_join(
         .drop("_cell")
     )
     return joined, skipped
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    cell_deg: float,
+    left_key: str,
+    right_key: str,
+    left_lat: str = "lat",
+    left_lon: str = "lon",
+    right_lat: str = "rlat",
+    right_lon: str = "rlon",
+    scale: int = 3,
+) -> DataFrame:
+    """EXACT nearest neighbor per left row: ``(left_key, right_key,
+    dist_km)`` with ties broken (rounded distance, then lower right
+    key) — "nearest station per property", the canonical real-estate
+    enrichment the reference's plain lat/lon columns cannot answer.
+
+    Two phases, both exact in composition:
+
+    1. **Grid fast path** — left explodes its 3×3 cell neighborhood,
+       equi-joins right's cells, argmins the candidates. That argmin
+       is PROVABLY the true nearest iff the best candidate lies
+       closer than the neighborhood's guaranteed-coverage radius
+       ``R_safe(lat)``: any uncovered point differs by > ``cell_deg``
+       in latitude (≥ 111.19·cell_deg km) or in longitude (≥ the
+       haversine lower bound at the worst covered latitude). The
+       certificate is evaluated per row, from the UNROUNDED best
+       candidate distance.
+    2. **Exact fallback** — rows with no candidate or an uncertified
+       one re-resolve against the full (broadcast) right side.
+
+    At production POI densities (the workload this models: millions
+    of POIs, nearest almost always inside the home cell) the fast
+    path certifies nearly everything and the fallback is a stray-row
+    cleanup; on sparse synthetic data the split shifts, but the
+    ANSWER never changes — tests pin fast==fallback row-for-row.
+    Scale shape: O(9·|left| + |right|) shuffle for the fast path,
+    |fallback|·|right| broadcast work for the tail; never a full
+    cross join unless the data genuinely defeats the grid.
+    """
+    import math
+
+    if {left_lat, left_lon} & {right_lat, right_lon}:
+        raise ValueError(
+            "left and right lat/lon column names must differ (got "
+            f"left=({left_lat},{left_lon}) right=({right_lat},{right_lon}))"
+        )
+    km_per_deg = 6371.0 * math.pi / 180.0
+    dist_raw = haversine_km(left_lat, left_lon, right_lat, right_lon)
+    pick = F.struct(
+        F.round(dist_raw, scale).alias("d"), F.col(right_key).alias("k")
+    )
+
+    def argmin(cand: DataFrame) -> DataFrame:
+        return cand.groupBy(left_key).agg(
+            F.min(pick).alias("_best"),
+            F.min(dist_raw).alias("_raw"),
+        )
+
+    r_cells = right.withColumn(
+        "_cell", grid_cell(right_lat, right_lon, cell_deg)
+    )
+    l_cells = left.withColumn(
+        "_cell", F.explode(neighbor_cells(left_lat, left_lon, cell_deg))
+    )
+    fast = argmin(l_cells.join(r_cells, "_cell"))
+    # R_safe: min of the lat-direction bound and the lon-direction
+    # haversine bound at the worst covered latitude |lat| + cell_deg
+    cos_m = F.cos(
+        F.radians(F.least(F.abs(F.col(left_lat)) + cell_deg, F.lit(90.0)))
+    )
+    r_lon = (
+        2.0
+        * 6371.0
+        * F.asin(cos_m * math.sin(math.radians(cell_deg) / 2.0))
+    )
+    r_safe = F.least(F.lit(km_per_deg * cell_deg), r_lon)
+    certified = (
+        left.join(fast, left_key)
+        .filter(F.col("_raw") < r_safe)
+        .select(left_key, F.col("_best.k").alias(right_key), F.col("_best.d").alias("dist_km"))
+    )
+    rest = left.join(certified.select(left_key), left_key, "left_anti")
+    fallback = argmin(rest.crossJoin(F.broadcast(right))).select(
+        left_key,
+        F.col("_best.k").alias(right_key),
+        F.col("_best.d").alias("dist_km"),
+    )
+    return certified.unionByName(fallback)

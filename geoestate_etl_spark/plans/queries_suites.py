@@ -1467,11 +1467,36 @@ def q_geo_distance_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_STR().alias("cell"),
         _NULL_L().alias("cnt"),
     )
+    # nn (late-r4): exact nearest supplier per customer via the
+    # two-phase grid-certified nearest_join — the canonical
+    # real-estate enrichment ("nearest station per property"). The
+    # oracle is the brute-force SQL argmin; the grid fast path +
+    # fallback must reproduce it row-for-row.
+    from geoestate_etl_spark.operators.spatial import nearest_join
+    from geoestate_etl_spark.plans.queries_geo import _with_coords as _wc
+
+    nn_c = _wc(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", "clat", "clon")
+    nn_s = _wc(_t(spark, sf_dir, "supplier").select("s_suppkey"), "s_suppkey", "slat", "slon")
+    nn = nearest_join(
+        nn_c, nn_s, 15.0, "c_custkey", "s_suppkey", "clat", "clon", "slat", "slon"
+    ).select(
+        F.lit("nn").alias("kind"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("s_suppkey").alias("id_b"),
+        "dist_km",
+        _NULL_D().alias("lat"),
+        _NULL_D().alias("lon"),
+        _NULL_L().alias("in_box"),
+        _NULL_L().alias("zkey"),
+        _NULL_STR().alias("cell"),
+        _NULL_L().alias("cnt"),
+    )
     return (
         topk.unionByName(radius)
         .unionByName(points)
         .unionByName(grid)
         .unionByName(pip)
+        .unionByName(nn)
     )
 
 
@@ -2428,10 +2453,18 @@ LEFT JOIN mqs USING (doc_id)
             "(SELECT n_nationkey, (n_nationkey % 5)*50.0 AS ax, "
             "floor(n_nationkey / 5)*10.0 AS ay FROM nation) g ON "
             "px > ax+1 AND px < ax+9 AND py > ay+1 AND py < ay+9 "
-            "AND NOT (px > ax+5 AND py > ay+5)",
-            "geo-topk+radius-join+bbox+zorder+grid-density+spatial-join "
-            "(merged r3: geo_distance_topk+geo_radius_join+geo_points; "
-            "r4: geo_grid_count + oracled point-in-polygon)",
+            "AND NOT (px > ax+5 AND py > ay+5) "
+            # nn oracle: brute-force argmin — min over the struct
+            # (rounded dist, supplier key), the engine's tie discipline
+            "UNION ALL SELECT 'nn', c_custkey, b.k, b.d, "
+            "NULL, NULL, NULL, NULL, NULL, NULL FROM "
+            "(SELECT c_custkey, min(struct_pack(d := round(" + hav_pair + ", 3), "
+            "k := s_suppkey)) AS b FROM cc, s GROUP BY c_custkey)",
+            "geo-topk+radius-join+bbox+zorder+grid-density+spatial-join"
+            "+nearest-neighbor (merged r3: geo_distance_topk+"
+            "geo_radius_join+geo_points; r4: geo_grid_count + oracled "
+            "point-in-polygon; late-r4: exact two-phase nn join vs "
+            "brute-force argmin)",
         ),
         QuerySpec(
             "ann_certify",
