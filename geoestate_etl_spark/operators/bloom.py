@@ -107,11 +107,15 @@ def bloom_probe(
     rate). Broadcast equi-join on the word index + mask containment —
     the probed side is never shuffled. ``num_words``/``k`` must match
     the build call."""
-    b = F.broadcast(bloom.withColumnRenamed("word_idx", "_bw"))
+    b = F.broadcast(
+        bloom.select(
+            F.col("word_idx").alias("_bw"), F.col("bits").alias("_bb")
+        )
+    )
     return (
         df.withColumn("_pw", bloom_word(col, num_words))
         .withColumn("_pm", bloom_mask(col, k))
         .join(b, F.col("_pw") == F.col("_bw"))
-        .filter(F.col("bits").bitwiseAND(F.col("_pm")) == F.col("_pm"))
-        .drop("_pw", "_pm", "_bw", "bits")
+        .filter(F.col("_bb").bitwiseAND(F.col("_pm")) == F.col("_pm"))
+        .drop("_pw", "_pm", "_bw", "_bb")
     )

@@ -443,18 +443,23 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back. Quantities are small integers: the per-part avg is an
     # exact-integer sum over an exact count, so 0.2·avg compares
     # bit-identically across engines and partitionings.
+    from pyspark.sql import Window as _W
+
     q17_li = li.join(
         F.broadcast(
             part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
         ),
         F.col("l_partkey") == F.col("p_partkey"),
     )
-    q17_avg = q17_li.groupBy("l_partkey").agg(
-        F.avg("l_quantity").alias("avg_qty")
-    )
+    # correlated avg as a window over the part key: ONE scan + one
+    # shuffle (vs the textbook agg + join-back's two scans). Exact
+    # across engines: quantities are small integers, so the per-part
+    # avg is exact-int-sum / exact count.
     q17_base = (
         q17_li.select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(q17_avg.withColumnRenamed("l_partkey", "ap"), F.col("l_partkey") == F.col("ap"))
+        .withColumn(
+            "avg_qty", F.avg("l_quantity").over(_W.partitionBy("l_partkey"))
+        )
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
