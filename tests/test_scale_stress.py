@@ -679,3 +679,63 @@ def test_span_dedup_500k_docs_planted_boilerplate(spark):
     assert agg.dropped == (500_000 - 3) + (500_000 - 1)
     assert agg.chars > 0
     assert elapsed < 240, f"span dedup 500k took {elapsed:.0f}s"
+
+
+def test_nearest_join_1m_points_10k_pois(spark):
+    """Exact NN join at width: 1M points × 10k POIs. The grid fast
+    path must certify the overwhelming majority (dense 1-degree POI
+    lattice, 5-degree cells → nearest is essentially always in the
+    home cell), the plan must contain no blanket cartesian of the two
+    full sides, and spot-checked rows must be truly nearest."""
+    import math
+    import time
+
+    from geoestate_etl_spark.operators.spatial import nearest_join
+
+    # 10k POIs: ~1-degree lattice over |lat|<=45, |lon|<=50
+    pois = (
+        spark.range(0, 91)
+        .crossJoin(spark.range(0, 101).withColumnRenamed("id", "j"))
+        .select(
+            (F.col("id") * 101 + F.col("j")).alias("rid"),
+            (F.col("id").cast("double") - 45.0).alias("rlat"),
+            (F.col("j").cast("double") - 50.0).alias("rlon"),
+        )
+    )
+    pts = spark.range(1, 1_000_001).select(
+        F.col("id").alias("lid"),
+        (((F.col("id") * 7919) % 880) / 10.0 - 44.0).alias("lat"),
+        (((F.col("id") * 104729) % 980) / 10.0 - 49.0).alias("lon"),
+    )
+    out = nearest_join(pts, pois, 5.0, "lid", "rid", "lat", "lon", "rlat", "rlon")
+    t0 = time.perf_counter()
+    agg = out.agg(
+        F.count("*").alias("n"), F.max("dist_km").alias("worst")
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert agg.n == 1_000_000
+    # lattice spacing 1 degree: nearest is within half a diagonal
+    # (~79 km at the equator, less elsewhere)
+    assert agg.worst < 79.0
+    assert elapsed < 240, f"1M nearest_join took {elapsed:.0f}s"
+    # certified fraction: the fallback leg (anti-join survivors) must
+    # be a sliver on this density — recompute its input cardinality
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only nested-loop allowed is the bounded fallback × POI side
+    assert plan.count("CartesianProduct") == 0
+
+    def hav(a, b, c, d):
+        la1, lo1, la2, lo2 = map(math.radians, (a, b, c, d))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(h))
+
+    sample = out.filter(F.col("lid") % 250_000 == 7).collect()
+    P = [(r["rid"], r["rlat"], r["rlon"]) for r in pois.collect()]
+    for r in sample:
+        la = ((r["lid"] * 7919) % 880) / 10.0 - 44.0
+        lo = ((r["lid"] * 104729) % 980) / 10.0 - 49.0
+        want = min((round(hav(la, lo, pla, plo), 3), pid) for pid, pla, plo in P)
+        assert (r["dist_km"], r["rid"]) == want
