@@ -181,6 +181,44 @@ def sniff_media(b: bytes) -> dict:
                         else None
                     ),
                 )
+        elif len(b) >= 12 and b[4:8] == b"ftyp":
+            # ISO BMFF (MP4/MOV family): walk top-level boxes to moov,
+            # then moov's children — mvhd carries timescale+duration
+            # (mapped onto sample_rate / n_frames: ticks-per-second
+            # and total ticks), tkhd inside trak carries the visual
+            # width×height as 16.16 fixed point in its last 8 bytes
+            def _boxes(lo: int, hi: int):
+                pos = lo
+                while pos + 8 <= hi:
+                    size = struct.unpack(">I", b[pos : pos + 4])[0]
+                    if size < 8 or pos + size > hi:
+                        break
+                    yield b[pos + 4 : pos + 8], pos + 8, pos + size
+                    pos += size
+
+            w = h = ts = dur = None
+            for typ, lo, hi in _boxes(0, len(b)):
+                if typ != b"moov":
+                    continue
+                for t2, lo2, hi2 in _boxes(lo, hi):
+                    if t2 == b"mvhd" and hi2 - lo2 >= 20:
+                        ts, dur = struct.unpack(">II", b[lo2 + 12 : lo2 + 20])
+                    elif t2 == b"trak":
+                        for t3, lo3, hi3 in _boxes(lo2, hi2):
+                            if t3 == b"tkhd" and hi3 - lo3 >= 8:
+                                w16, h16 = struct.unpack(
+                                    ">II", b[hi3 - 8 : hi3]
+                                )
+                                w, h = w16 >> 16, h16 >> 16
+            if ts is not None:
+                out.update(
+                    format="mp4",
+                    width=w,
+                    height=h,
+                    n_channels=1,
+                    sample_rate=ts,
+                    n_frames=dur,
+                )
     except (struct.error, IndexError):
         pass  # truncated header → whatever was parsed so far stands
     return out
@@ -307,15 +345,50 @@ def make_wav(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
     )
 
 
+def make_mp4(width: int, height: int, timescale: int, duration: int) -> bytes:
+    """Minimal VALID ISO BMFF container: ftyp + moov(mvhd + trak(tkhd))
+    with correct box sizes — enough for any box-walking parser to
+    recover (timescale, duration, width, height)."""
+    import struct
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp42")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version+flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, rsvd
+        + b"\x00" * 8  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)  # version + enabled/in-movie flags
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, rsvd
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
 def attach_real_media(df: DataFrame, id_col: str) -> DataFrame:
-    """Synthesize REAL media files (valid PNG/BMP/WAV, cycling by
-    id % 3) with deterministic id-derived parameters — the oracle-able
+    """Synthesize REAL media files (valid PNG/BMP/WAV/MP4, cycling by
+    id % 4) with deterministic id-derived parameters — the oracle-able
     stand-in for reading a binary media column off storage:
 
-    - id % 3 == 0 → PNG,  width = id%64+1,  height = id%48+1
-    - id % 3 == 1 → BMP,  width = id%64+1,  height = id%48+1
-    - id % 3 == 2 → WAV,  rate = 8000 + (id%8)*1000, channels = id%2+1,
+    - id % 4 == 0 → PNG,  width = id%64+1,  height = id%48+1
+    - id % 4 == 1 → BMP,  width = id%64+1,  height = id%48+1
+    - id % 4 == 2 → WAV,  rate = 8000 + (id%8)*1000, channels = id%2+1,
       frames = id%100+1
+    - id % 4 == 3 → MP4,  width = id%128+16, height = id%96+16,
+      timescale = 1000·(id%5+1), duration = id%5000+1 (ticks; decoded
+      into sample_rate / n_frames)
 
     Because every parameter is a pure function of the id, a SQL oracle
     can predict exactly what :func:`decode_media_real` must recover —
@@ -329,14 +402,23 @@ def attach_real_media(df: DataFrame, id_col: str) -> DataFrame:
             payloads = []
             for i in ids:
                 i = int(i)
-                kind = i % 3
+                kind = i % 4
                 if kind == 0:
                     payloads.append(make_png(i % 64 + 1, i % 48 + 1))
                 elif kind == 1:
                     payloads.append(make_bmp(i % 64 + 1, i % 48 + 1))
-                else:
+                elif kind == 2:
                     payloads.append(
                         make_wav(8000 + (i % 8) * 1000, i % 2 + 1, i % 100 + 1)
+                    )
+                else:
+                    payloads.append(
+                        make_mp4(
+                            i % 128 + 16,
+                            i % 96 + 16,
+                            1000 * (i % 5 + 1),
+                            i % 5000 + 1,
+                        )
                     )
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 

@@ -603,16 +603,22 @@ SPECS = [
         q_multimodal_meta,
         # every decoded field is a pure function of doc_id (see
         # attach_real_media): the oracle predicts what the real header
-        # parser must recover from the actual PNG/BMP/WAV bytes
+        # parser must recover from the actual PNG/BMP/WAV/MP4 bytes
         "SELECT doc_id AS media_id, "
-        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format, "
-        "CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 64 + 1 AS INT) END AS width, "
-        "CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 48 + 1 AS INT) END AS height, "
-        "CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE doc_id % 2 + 1 END AS INT) AS n_channels, "
-        "CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate, "
-        "CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 100 + 1 ELSE 1 END AS INT) AS n_frames "
+        "CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
+        "WHEN 2 THEN 'wav' ELSE 'mp4' END AS format, "
+        "CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(doc_id % 64 + 1 AS INT) "
+        "WHEN doc_id % 4 = 3 THEN CAST(doc_id % 128 + 16 AS INT) END AS width, "
+        "CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(doc_id % 48 + 1 AS INT) "
+        "WHEN doc_id % 4 = 3 THEN CAST(doc_id % 96 + 16 AS INT) END AS height, "
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 "
+        "WHEN 2 THEN doc_id % 2 + 1 ELSE 1 END AS INT) AS n_channels, "
+        "CASE WHEN doc_id % 4 = 2 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) "
+        "WHEN doc_id % 4 = 3 THEN CAST(1000 * (doc_id % 5 + 1) AS INT) END AS sample_rate, "
+        "CAST(CASE doc_id % 4 WHEN 2 THEN doc_id % 100 + 1 "
+        "WHEN 3 THEN doc_id % 5000 + 1 ELSE 1 END AS INT) AS n_frames "
         "FROM documents",
-        "ext-multimodal",
+        "ext-multimodal (png/bmp/wav/mp4 since late-r4)",
     ),
     QuerySpec(
         "decontaminate",

@@ -117,18 +117,22 @@ def test_decode_media_real_roundtrip(spark):
     assert len(out) == 60
     for i in range(60):
         r = out[i]
-        if i % 3 == 0:
+        if i % 4 == 0:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "png", i % 64 + 1, i % 48 + 1, 1, 1,
             )
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "bmp", i % 64 + 1, i % 48 + 1, 3, 1,
             )
-        else:
+        elif i % 4 == 2:
             assert (r.format, r.n_channels, r.sample_rate, r.n_frames) == (
                 "wav", i % 2 + 1, 8000 + (i % 8) * 1000, i % 100 + 1,
             )
+        else:
+            assert (
+                r.format, r.width, r.height, r.sample_rate, r.n_frames
+            ) == ("mp4", i % 128 + 16, i % 96 + 16, 1000 * (i % 5 + 1), i % 5000 + 1)
         assert r.n_bytes > 40
 
 
@@ -179,3 +183,16 @@ def test_embed_media_feeds_similarity_tier(spark, tmp_path):
     }
     a, b = ids_by_path["a.png"], ids_by_path["b.png"]
     assert pairs[(a, b)] == 1.0 and pairs[(b, a)] == 1.0  # exact dup media
+
+
+def test_sniff_mp4_box_walk():
+    """The ISO BMFF walk recovers mvhd timescale/duration and tkhd
+    16.16 visual dims; truncation degrades to unknown, never raises."""
+    from geoestate_etl_spark.operators.multimodal import make_mp4, sniff_media
+
+    m = sniff_media(make_mp4(640, 360, 30000, 90000))
+    assert m["format"] == "mp4"
+    assert (m["width"], m["height"]) == (640, 360)
+    assert (m["sample_rate"], m["n_frames"]) == (30000, 90000)
+    trunc = sniff_media(make_mp4(640, 360, 30000, 90000)[:20])
+    assert trunc["format"] == "unknown"
