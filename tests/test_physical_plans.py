@@ -98,13 +98,18 @@ def test_decontaminate_corpus_side_no_shuffle(spark):
     # the guarded single-file spread on the semantic corpus side is a
     # deliberate round-robin exchange (operators/decontam.py, r4) —
     # it redistributes rows without a key and cannot be the global
-    # distinct this audit exists to forbid; hash shuffles stay capped
+    # distinct this audit exists to forbid; hash shuffles stay capped.
+    # Budget: exact tier 3 (bench dedup, hit groupBy, order) + the
+    # late-r4 bloom tier 3 more, every one over a BOUNDED relation
+    # (its bench-gram dedup, the ≤num_words filter build groupBy, its
+    # matched-hit groupBy) — the corpus side itself still reaches its
+    # joins shuffle-free in every tier.
     shuffles = (
         plan.count("Exchange")
         - plan.count("BroadcastExchange")
         - plan.lower().count("roundrobinpartitioning")
     )
-    assert shuffles <= 3
+    assert shuffles <= 6
     assert "CartesianProduct" not in plan
 
 
@@ -173,7 +178,21 @@ def test_registry_wide_no_accidental_product_joins(spark):
     #                    broadcast (eval sets are small; the corpus
     #                    streams through once — brute_force_topk_batch's
     #                    documented shape)
-    BNLJ_OK = {"global_aggs", "temporal_join", "text_metrics", "decontaminate"}
+    #   tpch_q1        — q22's exact-integer global-average threshold:
+    #                    a 1-row (sum_cents, n_pos) aggregate broadcast
+    #                    into an inequality filter (late-r4)
+    #   geo_distance_radius — the nn variant's exact fallback: the
+    #                    UNCERTIFIED tail × broadcast right side, by
+    #                    design bounded to the rows the grid could not
+    #                    certify (late-r4)
+    BNLJ_OK = {
+        "global_aggs",
+        "temporal_join",
+        "text_metrics",
+        "decontaminate",
+        "tpch_q1",
+        "geo_distance_radius",
+    }
     bad = []
     for name, spec in SPECS.items():
         plan = (

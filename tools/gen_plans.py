@@ -67,13 +67,44 @@ NOTES = {
         "single-file trap: 13s serialized vs ~1s spread, TUNING.md)."
     ),
     "components_suite": (
-        "Four iterative variants (label-prop + star-contraction on two "
-        "graphs) build on concurrent threads over two persisted inputs "
-        "— wall-clock is the slowest driver loop, not the sum — plus "
-        "the non-iterative r4 triangle variant (degree-oriented wedge "
-        "close: two equi-joins, out-degree bounded O(sqrt E), exact-"
-        "once). All shuffles key on node id; results localCheckpoint "
-        "so the returned union never re-runs an iteration."
+        "Five iterative variants (label-prop + star-contraction on two "
+        "graphs, late-r4 2-core peel) build on concurrent threads over "
+        "two persisted inputs — wall-clock is the slowest driver loop, "
+        "not the sum — plus the non-iterative r4 triangle variant "
+        "(degree-oriented wedge close: two equi-joins, out-degree "
+        "bounded O(sqrt E), exact-once). All shuffles key on node id; "
+        "results localCheckpoint so the returned union never re-runs "
+        "an iteration."
+    ),
+    "tpch_q1": (
+        "Twelve TPC-H shapes in one tagged union. The late-r4 "
+        "additions cover the remaining relational idioms: q13's LEFT "
+        "join survives into a two-level aggregation, q14/q6 push their "
+        "date filters to the lineitem scan, q15's scalar max subquery "
+        "broadcasts a 1-row aggregate, q17's correlated per-part "
+        "average rides a window over the join key (one scan, one "
+        "shuffle — not agg+join-back), q18's HAVING subquery is a "
+        "shuffle-side semi input, q22's global-average threshold is an "
+        "exact integer cross-multiply against a broadcast 1-row "
+        "aggregate with a left_anti on 'F' orders. Dims broadcast "
+        "everywhere; fact-side shuffles only on join keys."
+    ),
+    "decontaminate": (
+        "Three tiers, one scan each: exact n-gram (array_distinct "
+        "inside the doc kills the pre-explode shuffle, bench gram set "
+        "broadcasts), the late-r4 bloom tier (split-block filter as a "
+        "bounded broadcast relation probed by equi-join + mask test — "
+        "the corpus side is never shuffled before the per-doc count), "
+        "and the semantic tier (unit-normalized bench side broadcasts, "
+        "corpus streams once)."
+    ),
+    "geo_distance_radius": (
+        "Six geo shapes; the late-r4 nn variant is the two-phase exact "
+        "nearest join: 3x3 cell explode + equi-join + per-row coverage "
+        "certificate (R_safe from the haversine lower bound), with the "
+        "uncertified tail re-resolved against a broadcast right side — "
+        "the only nested-loop in the plan is that bounded fallback, "
+        "never a full cross join."
     ),
     "asof_last_purchase": (
         "As-of join as union+window: ONE shuffle on the key, "
