@@ -142,3 +142,24 @@ def test_jsonlsink_commit_protocol(spark, tmp_path):
             rows += [json.loads(line) for line in fh]
     assert len(rows) == 200
     assert sorted(r["doc_id"] for r in rows) == list(range(200))
+
+
+def test_corpusgen_feeds_corpus_pipeline(spark):
+    """Composition: the custom source is a drop-in corpus input — the
+    full pipeline (gate → dedup tiers → scrub → pack) runs off a
+    corpusgen read and accounts every generated row in its funnel."""
+    from geoestate_etl_spark.plans.corpus_pipeline import run_corpus
+
+    docs = (
+        spark.read.format("corpusgen")
+        .option("n_rows", 2000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    res = run_corpus(docs, id_col="doc_id", text_col="text")
+    try:
+        assert res.n_input == 2000
+        assert 0 < res.n_near_unique <= res.n_exact_unique <= res.n_gated <= 2000
+        assert res.packed.count() > 0
+    finally:
+        res.unpersist()
