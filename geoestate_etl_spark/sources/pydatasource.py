@@ -70,7 +70,8 @@ __all__ = [
 LANGS = ("en", "de", "fr", "ru", "zh")
 _WORDS = (
     "property housing market region price square listing agent city "
-    "street year built floor wall material brick panel wood value"
+    "street year built floor wall material brick panel wood value "
+    "the a of in and for with near this that was is on by from"
 ).split()
 
 
@@ -82,9 +83,12 @@ def gen_row(doc_id: int, seed: int) -> tuple:
     """The one definition of a generated row — shared by the batch
     reader, the stream reader, and tests. Deterministic from
     (seed, doc_id) only: zlib.crc32 (stable across processes, unlike
-    Python's salted ``hash``) drives word choice and length."""
+    Python's salted ``hash``) drives word choice and length. The word
+    pool mixes content terms with stopwords and each doc ends in a
+    period so generated docs pass realistic quality gates (length,
+    stopword ratio, punctuation) the way real corpus text does."""
     h = zlib.crc32(f"{seed}:{doc_id}".encode())
-    n_words = 5 + h % 12
+    n_words = 30 + h % 40
     words = [
         _WORDS[zlib.crc32(f"{seed}:{doc_id}:{i}".encode()) % len(_WORDS)]
         for i in range(n_words)
@@ -93,7 +97,7 @@ def gen_row(doc_id: int, seed: int) -> tuple:
         doc_id,
         _lang_of(doc_id),
         f"gen-{h % 4}",
-        " ".join(words),
+        " ".join(words) + ".",
     )
 
 
