@@ -56,14 +56,14 @@ DEFAULT_K = 4
 def bloom_word(col: str, num_words: int, seed: int = 0x51) -> Column:
     """Block (word) index for a value: ``pmod(xxhash64(v, seed), W)``."""
     return F.expr(
-        f"CAST(pmod(xxhash64({col}, {seed}), {int(num_words)}) AS INT)"
+        f"CAST(pmod(xxhash64(`{col}`, {seed}), {int(num_words)}) AS INT)"
     ).alias("word_idx")
 
 
 def bloom_mask(col: str, k: int = DEFAULT_K, seed: int = 0x52) -> Column:
     """In-word bit mask: k 6-bit slices of an independent hash, each
     selecting one of the word's 64 bits. Pure codegen integer ops."""
-    h = f"xxhash64({col}, {seed})"
+    h = f"xxhash64(`{col}`, {seed})"
     terms = " | ".join(
         f"shiftleft(CAST(1 AS BIGINT), "
         f"CAST(shiftrightunsigned({h}, {6 * j}) & 63 AS INT))"

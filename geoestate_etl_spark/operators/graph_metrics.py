@@ -122,6 +122,7 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
+    n_cur = cur.count()
     for _ in range(max_iter):
         deg = (
             cur.select(F.col("u").alias("id"))
@@ -135,10 +136,11 @@ def k_core(
             .join(keep.select(F.col("id").alias("v")), "v", "left_semi")
             .localCheckpoint()
         )
-        n_cur, n_nxt = cur.count(), nxt.count()
+        n_nxt = nxt.count()  # n_cur carries over — one job per round
         cur = nxt
         if n_nxt == n_cur:
             break
+        n_cur = n_nxt
     return (
         cur.select(F.col("u").alias("id"))
         .union(cur.select(F.col("v").alias("id")))

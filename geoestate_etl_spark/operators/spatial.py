@@ -246,6 +246,13 @@ def nearest_join(
     Scale shape: O(9·|left| + |right|) shuffle for the fast path,
     |fallback|·|right| broadcast work for the tail; never a full
     cross join unless the data genuinely defeats the grid.
+
+    Caveat: the flat grid does not wrap the antimeridian — a nearest
+    neighbor across ±180° longitude sits in a non-adjacent cell AND
+    defeats the longitude lower bound, so inputs must not straddle
+    the dateline (true of this repo's synthetic coordinates; handle
+    production wrap with an S2/H3-style cell scheme or by splitting
+    the ±180 band into its own fallback set).
     """
     import math
 

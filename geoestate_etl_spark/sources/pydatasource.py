@@ -224,8 +224,11 @@ class JsonlSinkWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         part = ctx.partitionId() if ctx is not None else 0
+        # the attempt id keeps retried/speculative tasks from writing
+        # the same file; only the committed attempt reaches _MANIFEST
+        att = ctx.taskAttemptId() if ctx is not None else 0
         os.makedirs(self.path, exist_ok=True)
-        name = f"part-{part:05d}.jsonl"
+        name = f"part-{part:05d}-{att}.jsonl"
         n = 0
         with open(os.path.join(self.path, name), "w") as fh:
             for row in rows:

@@ -78,7 +78,11 @@ def test_registry_decontaminate_nonempty_at_smoke_scale(spark):
     out = q_decontaminate(spark, "/root/testdata/sf0.001")
     rows = out.collect()
     assert out.columns == ["kind", "doc_id", "n_shared", "bench_id", "cos_e4"]
-    assert {r.kind for r in rows} == {"ngram", "semantic"}
+    assert {r.kind for r in rows} == {"ngram", "bloom", "semantic"}
+    # the bloom gate's no-false-negative contract: bloom rows == ngram
+    assert {(r.doc_id, r.n_shared) for r in rows if r.kind == "bloom"} == {
+        (r.doc_id, r.n_shared) for r in rows if r.kind == "ngram"
+    }
     assert all(r.doc_id % 7 != 0 for r in rows)
     for r in rows:
         if r.kind == "semantic":
