@@ -179,3 +179,117 @@ def heavy_hitters(
         standing_sketch(spark, sketch_dir), keys, key_col, depth, width
     )
     return est.filter(F.col("est") >= min_count)
+
+
+# --- Bloom membership store (late-r4) ---------------------------------------
+# The third member of the mergeable-delta family: CMS counts frequency
+# mass, HLL counts cardinality, Bloom answers MEMBERSHIP ("seen this
+# fingerprint in ANY epoch?") in ~1 byte/element — the standing state
+# for unbounded-history streaming dedup where a watermarked state
+# store would grow without bound. bit_or linearity makes the fold
+# exact: merged epochs == one filter built over the union (pinned in
+# test_bloom), so compaction is lossless, like the CMS store.
+# Direction of error: a probe can say "seen" for a novel element at
+# the filter's FP rate (novel work skipped, rate is sized by
+# num_words) but NEVER says "novel" for a seen one — duplicates can't
+# sneak back in.
+
+
+def _bloom_meta(bloom_dir: str, num_words: int | None, k: int | None) -> tuple[int, int]:
+    import json
+    import os
+
+    meta_path = os.path.join(bloom_dir, "_bloom_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        for name, given in (("num_words", num_words), ("k", k)):
+            if given is not None and given != meta[name]:
+                raise ValueError(
+                    f"bloom store {bloom_dir} has {name}={meta[name]}, "
+                    f"caller asked for {given} — a mismatched probe "
+                    "hashes into the wrong words and silently loses "
+                    "the no-false-negative guarantee"
+                )
+        return meta["num_words"], meta["k"]
+    if num_words is None or k is None:
+        raise FileNotFoundError(f"no bloom store at {bloom_dir}")
+    os.makedirs(bloom_dir, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump({"num_words": num_words, "k": k}, f)
+    return num_words, k
+
+
+def bloom_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    key_col: str,
+    bloom_dir: str,
+    num_words: int = 1 << 16,
+    k: int = 4,
+) -> None:
+    """One micro-batch: build this epoch's delta filter, overwrite its
+    own partition (retry-idempotent, the sketch_epoch contract).
+    (num_words, k) are pinned in ``_bloom_meta.json`` on first write."""
+    from geoestate_etl_spark.operators.bloom import bloom_build
+
+    num_words, k = _bloom_meta(bloom_dir, num_words, k)
+    bloom_build(batch_df, key_col, num_words, k).write.mode(
+        "overwrite"
+    ).parquet(f"{bloom_dir}/epoch={epoch_id}")
+
+
+def bloom_sink(
+    stream: DataFrame,
+    key_col: str,
+    bloom_dir: str,
+    checkpoint_dir: str,
+    num_words: int = 1 << 16,
+    k: int = 4,
+):
+    """``writeStream.foreachBatch`` wiring for :func:`bloom_epoch` —
+    returns the DataStreamWriter (caller ``.start()``s it)."""
+
+    def run(df: DataFrame, epoch_id: int) -> None:
+        bloom_epoch(df, epoch_id, key_col, bloom_dir, num_words, k)
+
+    return (
+        stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def standing_membership(spark: SparkSession, bloom_dir: str) -> DataFrame:
+    """The merged filter over every committed epoch delta — exactly
+    the filter one build over all epochs' inputs would produce
+    (bit_or linearity). ≤ num_words rows however long the stream has
+    run; compact old epochs with the same merge whenever the epoch
+    count grows."""
+    from geoestate_etl_spark.operators.bloom import bloom_merge
+
+    _bloom_meta(bloom_dir, None, None)
+    return bloom_merge(spark.read.parquet(bloom_dir).select("word_idx", "bits"))
+
+
+def split_seen(
+    df: DataFrame,
+    col: str,
+    spark: SparkSession,
+    bloom_dir: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(probably_seen, definitely_novel) against the standing filter.
+
+    ``definitely_novel`` NEVER contains an element any epoch inserted
+    (the anti-join of a no-false-negative probe); ``probably_seen``
+    carries the filter's FP rate of actually-novel rows — the side a
+    dedup ingest drops, trading that bounded loss for O(num_words)
+    standing state instead of O(history)."""
+    from geoestate_etl_spark.operators.bloom import bloom_probe
+
+    num_words, k = _bloom_meta(bloom_dir, None, None)
+    standing = standing_membership(spark, bloom_dir)
+    seen = bloom_probe(df, col, standing, num_words, k)
+    key = F.col(col)
+    novel = df.join(seen.select(key.alias("_s")), key == F.col("_s"), "left_anti")
+    return seen, novel

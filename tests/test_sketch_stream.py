@@ -118,3 +118,46 @@ def test_hll_epoch_store(spark, tmp_path):
     assert set(got) == set(truth)
     for k, n in truth.items():
         assert abs(got[k] - n) <= max(0.05 * n, 2)
+
+
+def test_bloom_membership_store(spark, tmp_path):
+    """The membership member of the delta family: per-epoch filters
+    fold to the exact union filter, retry is idempotent, split_seen
+    never calls an inserted element novel, and param mismatch fails
+    fast."""
+    import pytest as _pytest
+
+    from geoestate_etl_spark.operators.bloom import bloom_build
+    from geoestate_etl_spark.streaming.sketch_stream import (
+        bloom_epoch,
+        split_seen,
+        standing_membership,
+    )
+
+    bloom_dir = str(tmp_path / "bloom")
+    b0 = spark.range(0, 4000).select(F.col("id").alias("fp"))
+    b1 = spark.range(4000, 9000).select(F.col("id").alias("fp"))
+    bloom_epoch(b0, 0, "fp", bloom_dir, num_words=1 << 10)
+    bloom_epoch(b1, 1, "fp", bloom_dir, num_words=1 << 10)
+    bloom_epoch(b1, 1, "fp", bloom_dir, num_words=1 << 10)  # retry
+    merged = {
+        (r.word_idx, r.bits)
+        for r in standing_membership(spark, bloom_dir).collect()
+    }
+    direct = {
+        (r.word_idx, r.bits)
+        for r in bloom_build(b0.union(b1), "fp", 1 << 10).collect()
+    }
+    assert merged == direct  # exact fold, retry folded once
+
+    probe = spark.range(0, 12_000).select(F.col("id").alias("fp"))
+    seen, novel = split_seen(probe, "fp", spark, bloom_dir)
+    novel_ids = {r.fp for r in novel.collect()}
+    # no false negatives: nothing inserted may come back novel
+    assert not (novel_ids & set(range(9000)))
+    # the filter is not saturated: a real novel tail survives
+    assert novel_ids and novel_ids <= set(range(9000, 12_000))
+    assert seen.count() + len(novel_ids) == 12_000
+
+    with _pytest.raises(ValueError, match="num_words"):
+        bloom_epoch(b0, 2, "fp", bloom_dir, num_words=1 << 12)
