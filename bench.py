@@ -213,6 +213,13 @@ def main() -> None:
             "kind",
             ["q1", "q3", "q5", "q6", "q7", "q10", "q13", "q14", "q15", "q17", "q18", "q22"],
         ),
+        # decontaminate/dedup branches are lazy unions, so the tag
+        # filter prunes the other tiers' plans; ann_certify's samples
+        # each still pay the eager pq_train/index-ensure at fn() time
+        # (the vocab_suite caveat above applies)
+        "decontaminate": ("kind", ["ngram", "bloom", "semantic"]),
+        "dedup_exact_suite": ("kind", ["exact", "keyed", "span"]),
+        "ann_certify": ("variant", ["ivf_full", "lsh_cand", "pq_adc"]),
     }
     from pyspark.sql import functions as _Fv
 
