@@ -213,6 +213,10 @@ def main() -> None:
             "kind",
             ["q1", "q3", "q5", "q6", "q7", "q10", "q13", "q14", "q15", "q17", "q18", "q22"],
         ),
+        "tpch_suite2": (
+            "kind",
+            ["q2", "q4", "q8", "q9", "q11", "q12", "q16", "q19", "q20", "q21"],
+        ),
         # decontaminate/dedup branches are lazy unions, so the tag
         # filter prunes the other tiers' plans; ann_certify's samples
         # each still pay the eager pq_train/index-ensure at fn() time

@@ -39,6 +39,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_geo,
         queries_join,
         queries_suites,
+        queries_tpch2,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -48,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_events,
         queries_ext,
         queries_advanced,
+        queries_tpch2,
         queries_geo,
         queries_etl,
         queries_suites,

@@ -185,12 +185,18 @@ def test_registry_wide_no_accidental_product_joins(spark):
     #                    UNCERTIFIED tail × broadcast right side, by
     #                    design bounded to the rows the grid could not
     #                    certify (late-r4)
+    #   tpch_suite2    — two 1-row scalar broadcasts: the supplier
+    #                    count crossJoined into the derived-partsupp
+    #                    arithmetic, and q11's (total, n_parts)
+    #                    aggregate broadcast into the HAVING-over-mean
+    #                    inequality (r4 TPC-H completion)
     BNLJ_OK = {
         "global_aggs",
         "temporal_join",
         "text_metrics",
         "decontaminate",
         "tpch_q1",
+        "tpch_suite2",
         "geo_distance_radius",
     }
     bad = []
