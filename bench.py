@@ -207,7 +207,10 @@ def main() -> None:
             ["funnel", "resample", "retention", "session", "sliding", "tumbling"],
         ),
         "geo_distance_radius": ("kind", ["grid", "nn", "pip", "point", "radius", "topk"]),
-        "vocab_suite": ("variant", ["bpe", "encode", "mix", "pack", "vocab"]),
+        "vocab_suite": (
+            "variant",
+            ["bpe", "encode", "mix", "pack", "unigram", "vocab"],
+        ),
         "status_extrema": ("kind", ["argmax", "argmin", "boolbit", "cond", "top3"]),
         "tpch_q1": (
             "kind",

@@ -929,6 +929,11 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (a wrong merge rank, a dropped char, or a mis-assigned id each
       breaks reconstruction). ``n_tokens`` itself is pinned by
       ``tests/test_bpe.py`` (no SQL analogue for the merge loop).
+    - ``unigram`` (r4): the SECOND tokenizer family — SentencePiece-
+      style unigram-LM (hard-EM training over the same histogram,
+      integer micro-nat Viterbi encode) — through the identical
+      decode-reconstructs-pretokenized-text gate; exact ids pinned by
+      ``tests/test_unigram.py``.
     - ``mix`` (r5): budgeted mixture construction
       (:func:`~geoestate_etl_spark.operators.sampling.sample_to_token_budget`)
       — keep docs per language, in md5(doc_id) shuffled order, until a
@@ -998,9 +1003,8 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lowercase=False: symmetric with this suite's (and the oracle's)
     # case-preserving tokenization; trained on the SAME 20 docs it
     # encodes, so the alphabet covers every char and no id is UNK
-    model = BPE.train_bpe(
-        BPE.word_histogram(docs20, lowercase=False), vocab_size=160
-    )
+    hist20 = BPE.word_histogram(docs20, lowercase=False)
+    model = BPE.train_bpe(hist20, vocab_size=160)
     bpe = BPE.encode_bpe(docs20, model, lowercase=False).select(
         F.lit("bpe").alias("variant"),
         _NULL_S().alias("token"),
@@ -1008,6 +1012,26 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("vocab_id"),
         "doc_id",
         BPE.decode_bpe_col(model, "token_ids").alias("ids"),
+        _NULL_L().alias("chunk_id"),
+        _NULL_L().alias("chunk_offset"),
+    )
+    # unigram (r4): the SECOND tokenizer family through the same
+    # round-trip gate — hard-EM Viterbi model trained on the same 20
+    # docs, Arrow encode, JVM literal-map decode; decoded text must
+    # equal the pre-tokenized text (the SQL-expressible twin), so one
+    # hash certifies histogram → EM training → Viterbi encode → decode.
+    # Exact token ids are pinned by tests/test_unigram.py (no SQL
+    # analogue for the EM loop).
+    from geoestate_etl_spark.operators import unigram as UNI
+
+    uni_model = UNI.train_unigram(hist20, vocab_size=200, n_iters=2)
+    uni = UNI.encode_unigram(docs20, uni_model, lowercase=False).select(
+        F.lit("unigram").alias("variant"),
+        _NULL_S().alias("token"),
+        _NULL_L().alias("n"),
+        _NULL_L().alias("vocab_id"),
+        "doc_id",
+        UNI.decode_unigram_col(uni_model, "token_ids").alias("ids"),
         _NULL_L().alias("chunk_id"),
         _NULL_L().alias("chunk_offset"),
     )
@@ -1033,6 +1057,7 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.unionByName(enc)
         .unionByName(packed)
         .unionByName(bpe)
+        .unionByName(uni)
         .unionByName(mix)
     )
 
@@ -1241,7 +1266,14 @@ def q_status_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String + regexp-extract surface, one customer projection."""
+    """String + regexp-extract surface, one customer projection.
+
+    ``pii_hash``/``pii_token`` (r4): deterministic pseudonymization for
+    PII columns — full SHA-256 digest, and a keyed 16-hex-char token
+    (digest of a secret-key prefix ‖ value — HMAC-shaped; referential
+    integrity survives because equal inputs map to equal tokens, so
+    joins on the tokenized column still work downstream). Both pure
+    JVM Columns (sha2), map-only at any scale."""
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -1257,6 +1289,10 @@ def q_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cst")).alias("repl"),
         F.regexp_extract("c_name", r"#(\d+)", 1).alias("name_num"),
         F.regexp_count("c_name", F.lit(r"\d")).cast("long").alias("n_digits"),
+        F.sha2(F.col("c_name"), 256).alias("pii_hash"),
+        F.substring(
+            F.sha2(F.concat(F.lit("pepper-2026"), F.col("c_name")), 256), 1, 16
+        ).alias("pii_token"),
     )
 
 
@@ -1799,6 +1835,12 @@ def _specs() -> list[QuerySpec]:
         # bpe round-trip: decode(encode(text)) must reconstruct the
         # pre-tokenized text — the SQL side IS that reconstruction
         "UNION ALL SELECT 'bpe', NULL, NULL, NULL, doc_id, "
+        "COALESCE(array_to_string(regexp_extract_all(COALESCE(text, ''), "
+        f"'{_TOKEN_RE}'), ' '), ''), NULL, NULL "
+        "FROM documents WHERE doc_id < 20 "
+        # unigram round-trip: same reconstruction contract as bpe,
+        # exercised through the EM/Viterbi family instead of merges
+        "UNION ALL SELECT 'unigram', NULL, NULL, NULL, doc_id, "
         "COALESCE(array_to_string(regexp_extract_all(COALESCE(text, ''), "
         f"'{_TOKEN_RE}'), ' '), ''), NULL, NULL "
         "FROM documents WHERE doc_id < 20 "
@@ -2365,9 +2407,12 @@ LEFT JOIN mqs USING (doc_id)
             "string_split(c_name, '#')[1] AS name_head, "
             "replace(c_name, 'Customer', 'Cst') AS repl, "
             "regexp_extract(c_name, '#(\\d+)', 1) AS name_num, "
-            "len(regexp_extract_all(c_name, '\\d')) AS n_digits "
+            "len(regexp_extract_all(c_name, '\\d')) AS n_digits, "
+            "sha256(c_name) AS pii_hash, "
+            "substring(sha256('pepper-2026' || c_name), 1, 16) AS pii_token "
             "FROM customer",
-            "fn-strings+regexp (merged: string_funcs+regexp_extract)",
+            "fn-strings+regexp+sha2-pseudonymization "
+            "(merged: string_funcs+regexp_extract; pii r4)",
         ),
         QuerySpec(
             "array_suite",
