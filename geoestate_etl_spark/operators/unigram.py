@@ -222,11 +222,9 @@ def train_unigram(
 
     for it in range(n_iters):
         new_counts: Counter = Counter()
-        cache: dict = {}
+        # histogram words are distinct (groupBy output) — no cache
         for w, n in words:
-            for p in (
-                cache[w] if w in cache else cache.setdefault(w, model.viterbi(w))
-            ):
+            for p in model.viterbi(w):
                 new_counts[p] += n
         # anneal the multi-char budget toward the target
         frac = (it + 1) / n_iters

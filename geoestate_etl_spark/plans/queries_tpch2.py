@@ -66,16 +66,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # derived partsupp (dbgen-shaped, exact integers, both engines)
 # --------------------------------------------------------------------
 
-# 4 suppliers per part, dbgen's offset-stride assignment (dbgen
-# dss.h PART_SUPP_BRIDGE): supplier_i = (pk + i*(S/4 + pk/S)) mod S.
-# availqty/supplycost are dbgen-uniform in spirit but derived from
-# (pk, i) so both engines rebuild them without a shared artifact.
+# 4 suppliers per part, dbgen-style arithmetic assignment: a per-part
+# rotation (pk·7) plus CONSECUTIVE offsets i — the i=0..3 keys are
+# consecutive mod S, so they are provably DISTINCT for any S ≥ 4
+# (dbgen's own stride formula (pk + i·(S/4 + pk/S)) mod S relies on
+# dbgen's scale ratios for distinctness and COLLIDES on this data:
+# stride ≡ 0 or S/2 mod S duplicated (partkey, suppkey) pairs at
+# sf0.001 — r4 review finding). availqty/supplycost are dbgen-uniform
+# in spirit but derived from (pk, i) so both engines rebuild them
+# without a shared artifact.
 PS_SUPPLIERS_PER_PART = 4
 
 PS_SQL_CTE = (
     "ps AS (SELECT CAST(p_partkey AS BIGINT) AS ps_partkey, "
-    "(CAST(p_partkey AS BIGINT) + i * ((s_cnt // 4) "
-    "+ (CAST(p_partkey AS BIGINT) // s_cnt))) % s_cnt AS ps_suppkey, "
+    "(CAST(p_partkey AS BIGINT) * 7 + i) % s_cnt AS ps_suppkey, "
     "(CAST(p_partkey AS BIGINT) * 47 + i * 31) % 9999 + 1 AS ps_availqty, "
     "(CAST(p_partkey AS BIGINT) * 13 + i * 7) % 99900 + 100 AS ps_cost_cents "
     "FROM part CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier) "
@@ -108,14 +112,9 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("pk").alias("ps_partkey"),
-            (
-                (
-                    F.col("pk")
-                    + F.col("i")
-                    * (F.expr("s_cnt div 4") + F.expr("pk div s_cnt"))
-                )
-                % F.col("s_cnt")
-            ).alias("ps_suppkey"),
+            ((F.col("pk") * 7 + F.col("i")) % F.col("s_cnt")).alias(
+                "ps_suppkey"
+            ),
             ((F.col("pk") * 47 + F.col("i") * 31) % 9999 + 1).alias(
                 "ps_availqty"
             ),

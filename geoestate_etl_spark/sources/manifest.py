@@ -45,9 +45,14 @@ from pyspark.sql import functions as F
 
 def _parquet_files(path: str) -> list[str]:
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # mirror Spark's hidden-path filter: skip '_'/'.'-prefixed
+        # files AND directories (_temporary trees from killed writers,
+        # _delta_log, .crc shadows) — otherwise the manifest would
+        # index files the full-scan baseline never reads (r4 review)
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
-            if f.endswith(".parquet") and not f.startswith("_"):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 out.append(os.path.join(root, f))
     return sorted(out)
 
@@ -55,11 +60,15 @@ def _parquet_files(path: str) -> list[str]:
 def build_manifest(
     spark: SparkSession, path: str, cols: list[str]
 ) -> DataFrame:
-    """``(file, n_rows, col, vmin, vmax)`` from parquet footers.
+    """``(file, n_rows, col, ptype, vmin, vmax)`` from parquet footers.
 
-    Values are stringified (one manifest schema for any column type);
-    numeric comparisons during pruning cast back through DOUBLE, and
-    non-castable types fall back to keeping the file (conservative).
+    Values are stringified (one manifest schema for any column type)
+    with the parquet PHYSICAL TYPE recorded per row: pruning compares
+    only rows whose physical type is numeric — string/binary stats are
+    lexicographic, and casting them to DOUBLE would build a WRONG
+    envelope (min="100" > max="99" for values 99..175) that prunes
+    files containing matches (r4 review). Non-numeric rows are kept
+    for inspection but never exclude a file.
     """
     import pyarrow.parquet as pq
 
@@ -71,6 +80,7 @@ def build_manifest(
             for j in range(md.num_columns)
             if md.schema.column(j).name in cols
         }
+        ptypes = {c: md.schema.column(j).physical_type for c, j in idx.items()}
         mins: dict[str, object] = {}
         maxs: dict[str, object] = {}
         have: dict[str, bool] = {c: True for c in cols}
@@ -90,13 +100,23 @@ def build_manifest(
                     f,
                     md.num_rows,
                     c,
+                    ptypes.get(c),
                     str(mins[c]) if ok else None,
                     str(maxs[c]) if ok else None,
                 )
             )
     return spark.createDataFrame(
-        rows, "file string, n_rows long, col string, vmin string, vmax string"
+        rows,
+        "file string, n_rows long, col string, ptype string, "
+        "vmin string, vmax string",
     )
+
+
+#: parquet physical types whose footer min/max order matches numeric
+#: order — the only stats pruning may trust (BOOLEAN excluded: range
+#: pruning on booleans is pointless; BYTE_ARRAY/FIXED excluded:
+#: lexicographic)
+_NUMERIC_PTYPES = ("INT32", "INT64", "FLOAT", "DOUBLE")
 
 
 def prune_files(
@@ -120,6 +140,9 @@ def prune_files(
     for c, (lo, hi) in predicates.items():
         misses = (
             manifest.filter(F.col("col") == c)
+            # lexicographic (string/binary) stats must never prune:
+            # their min/max order is not numeric order (r4 review)
+            .filter(F.col("ptype").isin(*_NUMERIC_PTYPES))
             .filter(
                 vmin.isNotNull()
                 & vmax.isNotNull()
@@ -142,7 +165,14 @@ def pruned_read(
     + filter by construction, fewer files opened. Returns an empty
     frame with the real schema when nothing survives."""
     files = prune_files(manifest, predicates)
-    base = spark.read.parquet(*files) if files else spark.read.parquet(path).limit(0)
+    # basePath keeps Hive partition columns (year=.../) visible when
+    # reading leaf files directly, matching the full-scan schema in
+    # BOTH branches (r4 review)
+    base = (
+        spark.read.option("basePath", path).parquet(*files)
+        if files
+        else spark.read.parquet(path).limit(0)
+    )
     out = base
     for c, (lo, hi) in predicates.items():
         out = out.filter(F.col(c).between(lo, hi))

@@ -106,6 +106,49 @@ def test_multi_column_conjunction(spark, sorted_path):
     )
 
 
+def test_string_stats_never_prune(spark, tmp_path_factory):
+    """String-column footer stats are lexicographic (min='100' >
+    max='99' over values 99..175); numeric pruning on them would drop
+    matching files — the manifest records the physical type and
+    excludes nothing for non-numeric columns (r4 review)."""
+    d = str(tmp_path_factory.mktemp("manifest") / "strs")
+    df = spark.createDataFrame(
+        [("99",), ("100",), ("175",)], "sval string"
+    ).coalesce(1)
+    df.write.mode("overwrite").parquet(d)
+    man = build_manifest(spark, d, ["sval"])
+    assert man.filter(F.col("ptype") == "BYTE_ARRAY").count() > 0
+    # envelope would be [100, 99] numerically — must NOT prune
+    kept = prune_files(man, {"sval": (150.0, 200.0)})
+    assert len(kept) == man.select("file").distinct().count() == 1
+
+
+def test_hive_partitioned_base_path(spark, tmp_path_factory):
+    """pruned_read must keep Hive partition columns visible when
+    reading surviving leaf files directly (basePath; r4 review)."""
+    d = str(tmp_path_factory.mktemp("manifest") / "hive")
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    (
+        orders.repartitionByRange(4, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(d)
+    )
+    man = build_manifest(spark, d, ["o_totalprice"])
+    pred = {"o_totalprice": (100_000.0, 150_000.0)}
+    got = pruned_read(spark, d, man, pred)
+    assert "o_orderstatus" in got.columns
+    want = (
+        spark.read.parquet(d)
+        .filter(F.col("o_totalprice").between(100_000.0, 150_000.0))
+    )
+    assert got.count() == want.count()
+    assert got.select("o_orderstatus").distinct().count() == want.select(
+        "o_orderstatus"
+    ).distinct().count()
+
+
 def test_missing_stats_column_is_conservative(spark, sorted_path):
     """Predicating on a column the manifest was NOT built for must
     exclude nothing (no information → keep all) while the known

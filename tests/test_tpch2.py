@@ -16,18 +16,26 @@ from geoestate_etl_spark.plans.queries_tpch2 import (
     derived_partsupp,
     q_tpch_suite2,
 )
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_partsupp_contract(spark):
-    """Exactly 4 rows per part; suppkey in [0, S); availqty in
-    [1, 9999]; cost in [100, 99999] cents — the dbgen-shaped ranges
-    both engines derive from."""
+    """Exactly 4 rows AND 4 DISTINCT suppliers per part (the i=0..3
+    keys are consecutive mod S — r4 review: the dbgen stride formula
+    collided at small S); suppkey in [0, S); availqty in [1, 9999];
+    cost in [100, 99999] cents."""
     ps = derived_partsupp(spark, SF_SMOKE)
     n_parts = spark.read.parquet(f"{SF_SMOKE}/part.parquet").count()
     n_supp = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet").count()
-    per_part = ps.groupBy("ps_partkey").count()
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.count("*").alias("count"),
+        F.countDistinct("ps_suppkey").alias("n_distinct"),
+    )
     assert per_part.filter(F.col("count") != PS_SUPPLIERS_PER_PART).count() == 0
+    assert (
+        per_part.filter(F.col("n_distinct") != PS_SUPPLIERS_PER_PART).count()
+        == 0
+    )
     assert per_part.count() == n_parts
     bad = ps.filter(
         (F.col("ps_suppkey") < 0)
@@ -110,7 +118,7 @@ def test_suite_kinds_complete(spark):
     style) went unnoticed."""
     kinds = {
         r.kind
-        for r in q_tpch_suite2(spark, "/root/testdata/sf0.01")
+        for r in q_tpch_suite2(spark, SF_ORACLE)
         .select("kind")
         .distinct()
         .collect()
