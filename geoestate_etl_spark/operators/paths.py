@@ -1,0 +1,84 @@
+"""Graph path primitives: BFS hop-distance labeling (single-source
+shortest paths on unweighted graphs) — the frontier-expansion family
+next to the fixpoint families in ``operators/components`` (label
+propagation, star contraction) and ``operators/pagerank``.
+
+Spark shape (Pregel-style, the 100 TB story):
+
+- one shuffle per LEVEL, not per edge: the frontier equi-joins the
+  edge relation on the node id, new nodes are anti-joined against the
+  visited set, and both shuffles key on the same id — at scale the
+  edge relation is bucketed/pre-partitioned by ``src`` once and every
+  level reuses that partitioning;
+- per-level ``localCheckpoint`` truncates the iterative lineage
+  (the components/pagerank discipline) and the loop EARLY-STOPS on an
+  empty frontier, so cost is O(diameter) levels — BFS on small-world
+  graphs converges in a handful of levels regardless of node count;
+- the visited set carries ``(id, dist)`` only — node-count-bounded,
+  never edge-bounded.
+
+Correctness shape: level-synchronous BFS assigns each node the MINIMUM
+hop count by construction (a node enters exactly when first reached).
+The registry oracle rebuilds the same labeling declaratively with a
+DuckDB recursive CTE + ``min(d)`` — an independent formulation of the
+same fixpoint.
+
+Reference parity: the reference has no graph surface (dags/main.py is
+numeric/geo ETL); engine-declared extension (SURVEY §2 'beyond').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """``(id, dist)`` for every node within ``max_hops`` of ``source``
+    (hop-count shortest distance; the source labels itself 0).
+
+    ``directed=False`` (default) symmetrizes the edge relation first.
+    ``max_hops`` bounds the level loop — on a connected small-world
+    graph the loop usually early-stops well before the bound.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    )
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct()
+
+    visited = spark.createDataFrame(
+        [(int(source), 0)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("dist", T.IntegerType()),
+            ]
+        ),
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("id")
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["u"])
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("dist", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return visited

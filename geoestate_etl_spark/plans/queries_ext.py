@@ -237,6 +237,48 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("pr", 6).alias("pr"))
 
 
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop-distance histogram from supplier 0 over the bipartite
+    supplier↔order graph (edges = distinct lineitem (suppkey,
+    orderkey); order nodes offset by 1e7 into a disjoint id range).
+
+    The frontier-expansion family's registry row: level-synchronous
+    Pregel-style BFS (:func:`~geoestate_etl_spark.operators.paths.
+    bfs_distances` — one keyed shuffle per LEVEL, early-stop, per-level
+    lineage truncation) vs the oracle's declarative recursive-CTE +
+    ``min(d)`` rebuild of the same fixpoint — independent formulations,
+    one hash over the (dist, n_nodes) histogram. Capped at 6 hops;
+    the co-purchase graph is small-world, so the loop early-stops."""
+    from geoestate_etl_spark.operators.paths import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_orderkey").cast("long") + 10_000_000).alias("dst"),
+    ).distinct()
+    dists = bfs_distances(edges, source=0, max_hops=6)
+    return (
+        dists.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("dist")
+    )
+
+
+_BFS_SQL = (
+    "WITH RECURSIVE e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u, "
+    "CAST(l_orderkey AS BIGINT) + 10000000 AS v FROM lineitem), "
+    "e2 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), "
+    "r(id, d) AS ("
+    "SELECT CAST(0 AS BIGINT) AS id, 0 AS d "
+    "UNION "
+    "SELECT e2.v AS id, r.d + 1 AS d FROM r JOIN e2 ON e2.u = r.id "
+    "WHERE r.d < 6), "
+    "m AS (SELECT id, min(d) AS dist FROM r GROUP BY id) "
+    "SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes FROM m "
+    "GROUP BY dist ORDER BY dist"
+)
+
+
 def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -545,6 +587,13 @@ SPECS = [
         q_pagerank_suppliers,
         _pagerank_sql(6),
         "iterative-pagerank (r3: oracled via 6 unrolled CTE iterations)",
+    ),
+    QuerySpec(
+        "graph_bfs",
+        q_graph_bfs,
+        _BFS_SQL,
+        "bfs-sssp (r4: Pregel-style frontier expansion vs "
+        "recursive-CTE min-distance rebuild)",
     ),
     QuerySpec(
         "tfidf_top_terms",
