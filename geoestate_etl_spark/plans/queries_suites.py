@@ -1569,6 +1569,134 @@ def _kcore_unroll_sql(rounds: int, k: int = 2) -> str:
     return "".join(parts)
 
 
+def q_urls_chunks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + sliding-window chunking, tagged
+    (kind, id1, id2, s1, s2) — the two corpus functions whose DuckDB
+    parity previously lived only in local tests (test_urls /
+    test_chunking), promoted to a driver-hashed row.
+
+    - ``url``: a deterministic 500-row synthetic URL corpus (mixed
+      scheme case, default/custom ports, tracking params, fragments,
+      trailing slashes — both engines CONSTRUCT it from range(500)
+      with identical arithmetic) pushed through
+      :func:`~geoestate_etl_spark.functions.urls.canonical_url` and
+      ``registered_domain`` vs the oracle's regex/CASE rule rebuild.
+      Pure Columns, map-only at any scale.
+    - ``chunk``: :func:`~geoestate_etl_spark.functions.text.
+      chunk_documents` (window 10, overlap 3) over the documents
+      table vs the oracle's UNNEST(range(...))/list-slice rebuild.
+      explode-bounded by repeated volume, no shuffle.
+    """
+    from geoestate_etl_spark.functions.text import chunk_documents
+    from geoestate_etl_spark.functions.urls import (
+        canonical_url,
+        registered_domain,
+        url_parts,
+    )
+
+    urls = spark.range(500).select(
+        F.col("id"),
+        F.concat(
+            F.when(F.col("id") % 3 == 0, F.lit("HTTP://")).otherwise(
+                F.lit("https://")
+            ),
+            F.lit("Host"),
+            (F.col("id") % 20).cast("string"),
+            F.lit(".Example."),
+            F.when(F.col("id") % 4 == 0, F.lit("co.uk")).otherwise(F.lit("com")),
+            F.when(F.col("id") % 5 == 0, F.lit(":443")).otherwise(
+                F.when(F.col("id") % 5 == 1, F.lit(":8080")).otherwise(F.lit(""))
+            ),
+            F.lit("/Page/"),
+            (F.col("id") % 7).cast("string"),
+            F.when(F.col("id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("id") % 3 == 0, F.lit("?utm_source=x&b=2&a=1")
+            ).otherwise(
+                F.when(F.col("id") % 3 == 1, F.lit("?z=9&ref=tw")).otherwise(
+                    F.lit("")
+                )
+            ),
+            F.when(F.col("id") % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    url_rows = urls.select(
+        F.lit("url").alias("kind"),
+        F.col("id").alias("id1"),
+        _NULL_L().alias("id2"),
+        canonical_url(F.col("url")).alias("s1"),
+        registered_domain(url_parts(F.col("url")).getField("host")).alias("s2"),
+    )
+    chunk_rows = chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 10, 3
+    ).select(
+        F.lit("chunk").alias("kind"),
+        F.col("doc_id").cast(T.LongType()).alias("id1"),
+        F.col("chunk_idx").cast(T.LongType()).alias("id2"),
+        F.col("chunk_text").alias("s1"),
+        _NULL_S().alias("s2"),
+    )
+    return url_rows.unionByName(chunk_rows)
+
+
+_URLS_CHUNKS_SQL = r"""
+WITH u AS (
+  SELECT id,
+    (CASE WHEN id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+    'Host' || CAST(id % 20 AS VARCHAR) || '.Example.' ||
+    (CASE WHEN id % 4 = 0 THEN 'co.uk' ELSE 'com' END) ||
+    (CASE WHEN id % 5 = 0 THEN ':443'
+          WHEN id % 5 = 1 THEN ':8080' ELSE '' END) ||
+    '/Page/' || CAST(id % 7 AS VARCHAR) ||
+    (CASE WHEN id % 2 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+          WHEN id % 3 = 1 THEN '?z=9&ref=tw' ELSE '' END) ||
+    (CASE WHEN id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM range(500) t(id)
+), p AS (
+  SELECT id,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+    nullif(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:(\d+)', 1), '') AS port,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+  FROM u
+), c AS (
+  SELECT id, scheme, host,
+    CASE WHEN port IS NULL OR (scheme='http' AND port='80')
+              OR (scheme='https' AND port='443')
+         THEN '' ELSE ':' || port END AS port_part,
+    CASE WHEN path IS NULL OR path = '' THEN '/'
+         WHEN length(path) > 1 AND path LIKE '%/' THEN substr(path, 1, length(path)-1)
+         ELSE path END AS norm_path,
+    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      x -> NOT (starts_with(x,'utm_') OR starts_with(x,'fbclid=')
+                OR starts_with(x,'gclid=') OR starts_with(x,'ref=') OR x = ''))), '&'), '') AS cq
+  FROM p
+), url_rows AS (
+  SELECT 'url' AS kind, id AS id1, CAST(NULL AS BIGINT) AS id2,
+    scheme || '://' || host || port_part || norm_path ||
+      CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS s1,
+    CASE WHEN host LIKE '%.co.uk' OR host = 'co.uk'
+         THEN array_to_string(list_slice(string_split(host,'.'), -3, -1), '.')
+         ELSE array_to_string(list_slice(string_split(host,'.'), -2, -1), '.') END AS s2
+  FROM c
+), words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+  FROM documents
+), starts AS (
+  SELECT doc_id, w, s, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS chunk_idx
+  FROM words, UNNEST(range(0, greatest(len(w), 1), 7)) AS t(s)
+  WHERE s = 0 OR s + 3 < len(w)
+), chunk_rows AS (
+  SELECT 'chunk' AS kind, CAST(doc_id AS BIGINT) AS id1, chunk_idx AS id2,
+    array_to_string(w[s+1:s+10], ' ') AS s1, CAST(NULL AS VARCHAR) AS s2
+  FROM starts
+)
+SELECT * FROM url_rows UNION ALL SELECT * FROM chunk_rows
+"""
+
+
 def _specs() -> list[QuerySpec]:
     from geoestate_etl_spark.plans.queries_etl import _morton_sql
     from geoestate_etl_spark.plans.queries_ext import (
@@ -2523,6 +2651,14 @@ LEFT JOIN mqs USING (doc_id)
             q_vocab_suite,
             vocab_sql,
             "ext-vocab-build+encode (LLM-pipeline op, driver-oracled r3)",
+        ),
+        QuerySpec(
+            "urls_chunks_suite",
+            q_urls_chunks_suite,
+            _URLS_CHUNKS_SQL,
+            "ext-url-canonicalization+registered-domain+doc-chunking "
+            "(r4: the test-tier DuckDB parity formulations promoted to "
+            "a driver row)",
         ),
     ]
 
