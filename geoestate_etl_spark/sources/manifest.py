@@ -70,10 +70,50 @@ def build_manifest(
     files containing matches (r4 review). Non-numeric rows are kept
     for inspection but never exclude a file.
     """
+    return build_manifest_for_files(spark, _parquet_files(path), cols)
+
+
+#: parquet physical types whose footer min/max order matches numeric
+#: order — the only stats pruning may trust (BOOLEAN excluded: range
+#: pruning on booleans is pointless; BYTE_ARRAY/FIXED excluded:
+#: lexicographic)
+_NUMERIC_PTYPES = ("INT32", "INT64", "FLOAT", "DOUBLE")
+
+
+def append_manifest(
+    spark: SparkSession,
+    manifest: DataFrame,
+    path: str,
+    cols: list[str],
+) -> DataFrame:
+    """Incremental maintenance: stat only files NOT already in the
+    manifest and append their rows — the per-epoch shape for streaming
+    sinks (each epoch adds files; footers are read once per file ever,
+    never re-walked). Removed files' rows are dropped so the manifest
+    never plans a read of a vanished file.
+
+    Idempotent: appending with no new files returns an equal relation.
+    """
+    known = {r.file for r in manifest.select("file").distinct().collect()}
+    on_disk = _parquet_files(path)
+    fresh = [f for f in on_disk if f not in known]
+    still = [f for f in on_disk]
+    kept = manifest.filter(F.col("file").isin(still))
+    if not fresh:
+        return kept
+    new_rows = build_manifest_for_files(spark, fresh, cols)
+    return kept.unionByName(new_rows)
+
+
+def build_manifest_for_files(
+    spark: SparkSession, files: list[str], cols: list[str]
+) -> DataFrame:
+    """Footer-stats rows for an explicit file list (the unit
+    :func:`build_manifest` and :func:`append_manifest` share)."""
     import pyarrow.parquet as pq
 
     rows = []
-    for f in _parquet_files(path):
+    for f in files:
         md = pq.ParquetFile(f).metadata
         idx = {
             md.schema.column(j).name: j
@@ -110,13 +150,6 @@ def build_manifest(
         "file string, n_rows long, col string, ptype string, "
         "vmin string, vmax string",
     )
-
-
-#: parquet physical types whose footer min/max order matches numeric
-#: order — the only stats pruning may trust (BOOLEAN excluded: range
-#: pruning on booleans is pointless; BYTE_ARRAY/FIXED excluded:
-#: lexicographic)
-_NUMERIC_PTYPES = ("INT32", "INT64", "FLOAT", "DOUBLE")
 
 
 def prune_files(

@@ -162,3 +162,41 @@ def test_missing_stats_column_is_conservative(spark, sorted_path):
     assert 1 <= len(kept) <= 3
     wide = prune_files(man, {"o_custkey": (0.0, 1.0)})
     assert len(wide) == 8
+
+
+def test_append_manifest_incremental(spark, tmp_path_factory):
+    """Epoch shape: new files stat'd once, existing rows kept verbatim,
+    vanished files dropped, no-op append idempotent."""
+    import os
+    import shutil
+
+    from geoestate_etl_spark.sources.manifest import append_manifest
+
+    d = str(tmp_path_factory.mktemp("manifest") / "epochs")
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    orders.limit(500).coalesce(1).write.mode("overwrite").parquet(d)
+    man1 = build_manifest(spark, d, ["o_totalprice"])
+    n1 = man1.select("file").distinct().count()
+
+    # epoch 2 appends files
+    orders.limit(300).coalesce(1).write.mode("append").parquet(d)
+    man2 = append_manifest(spark, man1, d, ["o_totalprice"])
+    n2 = man2.select("file").distinct().count()
+    assert n2 == n1 + 1
+    # existing rows identical to a fresh full build
+    full = build_manifest(spark, d, ["o_totalprice"])
+    assert man2.exceptAll(full).count() == 0
+    assert full.exceptAll(man2).count() == 0
+
+    # idempotent no-op
+    man3 = append_manifest(spark, man2, d, ["o_totalprice"])
+    assert man3.exceptAll(man2).count() == 0
+
+    # vanished file rows dropped
+    victim = sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(d, victim))
+    shutil.rmtree(os.path.join(d, "_spark_metadata"), ignore_errors=True)
+    man4 = append_manifest(spark, man3, d, ["o_totalprice"])
+    assert man4.select("file").distinct().count() == n2 - 1
