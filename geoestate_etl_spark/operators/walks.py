@@ -1,0 +1,116 @@
+"""Deterministic random-walk sampling (DeepWalk/node2vec-style) —
+the graph-structured sibling of the corpus samplers in
+``operators/sampling``: walks become training sequences for graph
+embeddings the way documents become token streams.
+
+Spark shape (the 100 TB story):
+
+- the adjacency relation is built ONCE (symmetrize → distinct →
+  per-source neighbor index + degree) and persisted across steps —
+  the loop-invariant, like BFS's edge set (docs/TUNING.md §iterative);
+- each step is ONE equi-join on the current node id: the walk row
+  carries ``cur``, the adjacency row carries ``(u, idx, deg)``, and
+  the step picks the neighbor whose index equals
+  ``xxhash64(walk_id, step, seed) pmod deg`` — all walks advance in
+  one keyed shuffle per step, no per-walk driver logic;
+- walk state is (n_nodes × walks_per_node) rows with a bounded array
+  column — node-bounded, checkpointed per step to truncate lineage.
+
+Determinism: the neighbor choice hashes (walk_id, step, seed) —
+re-running produces bit-identical walks on any partitioning, which is
+what makes walk corpora reproducible training inputs (and lets the
+incremental/streaming tiers re-derive rather than store them).
+xxhash64 is engine-internal, so this ships test-covered (validity +
+determinism + reference parity) rather than DuckDB-oracled, like the
+other xxhash64-keyed samplers.
+
+Dead ends (directed sinks) freeze the walk: the path keeps its length
+at the point of stranding rather than padding or resampling — the
+caller sees true trajectory lengths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_adjacency(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """``(u, v, idx, deg)``: deterministic per-source neighbor index
+    (ordered by neighbor id) + out-degree, the relation every walk
+    step equi-joins."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    )
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct()
+    w = Window.partitionBy("u").orderBy("v")
+    return e.select(
+        "u",
+        "v",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count("*").over(Window.partitionBy("u")).alias("deg"),
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 5,
+    walks_per_node: int = 1,
+    seed: int = 42,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """``(walk_id, start, path)`` — one row per walk; ``path`` is the
+    node array (length ``walk_len + 1`` unless a directed dead end
+    froze it early). Starts one batch of walks at EVERY node."""
+    adj = build_adjacency(edges, src_col, dst_col, directed).persist()
+    # start nodes = BOTH endpoints: a directed sink has no adjacency
+    # row but still starts (and immediately freezes) its walks
+    raw = edges.select(
+        F.col(src_col).cast("long").alias("n")
+    ).union(edges.select(F.col(dst_col).cast("long").alias("n")))
+    nodes = raw.distinct().select(F.col("n").alias("start"))
+
+    walks = nodes.crossJoin(
+        adj.sparkSession.range(walks_per_node).select(F.col("id").alias("k"))
+    ).select(
+        (F.col("start") * walks_per_node + F.col("k")).alias("walk_id"),
+        "start",
+        F.col("start").alias("cur"),
+        F.array(F.col("start")).alias("path"),
+    )
+
+    for step in range(1, walk_len + 1):
+        choice = F.pmod(
+            F.xxhash64(F.col("walk_id"), F.lit(step), F.lit(seed)),
+            F.col("deg"),
+        )
+        walks = (
+            walks.join(
+                adj,
+                (walks["cur"] == adj["u"]) & (adj["idx"] == choice),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "start",
+                F.coalesce(F.col("v"), F.col("cur")).alias("cur"),
+                F.when(
+                    F.col("v").isNotNull(),
+                    F.concat(F.col("path"), F.array(F.col("v"))),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return walks.select("walk_id", "start", "path")
