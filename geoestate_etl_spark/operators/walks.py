@@ -114,3 +114,52 @@ def random_walks(
             .localCheckpoint(eager=True)
         )
     return walks.select("walk_id", "start", "path")
+
+
+def node_embeddings(
+    edges: DataFrame,
+    dim: int = 16,
+    walk_len: int = 8,
+    walks_per_node: int = 4,
+    seed: int = 42,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """``(vec_id, embedding)`` — DeepWalk end-to-end: walks become
+    "sentences", stock ``pyspark.ml`` Word2Vec (skip-gram family)
+    learns a vector per node, output shaped to feed the embedding
+    tier unchanged (``ivf_build`` / ``knn_join`` / ``semantic_dedup``
+    all consume ``(vec_id, array<float>)``).
+
+    The trainer is the quality-model pattern (operators/
+    quality_model.py): pyspark.ml fits the bounded model; everything
+    corpus-scale stays in the deterministic walk sampler. Word2Vec's
+    internal init is seeded but its aggregation order is not, so
+    embeddings are run-stable only approximately — downstream tests
+    assert GEOMETRY (neighbors closer than strangers), never exact
+    floats, and anything needing bit-reproducibility should persist
+    the trained vectors like the committed IVF artifact."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    walks = random_walks(
+        edges,
+        walk_len=walk_len,
+        walks_per_node=walks_per_node,
+        seed=seed,
+        src_col=src_col,
+        dst_col=dst_col,
+    ).select(F.transform("path", lambda x: x.cast("string")).alias("sent"))
+    model = Word2Vec(
+        vectorSize=dim,
+        minCount=1,
+        seed=seed,
+        inputCol="sent",
+        outputCol="_vec",
+    ).fit(walks)
+    return model.getVectors().select(
+        F.col("word").cast("long").alias("vec_id"),
+        F.transform(
+            vector_to_array(F.col("vector")), lambda x: x.cast("float")
+        ).alias("embedding"),
+    )

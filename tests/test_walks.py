@@ -68,3 +68,37 @@ def test_neighbor_choice_spreads(spark):
     ).collect()
     first_steps = {list(r.path)[1] for r in rows}
     assert first_steps == {1, 2, 3, 4}
+
+
+def test_node_embeddings_geometry_and_ann_compose(spark):
+    """DeepWalk e2e: two well-separated cliques bridged by one edge —
+    within-clique cosine must beat cross-clique on average, and the
+    vectors must flow through the existing ANN tier unchanged."""
+    from geoestate_etl_spark.operators.walks import node_embeddings
+
+    clique_a = [(i, j) for i in range(6) for j in range(6) if i < j]
+    clique_b = [(i, j) for i in range(10, 16) for j in range(10, 16) if i < j]
+    e = _edges(spark, clique_a + clique_b + [(0, 10)])
+    emb = node_embeddings(e, dim=8, walk_len=6, walks_per_node=8, seed=1)
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert set(vecs) == set(range(6)) | set(range(10, 16))
+    assert all(len(v) == 8 for v in vecs.values())
+
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return num / den if den else 0.0
+
+    within = [cos(vecs[1], vecs[j]) for j in range(2, 6)]
+    across = [cos(vecs[1], vecs[j]) for j in range(11, 16)]
+    assert sum(within) / len(within) > sum(across) / len(across), (
+        within, across,
+    )
+
+    # composes with the similarity tier: brute-force top-k runs on it
+    from geoestate_etl_spark.operators.similarity import brute_force_topk
+
+    top = brute_force_topk(emb, vecs[1], k=3).collect()
+    assert len(top) == 3
