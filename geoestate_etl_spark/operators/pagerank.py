@@ -22,13 +22,21 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """Ranks over a directed graph given as (src, dst) edge rows.
 
     Returns (id, pr) for every node appearing as a source or target.
-    Dangling-node mass is redistributed uniformly each iteration, so
-    ranks sum to 1 (within FP) at every step.
-    """
+    Dangling-node mass is redistributed each iteration, so ranks sum
+    to 1 (within FP) at every step.
+
+    ``seeds`` (r4): PERSONALIZED PageRank — teleport and dangling mass
+    land uniformly on the seed set instead of all nodes (Haveliwala
+    2002 topic-sensitive formulation; the similarity-to-seed measure
+    used for seed-expansion curation: "find pages like these"). With
+    ``seeds=None`` the classic uniform behavior is unchanged. The
+    teleport vector rides as a literal ``isin`` Column — seed sets are
+    query parameters, bounded, never a join."""
     # edges and the loop-invariant out-degree table feed every
     # iteration twice (contrib join + dangling anti-join) — persist
     # both so the source scan and degree shuffle run once
@@ -46,7 +54,17 @@ def pagerank(
         return edges.sparkSession.createDataFrame([], "id long, pr double")
     out_deg = edges.groupBy(src).agg(F.count("*").alias("deg")).persist()
 
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
+    if seeds is not None:
+        if not seeds:
+            raise ValueError("seeds must be non-empty when given")
+        p = F.when(
+            F.col("id").isin([int(s) for s in seeds]),
+            F.lit(1.0 / len(seeds)),
+        ).otherwise(F.lit(0.0))
+    else:
+        p = F.lit(1.0 / n)
+
+    ranks = nodes.withColumn("pr", p).localCheckpoint()
 
     for _ in range(iters):
         contribs = (
@@ -71,9 +89,21 @@ def pagerank(
             .select(
                 "id",
                 (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("dm") / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                    # uniform path keeps the EXACT historical float
+                    # expression — the driver oracle unrolls the same
+                    # arithmetic, and (1-d)/n vs (1-d)·(1/n) differ in
+                    # the last ulp (ORACLE_NOTES half-decimal trap)
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("dm") / F.lit(float(n))
+                        + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                    )
+                    if seeds is None
+                    else (
+                        F.lit(1.0 - damping) * p
+                        + F.lit(damping) * F.col("dm") * p
+                        + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                    )
                 ).alias("pr"),
             )
             .localCheckpoint()
