@@ -226,7 +226,7 @@ def main() -> None:
         # (the vocab_suite caveat above applies)
         "decontaminate": ("kind", ["ngram", "bloom", "semantic"]),
         "dedup_exact_suite": ("kind", ["exact", "keyed", "span"]),
-        "urls_chunks_suite": ("kind", ["url", "chunk"]),
+        "urls_chunks_suite": ("kind", ["url", "chunk", "html"]),
         "ann_certify": ("variant", ["ivf_full", "lsh_cand", "pq_adc"]),
     }
     from pyspark.sql import functions as _Fv

@@ -1586,7 +1586,17 @@ def q_urls_chunks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       chunk_documents` (window 10, overlap 3) over the documents
       table vs the oracle's UNNEST(range(...))/list-slice rebuild.
       explode-bounded by repeated volume, no shuffle.
+    - ``html`` (r4): :func:`~geoestate_etl_spark.functions.markup.
+      strip_markup` over synthetic HTML both engines construct
+      identically around the documents' text (script/style with
+      contents, comments, attributes, entities, NCRs). The oracle
+      mirrors the regex chain in RE2 — which has NO backreferences,
+      so the `</\\1>` close-tag backref becomes the equivalent
+      per-tag alternation (script and style expanded); fixed-string
+      entities use plain replace() in list order. Pure Columns,
+      map-only.
     """
+    from geoestate_etl_spark.functions.markup import strip_markup
     from geoestate_etl_spark.functions.text import chunk_documents
     from geoestate_etl_spark.functions.urls import (
         canonical_url,
@@ -1627,16 +1637,31 @@ def q_urls_chunks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical_url(F.col("url")).alias("s1"),
         registered_domain(url_parts(F.col("url")).getField("host")).alias("s2"),
     )
-    chunk_rows = chunk_documents(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", 10, 3
-    ).select(
+    docs = _t(spark, sf_dir, "documents")
+    chunk_rows = chunk_documents(docs, "doc_id", "text", 10, 3).select(
         F.lit("chunk").alias("kind"),
         F.col("doc_id").cast(T.LongType()).alias("id1"),
         F.col("chunk_idx").cast(T.LongType()).alias("id2"),
         F.col("chunk_text").alias("s1"),
         _NULL_S().alias("s2"),
     )
-    return url_rows.unionByName(chunk_rows)
+    raw_html = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var x = 1 < 2;'
+            "</script><style>.a{color:red}</style></head><body>"
+            '<!-- boilerplate --><p class="t">'
+        ),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p>&nbsp;&amp; 2 &lt; 3 &#169;</body></html>"),
+    )
+    html_rows = docs.filter(F.col("doc_id") < 200).select(
+        F.lit("html").alias("kind"),
+        F.col("doc_id").cast(T.LongType()).alias("id1"),
+        _NULL_L().alias("id2"),
+        strip_markup(raw_html).alias("s1"),
+        _NULL_S().alias("s2"),
+    )
+    return url_rows.unionByName(chunk_rows).unionByName(html_rows)
 
 
 _URLS_CHUNKS_SQL = r"""
@@ -1692,8 +1717,39 @@ WITH u AS (
   SELECT 'chunk' AS kind, CAST(doc_id AS BIGINT) AS id1, chunk_idx AS id2,
     array_to_string(w[s+1:s+10], ' ') AS s1, CAST(NULL AS VARCHAR) AS s2
   FROM starts
+), h AS (
+  SELECT doc_id,
+    '<html><head><script type="text/javascript">var x = 1 < 2;'
+    || '</script><style>.a{color:red}</style></head><body>'
+    || '<!-- boilerplate --><p class="t">'
+    || coalesce(text, '')
+    || '</p>&nbsp;&amp; 2 &lt; 3 &#169;</body></html>' AS raw
+  FROM documents WHERE doc_id < 200
+), hs AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(
+        replace(replace(replace(replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(raw,
+                  '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '(?s)<[a-zA-Z/!][^>]*>', ' ', 'g'),
+        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+      '&#x?[0-9a-fA-F]{1,6};', ' ', 'g'),
+    '\s+', ' ', 'g')) AS s1
+  FROM h
+), html_rows AS (
+  SELECT 'html' AS kind, CAST(doc_id AS BIGINT) AS id1,
+    CAST(NULL AS BIGINT) AS id2, s1, CAST(NULL AS VARCHAR) AS s2
+  FROM hs
 )
 SELECT * FROM url_rows UNION ALL SELECT * FROM chunk_rows
+UNION ALL SELECT * FROM html_rows
 """
 
 
