@@ -57,9 +57,19 @@ def pagerank(
     if seeds is not None:
         if not seeds:
             raise ValueError("seeds must be non-empty when given")
+        # dedupe, and REQUIRE every seed to exist in the graph: an
+        # absent seed silently drains teleport mass (all-zero ranks
+        # when no seed is present; sum < 1 otherwise) — breaking the
+        # mass-conservation contract with no error (r4 review)
+        uniq = sorted({int(s) for s in seeds})
+        present = {
+            r.id for r in nodes.filter(F.col("id").isin(uniq)).collect()
+        }
+        missing = [s for s in uniq if s not in present]
+        if missing:
+            raise ValueError(f"seeds not in graph: {missing}")
         p = F.when(
-            F.col("id").isin([int(s) for s in seeds]),
-            F.lit(1.0 / len(seeds)),
+            F.col("id").isin(uniq), F.lit(1.0 / len(uniq))
         ).otherwise(F.lit(0.0))
     else:
         p = F.lit(1.0 / n)

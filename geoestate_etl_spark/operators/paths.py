@@ -34,6 +34,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def symmetrized_edges(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    directed: bool,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Canonical edge prep shared by the path/walk family: cast ids to
+    long, mirror when undirected, dedup. One home for the contract
+    (r4 review: three copies had drifted into being)."""
+    cols = [
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    ] + [F.col(c) for c in extra_cols]
+    e = edges.select(*cols)
+    if not directed:
+        e = e.union(
+            e.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), *extra_cols
+            )
+        )
+    return e.distinct()
+
+
 def bfs_distances(
     edges: DataFrame,
     source: int,
@@ -50,19 +74,15 @@ def bfs_distances(
     graph the loop usually early-stops well before the bound.
     """
     spark = edges.sparkSession
-    e = edges.select(
-        F.col(src_col).cast("long").alias("u"),
-        F.col(dst_col).cast("long").alias("v"),
-    )
-    if not directed:
-        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # persist the DERIVED (symmetrized, deduped) edge relation: every
     # level joins it, and without the cache each level re-runs the
-    # distinct shuffle over the full edge set — measured 11.2s → ~3s
-    # at sf0.1 (r4 bench). A derived frame, not a source table, so the
-    # registry cache-coupling rule doesn't apply; the cacheManager
-    # bounds it at one entry per analyzed plan.
-    e = e.distinct().persist()
+    # distinct shuffle over the full edge set — measured 11.2s → ~4.4s
+    # at sf0.1 (r4 bench). Unpersisted before return (r4 review): the
+    # returned frame is checkpoint-truncated, so releasing the cache
+    # is safe, and an operator can be called over many DIFFERENT
+    # inputs in one session (unlike registry queries, where the
+    # cacheManager's plan-dedup bounds the footprint).
+    e = symmetrized_edges(edges, src_col, dst_col, directed).persist()
 
     visited = spark.createDataFrame(
         [(int(source), 0)],
@@ -90,6 +110,7 @@ def bfs_distances(
         # cumulative set every round
         visited = visited.union(nxt)
         frontier = nxt.select("id")
+    e.unpersist()
     return visited
 
 
@@ -119,16 +140,17 @@ def sssp_distances(
     Negative edges are tolerated up to the hop bound (no negative-
     cycle divergence: the bound caps path length).
     """
-    e = edges.select(
-        F.col(src_col).cast("long").alias("u"),
-        F.col(dst_col).cast("long").alias("v"),
-        F.col(weight_col).cast("long").alias("w"),
-    )
-    if not directed:
-        e = e.union(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-        )
-    e = e.distinct().persist()
+    e = symmetrized_edges(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        ),
+        "src",
+        "dst",
+        directed,
+        extra_cols=("w",),
+    ).persist()
 
     spark = edges.sparkSession
     dist = spark.createDataFrame(
@@ -156,6 +178,8 @@ def sssp_distances(
             dist.withColumnRenamed("cost", "old"), "id", "left"
         ).filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
         if improved.isEmpty():
+            e.unpersist()
             return new_dist
         dist = new_dist
+    e.unpersist()
     return dist

@@ -44,13 +44,9 @@ def build_adjacency(
     """``(u, v, idx, deg)``: deterministic per-source neighbor index
     (ordered by neighbor id) + out-degree, the relation every walk
     step equi-joins."""
-    e = edges.select(
-        F.col(src_col).cast("long").alias("u"),
-        F.col(dst_col).cast("long").alias("v"),
-    )
-    if not directed:
-        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = e.distinct()
+    from geoestate_etl_spark.operators.paths import symmetrized_edges
+
+    e = symmetrized_edges(edges, src_col, dst_col, directed)
     w = Window.partitionBy("u").orderBy("v")
     return e.select(
         "u",
@@ -113,6 +109,9 @@ def random_walks(
             )
             .localCheckpoint(eager=True)
         )
+    # walk state is checkpoint-truncated — release the adjacency cache
+    # (r4 review: operators over different inputs must not accumulate)
+    adj.unpersist()
     return walks.select("walk_id", "start", "path")
 
 

@@ -1591,10 +1591,14 @@ def q_urls_chunks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       identically around the documents' text (script/style with
       contents, comments, attributes, entities, NCRs). The oracle
       mirrors the regex chain in RE2 — which has NO backreferences,
-      so the `</\\1>` close-tag backref becomes the equivalent
-      per-tag alternation (script and style expanded); fixed-string
-      entities use plain replace() in list order. Pure Columns,
-      map-only.
+      so the `</\\1>` close-tag backref becomes per-tag passes
+      (script then style). CAVEAT (r4 review): the two formulations
+      diverge on INTERLEAVED script/style tags (Spark strips in
+      document order, the oracle strips all script blocks first), so
+      the doc text is defensively pre-escaped (`<` → `‹`) in BOTH
+      engines — the synthetic corpus can then never contain a tag
+      the wrapper didn't put there. Fixed-string entities use plain
+      replace() in list order. Pure Columns, map-only.
     """
     from geoestate_etl_spark.functions.markup import strip_markup
     from geoestate_etl_spark.functions.text import chunk_documents
@@ -1651,7 +1655,7 @@ def q_urls_chunks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "</script><style>.a{color:red}</style></head><body>"
             '<!-- boilerplate --><p class="t">'
         ),
-        F.coalesce(F.col("text"), F.lit("")),
+        F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit("<"), F.lit("‹")),
         F.lit("</p>&nbsp;&amp; 2 &lt; 3 &#169;</body></html>"),
     )
     html_rows = docs.filter(F.col("doc_id") < 200).select(
@@ -1722,7 +1726,7 @@ WITH u AS (
     '<html><head><script type="text/javascript">var x = 1 < 2;'
     || '</script><style>.a{color:red}</style></head><body>'
     || '<!-- boilerplate --><p class="t">'
-    || coalesce(text, '')
+    || replace(coalesce(text, ''), '<', '‹')
     || '</p>&nbsp;&amp; 2 &lt; 3 &#169;</body></html>' AS raw
   FROM documents WHERE doc_id < 200
 ), hs AS (

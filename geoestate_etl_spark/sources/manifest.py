@@ -100,9 +100,15 @@ def append_manifest(
     still = [f for f in on_disk]
     kept = manifest.filter(F.col("file").isin(still))
     if not fresh:
-        return kept
-    new_rows = build_manifest_for_files(spark, fresh, cols)
-    return kept.unionByName(new_rows)
+        out = kept
+    else:
+        out = kept.unionByName(build_manifest_for_files(spark, fresh, cols))
+    # eager checkpoint: the per-epoch call chain would otherwise nest
+    # one filter+union per epoch and re-analyze the whole history each
+    # call — the plan-growth trap docs/TUNING.md documents for BFS
+    # loops (r4 review). The relation is file-count bounded, so
+    # materializing it per epoch is cheap.
+    return out.localCheckpoint(eager=True)
 
 
 def build_manifest_for_files(
