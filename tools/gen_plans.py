@@ -119,6 +119,30 @@ NOTES = {
         "work is bounded by versions-per-bucket on hot keys. Dangling "
         "open intervals cap at an in-plan 1-row max aggregate."
     ),
+    "tpch_suite2": (
+        "The TPC-H completion ten (r4): all dims broadcast (30 "
+        "BroadcastHashJoin, ZERO SortMergeJoin at this scale), the only "
+        "hash exchanges are fact-side groupBys/joins on their keys, and "
+        "every BroadcastNestedLoopJoin is a deliberate 1-row scalar "
+        "broadcast (the derived-partsupp supplier count; q11's "
+        "total/n_parts threshold). The correlated subqueries are "
+        "join-rewritten: q2's MIN as a partkey-partitioned window, "
+        "q21's double EXISTS as ONE per-order distinct aggregate "
+        "(two fewer fact self-joins than the textbook plan)."
+    ),
+    "graph_bfs": (
+        "Pregel-style level loop: each level is one keyed shuffle "
+        "(frontier x persisted symmetrized edges) + node-bounded "
+        "anti-join against the visited set, with per-level "
+        "localCheckpoint lineage truncation and empty-frontier early "
+        "stop. The loop-invariant edge relation is persisted once and "
+        "unpersisted on return (11.2s -> ~4.4s warm at sf0.1)."
+    ),
+    "urls_chunks_suite": (
+        "Three map-only branches (URL canonicalization, sliding-window "
+        "chunking, markup-to-prose) — pure Columns, no shuffle beyond "
+        "the chunk window's per-doc explode; scales as a scan."
+    ),
 }
 
 
