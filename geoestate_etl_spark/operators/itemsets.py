@@ -1,0 +1,85 @@
+"""Frequent-itemset mining (market-basket analysis) — co-occurrence
+analytics over (basket, item) relations.
+
+Two tiers:
+
+- :func:`frequent_pairs` — exact 2-itemset support counting as a pure
+  DataFrame self-join: baskets are deduped to their item SET, the
+  within-basket pair explosion is bounded by (basket size choose 2)
+  — baskets in transactional data are small (orders hold ≤7 parts in
+  the testdata; retail baskets tens) so the blow-up is a constant per
+  basket, never corpus-quadratic — and the pair count is one hash
+  aggregation. Fully SQL-expressible, driver-oracled.
+- :func:`frequent_itemsets_fp` — arbitrary-k itemsets via stock
+  ``pyspark.ml.fpm.FPGrowth`` (the quality_model/Word2Vec pattern:
+  pyspark.ml fits the bounded model, everything corpus-scale stays
+  declarative). Its k=2 slice must agree exactly with
+  :func:`frequent_pairs` — pinned by test, which certifies the ml
+  bridge against the oracled path.
+
+Scale: the self-join keys on the basket id, so the shuffle moves one
+row per (basket, item) — input-sized. Support filtering pushes into
+the pair aggregate (HAVING), and min_support prunes before any
+downstream join. The canonical (a < b) orientation halves the pair
+space and makes output deterministic.
+
+Reference parity: the reference has no itemset surface; engine
+extension (SURVEY §2 'beyond').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """``(item_a, item_b, support)`` for every unordered item pair
+    co-occurring in ≥ ``min_support`` distinct baskets (item_a <
+    item_b canonical orientation; duplicate items within a basket
+    count once)."""
+    base = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    left = base.select(F.col("b"), F.col("i").alias("item_a"))
+    right = base.select(F.col("b").alias("b2"), F.col("i").alias("item_b"))
+    return (
+        left.join(
+            right,
+            (F.col("b") == F.col("b2")) & (F.col("item_a") < F.col("item_b")),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def frequent_itemsets_fp(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_frac: float,
+) -> DataFrame:
+    """``(items array, freq)`` for all itemset sizes via FPGrowth.
+    ``min_support_frac`` is FPGrowth's relative support (fraction of
+    baskets). Items are stringified for the ml API; callers keep
+    their own id mapping."""
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = (
+        df.select(
+            F.col(basket_col).alias("b"),
+            F.col(item_col).cast("string").alias("i"),
+        )
+        .groupBy("b")
+        .agg(F.array_sort(F.collect_set("i")).alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support_frac, minConfidence=0.1
+    ).fit(baskets)
+    return model.freqItemsets

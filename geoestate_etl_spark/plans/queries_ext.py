@@ -264,6 +264,35 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 2-itemsets over order baskets (basket = order, item =
+    part): exact pair co-occurrence support via the within-basket
+    self-join (:func:`~geoestate_etl_spark.operators.itemsets.
+    frequent_pairs` — pair explosion bounded by basket size, shuffle
+    keyed on the basket id). All pairs with support ≥ 2; output is
+    3-4k rows at every test scale. FPGrowth's k=2 slice is pinned
+    equal in tests (the pyspark.ml bridge certified against this
+    oracled path)."""
+    from geoestate_etl_spark.operators.itemsets import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("item_a").cast("long").alias("item_a"),
+        F.col("item_b").cast("long").alias("item_b"),
+        F.col("support"),
+    )
+
+
+_BASKET_SQL = (
+    "WITH base AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i "
+    "FROM lineitem) "
+    "SELECT CAST(a.i AS BIGINT) AS item_a, CAST(c.i AS BIGINT) AS item_b, "
+    "count(*) AS support "
+    "FROM base a JOIN base c ON a.b = c.b AND a.i < c.i "
+    "GROUP BY a.i, c.i HAVING count(*) >= 2"
+)
+
+
 _BFS_SQL = (
     "WITH RECURSIVE e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u, "
     "CAST(l_orderkey AS BIGINT) + 10000000 AS v FROM lineitem), "
@@ -594,6 +623,13 @@ SPECS = [
         _BFS_SQL,
         "bfs-sssp (r4: Pregel-style frontier expansion vs "
         "recursive-CTE min-distance rebuild)",
+    ),
+    QuerySpec(
+        "basket_pairs",
+        q_basket_pairs,
+        _BASKET_SQL,
+        "frequent-itemsets (r4: exact pair support via within-basket "
+        "self-join; FPGrowth k=2 slice pinned equal in tests)",
     ),
     QuerySpec(
         "tfidf_top_terms",
