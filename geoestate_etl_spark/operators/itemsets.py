@@ -59,6 +59,74 @@ def frequent_pairs(
     )
 
 
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_confidence_pct: int = 20,
+) -> DataFrame:
+    """``(antecedent, consequent, support, confidence_pct_e2, lift_e6)``
+    — both directions of every frequent pair, thresholded with EXACT
+    integer cross-multiplication (``s_ab·100 ≥ pct·s_a``, the
+    micro-unit doctrine: no float in any predicate), confidence and
+    lift exported as scaled integers derived from the exact counts.
+
+    lift > 1e6 (i.e. > 1.0) means the pair co-occurs more than
+    independence predicts — the curation signal for bundling /
+    co-occurrence features."""
+    base = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets = base.select("b").distinct().count()
+    item_support = base.groupBy("i").agg(F.count("*").alias("s_i"))
+    pairs = frequent_pairs(df, basket_col, item_col, min_support)
+    both = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "support",
+    ).union(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "support",
+        )
+    )
+    return (
+        both.join(
+            item_support.select(
+                F.col("i").alias("antecedent"), F.col("s_i").alias("s_a")
+            ),
+            "antecedent",
+        )
+        .join(
+            item_support.select(
+                F.col("i").alias("consequent"), F.col("s_i").alias("s_c")
+            ),
+            "consequent",
+        )
+        .filter(
+            F.col("support") * 100 >= F.lit(min_confidence_pct) * F.col("s_a")
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(F.col("support") * 10_000.0 / F.col("s_a"))
+            .cast("long")
+            .alias("confidence_pct_e2"),
+            F.round(
+                F.col("support")
+                * F.lit(float(n_baskets))
+                * 1_000_000.0
+                / (F.col("s_a") * F.col("s_c"))
+            )
+            .cast("long")
+            .alias("lift_e6"),
+        )
+    )
+
+
 def frequent_itemsets_fp(
     df: DataFrame,
     basket_col: str,

@@ -84,3 +84,35 @@ def test_fpgrowth_singletons_and_triples(spark):
     assert by_size[1] == {(1,), (2,), (3,)}
     assert by_size[2] == {(1, 2), (1, 3), (2, 3)}
     assert by_size[3] == {(1, 2, 3)}
+
+
+def test_association_rules_hand_computed(spark):
+    from geoestate_etl_spark.operators.itemsets import association_rules
+
+    # 4 baskets: {10,20} x3, {10} x1 → s_10=4, s_20=3, s_pair=3, n=4
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20), (4, 10)]
+    got = {
+        (r.antecedent, r.consequent): (
+            r.support, r.confidence_pct_e2, r.lift_e6,
+        )
+        for r in association_rules(
+            _baskets(spark, rows), "b", "i", 2, 20
+        ).collect()
+    }
+    # 10→20: conf 3/4 = 75.00%, lift 3*4/(4*3) = 1.0
+    assert got[(10, 20)] == (3, 7500, 1_000_000)
+    # 20→10: conf 3/3 = 100%, same lift
+    assert got[(20, 10)] == (3, 10000, 1_000_000)
+
+
+def test_association_rules_confidence_threshold(spark):
+    from geoestate_etl_spark.operators.itemsets import association_rules
+
+    # 10 appears in 10 baskets, {10,20} in only 2 → 10→20 conf 20%
+    rows = [(b, 10) for b in range(10)] + [(0, 20), (1, 20)]
+    r50 = association_rules(_baskets(spark, rows), "b", "i", 2, 50).collect()
+    dirs = {(r.antecedent, r.consequent) for r in r50}
+    assert (10, 20) not in dirs and (20, 10) in dirs  # 20→10 conf 100%
+    r20 = association_rules(_baskets(spark, rows), "b", "i", 2, 20).collect()
+    dirs20 = {(r.antecedent, r.consequent) for r in r20}
+    assert (10, 20) in dirs20  # exactly at the 20% boundary (integer cross-mul)
