@@ -203,6 +203,62 @@ def grouped_split(
     return hash_split(df, "_gkey", fractions, salt, split_col).drop("_gkey")
 
 
+def k_fold(
+    df: DataFrame,
+    group: Column | str,
+    k: int,
+    fallback_key: str | None = None,
+    salt: str = "fold-v1",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment with GROUP cohesion (r4): every
+    member of a group lands in the same fold — the cross-validation
+    twin of :func:`grouped_split`, with the same leakage rationale
+    (near-duplicates share a group; row-wise folds leak each fold's
+    eval content into the others' training sets through those twins).
+
+    Fold = ``pmod(xxhash64(salt, group), k)`` — a pure function of the
+    group value, so re-runs, ingest growth, and partitioning never
+    move an existing group between folds, and fold sizes converge to
+    n/k by hash uniformity (exactness is impossible under the
+    stability contract; exact-size folds would have to move groups as
+    data grows). NULL-group handling mirrors :func:`grouped_split`:
+    raise without ``fallback_key``, per-row tagged fallback with it.
+    """
+    if k < 2:
+        raise ValueError("k_fold needs k >= 2")
+    g = F.col(group) if isinstance(group, str) else group
+    if fallback_key is None:
+        gkey = F.when(
+            g.isNull(),
+            F.raise_error(
+                F.lit(
+                    "k_fold: NULL group value and no fallback_key given "
+                    "— pass a stable row-id column"
+                )
+            ),
+        ).otherwise(g.cast("string"))
+    else:
+        gkey = F.coalesce(
+            g.cast("string"),
+            F.concat(F.lit("\x00row:"), F.col(fallback_key).cast("string")),
+        )
+    return df.withColumn(
+        fold_col,
+        F.pmod(F.xxhash64(F.lit(salt), gkey), F.lit(k)).cast("int"),
+    )
+
+
+def fold_split(
+    df: DataFrame, fold: int, fold_col: str = "fold"
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) for one fold of a :func:`k_fold`-tagged frame."""
+    return (
+        df.filter(F.col(fold_col) != fold),
+        df.filter(F.col(fold_col) == fold),
+    )
+
+
 def sample_k_per_group(
     df: DataFrame,
     group_cols: list[str],

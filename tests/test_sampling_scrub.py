@@ -560,3 +560,57 @@ def test_consume_budget_fold_invariant_random(spark, rows, cuts, budgets):
     )
     want = sample_to_token_budget(full, "dom", "w", budgets, order_col=arrival)
     assert sorted(seq_ids) == sorted(r.doc_id for r in want.collect())
+
+
+# ---- k-fold (r4) -------------------------------------------------------
+
+
+def test_k_fold_partitions_and_group_cohesion(spark):
+    from geoestate_etl_spark.operators.sampling import fold_split, k_fold
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 137).alias("grp")
+    )
+    tagged = k_fold(df, "grp", k=5)
+    # every row gets exactly one fold in [0, 5)
+    assert tagged.filter(~F.col("fold").between(0, 4)).count() == 0
+    assert tagged.count() == 2000
+    # group cohesion: one fold per group
+    straddle = (
+        tagged.groupBy("grp")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+    )
+    assert straddle.count() == 0
+    # folds are nonempty and roughly balanced (137 groups over 5 folds)
+    sizes = {r.fold: r["count"] for r in tagged.groupBy("fold").count().collect()}
+    assert len(sizes) == 5 and min(sizes.values()) > 0
+    # train/test split: disjoint, covering
+    train, test = fold_split(tagged, 0)
+    assert train.count() + test.count() == 2000
+    assert test.filter(F.col("fold") != 0).count() == 0
+
+
+def test_k_fold_stable_under_growth_and_repartition(spark):
+    from geoestate_etl_spark.operators.sampling import k_fold
+
+    base = spark.range(500).select(F.col("id"), (F.col("id") % 37).alias("grp"))
+    a = {r.id: r.fold for r in k_fold(base, "grp", 4).collect()}
+    grown = spark.range(1000).select(F.col("id"), (F.col("id") % 37).alias("grp"))
+    b = {r.id: r.fold for r in k_fold(grown.repartition(13), "grp", 4).collect()}
+    for i in range(500):
+        assert a[i] == b[i]  # existing rows never move folds
+
+
+def test_k_fold_null_group_contract(spark):
+    import pytest as _pytest
+
+    from geoestate_etl_spark.operators.sampling import k_fold
+
+    df = spark.createDataFrame([(1, None), (2, "a")], "id long, grp string")
+    with _pytest.raises(Exception):
+        k_fold(df, "grp", 3).collect()
+    ok = k_fold(df, "grp", 3, fallback_key="id").collect()
+    assert len(ok) == 2
+    with _pytest.raises(ValueError):
+        k_fold(df, "grp", 1, fallback_key="id")
