@@ -283,6 +283,61 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection with ZERO float in the
+    predicate: flag orders whose |price − mean| > 1.5σ within their
+    priority group, decided by the exact cross-multiplied integer
+    inequality ``4·(x·n − S)² > 9·(n·Σx² − S²)`` over DECIMAL(38,0)
+    cents (σ and mean never materialize as floats — the micro-unit
+    doctrine applied to second moments; Σx² of cents exceeds int64 at
+    sf0.1, hence DECIMAL). One grouped aggregate broadcast back into a
+    scan-side filter: two passes over orders, no per-row UDF, exact on
+    any partitioning."""
+    orders = _t(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = orders.select(
+        "o_orderpriority", cents.cast(d38).alias("cents")
+    )
+    a = c.groupBy("o_orderpriority").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("cents").cast(d38).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast(d38).alias("s2"),
+    )
+    dev = F.col("cents") * F.col("n") - F.col("s1")
+    flagged = (
+        c.join(F.broadcast(a), "o_orderpriority")
+        .filter(
+            dev * dev * F.lit(4).cast(d38)
+            > (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            * F.lit(9).cast(d38)
+        )
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_out"),
+        F.min("cents").cast("long").alias("min_out_cents"),
+        F.max("cents").cast("long").alias("max_out_cents"),
+    )
+
+
+_OUTLIER_SQL = (
+    "WITH c AS (SELECT o_orderpriority, "
+    "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0)) AS cents "
+    "FROM orders), "
+    "a AS (SELECT o_orderpriority, CAST(count(*) AS DECIMAL(38,0)) AS n, "
+    "CAST(sum(cents) AS DECIMAL(38,0)) AS s1, "
+    "CAST(sum(cents * cents) AS DECIMAL(38,0)) AS s2 "
+    "FROM c GROUP BY o_orderpriority) "
+    "SELECT c.o_orderpriority, count(*) AS n_out, "
+    "CAST(min(c.cents) AS BIGINT) AS min_out_cents, "
+    "CAST(max(c.cents) AS BIGINT) AS max_out_cents "
+    "FROM c JOIN a USING (o_orderpriority) "
+    "WHERE 4 * (c.cents * n - s1) * (c.cents * n - s1) "
+    "> 9 * (n * s2 - s1 * s1) "
+    "GROUP BY c.o_orderpriority"
+)
+
+
 _BASKET_SQL = (
     "WITH base AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i "
     "FROM lineitem) "
@@ -630,6 +685,14 @@ SPECS = [
         _BASKET_SQL,
         "frequent-itemsets (r4: exact pair support via within-basket "
         "self-join; FPGrowth k=2 slice pinned equal in tests)",
+    ),
+    QuerySpec(
+        "outlier_orders",
+        q_outlier_orders,
+        _OUTLIER_SQL,
+        "outlier-detection (r4: per-group 1.5-sigma gate via the exact "
+        "cross-multiplied DECIMAL(38,0) second-moment inequality — "
+        "no float in the predicate)",
     ),
     QuerySpec(
         "tfidf_top_terms",
