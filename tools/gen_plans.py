@@ -143,6 +143,25 @@ NOTES = {
         "chunking, markup-to-prose) — pure Columns, no shuffle beyond "
         "the chunk window's per-doc explode; scales as a scan."
     ),
+    "basket_pairs": (
+        "Within-basket self-join keyed on the basket id: the shuffle "
+        "moves one row per (basket, item); pair explosion is bounded "
+        "by basket size (choose 2), never corpus-quadratic; support "
+        "threshold folds into the pair aggregate."
+    ),
+    "outlier_orders": (
+        "Two passes over orders: one grouped DECIMAL(38,0) moment "
+        "aggregate broadcast back into a scan-side filter — the 1.5-"
+        "sigma gate is the exact cross-multiplied integer inequality, "
+        "so no float (and no sqrt/division) appears anywhere in the "
+        "plan."
+    ),
+    "chat_transcripts": (
+        "One hash aggregation per user: sort_array over (us, event_id, "
+        "line) structs orders each user's turns JVM-side, transform + "
+        "array_join renders the transcript — no window, no Python, "
+        "one shuffle on user_id."
+    ),
 }
 
 
