@@ -38,14 +38,32 @@ def frequent_pairs(
     basket_col: str,
     item_col: str,
     min_support: int = 2,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """``(item_a, item_b, support)`` for every unordered item pair
     co-occurring in ≥ ``min_support`` distinct baskets (item_a <
     item_b canonical orientation; duplicate items within a basket
-    count once)."""
+    count once).
+
+    ``max_basket_size`` is the hot-basket guard (the hot-bucket cap of
+    the dedup tier applied here): the pair join is quadratic PER
+    BASKET, so one pathological mega-basket (a bot account, a crawler
+    session) can dominate the whole job — baskets above the cap are
+    DROPPED ENTIRELY (standard market-basket practice: truncation
+    would bias which pairs survive; a basket that big carries no
+    co-occurrence signal anyway). None = uncapped; set it in any
+    pipeline fed by unmoderated data."""
     base = df.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).distinct()
+    if max_basket_size is not None:
+        small = (
+            base.groupBy("b")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") <= max_basket_size)
+            .select("b")
+        )
+        base = base.join(small, "b", "left_semi")
     left = base.select(F.col("b"), F.col("i").alias("item_a"))
     right = base.select(F.col("b").alias("b2"), F.col("i").alias("item_b"))
     return (

@@ -116,3 +116,20 @@ def test_association_rules_confidence_threshold(spark):
     r20 = association_rules(_baskets(spark, rows), "b", "i", 2, 20).collect()
     dirs20 = {(r.antecedent, r.consequent) for r in r20}
     assert (10, 20) in dirs20  # exactly at the 20% boundary (integer cross-mul)
+
+
+def test_max_basket_size_drops_mega_baskets(spark):
+    from geoestate_etl_spark.operators.itemsets import frequent_pairs
+
+    rows = [(1, 10), (1, 20)] + [(9, i) for i in range(50)] + [(2, 10), (2, 20)]
+    df = _baskets(spark, rows)
+    capped = {
+        (r.item_a, r.item_b): r.support
+        for r in frequent_pairs(df, "b", "i", 1, max_basket_size=10).collect()
+    }
+    # mega-basket 9 contributes nothing; normal baskets unaffected
+    assert capped == {(10, 20): 2}
+    # uncapped: the mega-basket's 50·49/2 pairs (10-20 merges into
+    # its (10, 20) row, so no +1)
+    uncapped = frequent_pairs(df, "b", "i", 1).count()
+    assert uncapped == (50 * 49) // 2
