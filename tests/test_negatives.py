@@ -1,0 +1,69 @@
+"""Deterministic negative sampling (operators/negatives.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.operators.negatives import sample_negatives
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(500).select(F.col("id").alias("doc_id"))
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    # 20 queries; query q's positives are {q, q+100}
+    rows = [(q, q) for q in range(20)] + [(q, q + 100) for q in range(20)]
+    return spark.createDataFrame(rows, "query_id long, pos_id long")
+
+
+def test_contract(spark, pairs, corpus):
+    out = sample_negatives(pairs, corpus, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.slot, r.neg_id))
+    assert set(by_q) == set(range(20))
+    positives = {(q, q) for q in range(20)} | {(q, q + 100) for q in range(20)}
+    for q, negs in by_q.items():
+        ids = [n for _, n in sorted(negs)]
+        assert len(ids) == 5
+        assert len(set(ids)) == 5  # distinct per query
+        for n in ids:
+            assert (q, n) not in positives
+            assert 0 <= n < 500
+        assert [s for s, _ in sorted(negs)] == [0, 1, 2, 3, 4]
+
+
+def test_deterministic_and_seed_sensitive(spark, pairs, corpus):
+    a = {(r.query_id, r.slot): r.neg_id
+         for r in sample_negatives(pairs, corpus, 4, seed=7).collect()}
+    b = {(r.query_id, r.slot): r.neg_id
+         for r in sample_negatives(pairs.repartition(9), corpus, 4, seed=7).collect()}
+    assert a == b
+    c = {(r.query_id, r.slot): r.neg_id
+         for r in sample_negatives(pairs, corpus, 4, seed=8).collect()}
+    assert c != a
+
+
+def test_unrelated_query_growth_stable(spark, corpus):
+    base = spark.createDataFrame(
+        [(q, q) for q in range(10)], "query_id long, pos_id long"
+    )
+    grown = spark.createDataFrame(
+        [(q, q) for q in range(30)], "query_id long, pos_id long"
+    )
+    a = {(r.query_id, r.slot): r.neg_id
+         for r in sample_negatives(base, corpus, 3).collect()}
+    b = {(r.query_id, r.slot): r.neg_id
+         for r in sample_negatives(grown, corpus, 3).collect()}
+    for key, v in a.items():
+        assert b[key] == v  # old queries' negatives never move
+
+
+def test_small_corpus_rejected(spark, pairs):
+    tiny = pairs.sparkSession.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        sample_negatives(pairs, tiny, k=5)
