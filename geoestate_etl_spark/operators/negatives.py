@@ -100,3 +100,78 @@ def sample_negatives(
             (F.col("rn") - 1).alias("slot"),
         )
     )
+
+
+def mine_hard_negatives(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    positive_col: str = "pos_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """``(query_id, neg_id, cos_sim)`` — the k most query-SIMILAR
+    corpus vectors that are not positives: hard negatives, the
+    contrastive-training complement of :func:`sample_negatives`'s
+    uniform draws (random negatives teach coarse separation; hard
+    negatives teach the decision boundary).
+
+    Shape: the exact batch ANN path
+    (:func:`~geoestate_etl_spark.operators.similarity.
+    brute_force_topk_batch` — broadcast probe batch, ONE corpus scan,
+    two-phase partial top-k) over-fetches ``k + max positives + 1``
+    neighbors per query, then self + positives are excluded and the
+    top-k by (rounded score desc, id asc) survive — the ranking
+    discipline every serving path here uses. Queries must appear in
+    ``embeddings`` under their ``query_col`` ids. For query sets too
+    large to broadcast, build an IVF index and swap in
+    ``similarity.knn_join`` — same downstream exclusion/re-rank."""
+    from pyspark.sql import Window as W
+
+    from geoestate_etl_spark.operators.similarity import brute_force_topk_batch
+
+    max_pos = (
+        pairs.groupBy(query_col)
+        .agg(F.count("*").alias("n_pos"))
+        .agg(F.max("n_pos"))
+        .collect()[0][0]
+        or 0
+    )
+    probes = embeddings.join(
+        pairs.select(F.col(query_col).alias(vec_id_col)).distinct(),
+        vec_id_col,
+        "left_semi",
+    ).select(
+        F.col(vec_id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+    )
+    graph = brute_force_topk_batch(
+        embeddings,
+        probes,
+        k=k + max_pos + 1,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        scale=scale,
+    )
+    cand = graph.filter(F.col("probe_id") != F.col(vec_id_col)).join(
+        pairs.select(
+            F.col(query_col).alias("probe_id"),
+            F.col(positive_col).alias(vec_id_col),
+        ).distinct(),
+        ["probe_id", vec_id_col],
+        "left_anti",
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc(vec_id_col)
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("probe_id").alias(query_col),
+            F.col(vec_id_col).alias("neg_id"),
+            "cos_sim",
+        )
+    )

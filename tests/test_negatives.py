@@ -67,3 +67,36 @@ def test_small_corpus_rejected(spark, pairs):
     tiny = pairs.sparkSession.range(3).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         sample_negatives(pairs, tiny, k=5)
+
+
+def test_hard_negatives_on_real_embeddings(spark):
+    """Hard negatives over the testdata embeddings: k most-similar
+    non-positives, verified against a numpy brute-force rebuild."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.negatives import mine_hard_negatives
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 60)
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (5, 7)], "query_id long, pos_id long"
+    )
+    got = {}
+    for r in mine_hard_negatives(pairs, emb, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.neg_id, r.cos_sim))
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    pos = {0: {1, 2}, 5: {7}}
+    for q in (0, 5):
+        sims = []
+        for vid, v in vecs.items():
+            if vid == q or vid in pos[q]:
+                continue
+            c = float(v @ vecs[q] / (np.linalg.norm(v) * np.linalg.norm(vecs[q])))
+            sims.append((round(c, 4), -vid))
+        want = sorted(sims, reverse=True)[:3]
+        want_ids = [-i for _, i in want]
+        assert [n for n, _ in got[q]] == want_ids, (q, got[q], want_ids)
