@@ -48,7 +48,19 @@ def make_key_table(
     bounded; keys must be non-derivable randomness)."""
     ids = [r[0] for r in subjects.select(subject_col).distinct().collect()]
     rows = [(s, secrets.token_bytes(KEY_BYTES)) for s in ids]
-    return spark.createDataFrame(rows, f"{subject_col} long, dek binary")
+    # subject type comes from the source schema — hardcoding long
+    # broke string/UUID subject ids (r4 review)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                subject_col, subjects.schema[subject_col].dataType
+            ),
+            T.StructField("dek", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def encrypt_columns(

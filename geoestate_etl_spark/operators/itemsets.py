@@ -83,6 +83,7 @@ def association_rules(
     item_col: str,
     min_support: int = 2,
     min_confidence_pct: int = 20,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """``(antecedent, consequent, support, confidence_pct_e2, lift_e6)``
     — both directions of every frequent pair, thresholded with EXACT
@@ -92,13 +93,29 @@ def association_rules(
 
     lift > 1e6 (i.e. > 1.0) means the pair co-occurs more than
     independence predicts — the curation signal for bundling /
-    co-occurrence features."""
+    co-occurrence features.
+
+    ``max_basket_size`` passes the hot-basket guard through (r4
+    review) and applies it CONSISTENTLY: dropped mega-baskets are
+    excluded from item supports and the basket count too, so
+    confidence/lift stay internally coherent rather than mixing a
+    capped numerator with uncapped denominators."""
     base = df.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).distinct()
+    if max_basket_size is not None:
+        small = (
+            base.groupBy("b")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") <= max_basket_size)
+            .select("b")
+        )
+        base = base.join(small, "b", "left_semi")
     n_baskets = base.select("b").distinct().count()
     item_support = base.groupBy("i").agg(F.count("*").alias("s_i"))
-    pairs = frequent_pairs(df, basket_col, item_col, min_support)
+    pairs = frequent_pairs(
+        base, "b", "i", min_support, max_basket_size=None
+    )
     both = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),
@@ -165,7 +182,9 @@ def frequent_itemsets_fp(
         .groupBy("b")
         .agg(F.array_sort(F.collect_set("i")).alias("items"))
     )
-    model = FPGrowth(
-        itemsCol="items", minSupport=min_support_frac, minConfidence=0.1
-    ).fit(baskets)
+    # no minConfidence: it only shapes associationRules, never the
+    # freqItemsets this returns (r4 review — dead configuration)
+    model = FPGrowth(itemsCol="items", minSupport=min_support_frac).fit(
+        baskets
+    )
     return model.freqItemsets

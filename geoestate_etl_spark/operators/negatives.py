@@ -21,9 +21,9 @@ Spark shape (the 100 TB story):
 Shortfall honesty: with ``oversample·k`` draws the chance of fewer
 than k distinct non-positive survivors is astronomically small for
 N ≫ k (birthday bound), but it is NOT zero — callers that require
-exactly-k should check ``n_negatives`` (emitted per query) rather
-than assume; padding with arbitrary rows would silently bias the
-distribution.
+exactly-k should verify with a per-query count
+(``out.groupBy(query_col).count()``) rather than assume; padding
+with arbitrary rows would silently bias the distribution.
 """
 
 from __future__ import annotations
@@ -49,14 +49,17 @@ def sample_negatives(
 
     if k < 1:
         raise ValueError("k must be >= 1")
-    index = renumber_scalable(
-        corpus.select(F.col(corpus_id_col).alias("cand_id")).distinct(),
-        order_key="cand_id",
-        id_alias="pos",
-    ).select((F.col("pos") - 1).alias("pos"), "cand_id")
-    n = index.count()
+    cand_ids = corpus.select(
+        F.col(corpus_id_col).alias("cand_id")
+    ).distinct()
+    # n from the cheap distinct count — counting the renumbered index
+    # would execute the full two-phase renumber twice (r4 review)
+    n = cand_ids.count()
     if n <= k:
         raise ValueError(f"corpus too small for k={k} negatives (n={n})")
+    index = renumber_scalable(
+        cand_ids, order_key="cand_id", id_alias="pos"
+    ).select((F.col("pos") - 1).alias("pos"), "cand_id")
 
     draws = (
         pairs.select(F.col(query_col).alias("q"))
@@ -139,14 +142,21 @@ def mine_hard_negatives(
         .collect()[0][0]
         or 0
     )
-    probes = embeddings.join(
-        pairs.select(F.col(query_col).alias(vec_id_col)).distinct(),
-        vec_id_col,
-        "left_semi",
-    ).select(
+    q_ids = pairs.select(F.col(query_col).alias(vec_id_col)).distinct()
+    probes = embeddings.join(q_ids, vec_id_col, "left_semi").select(
         F.col(vec_id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
     )
+    # every query must have an embedding — silently dropping a query
+    # would train on missing hard negatives with no signal (r4 review)
+    missing = q_ids.join(
+        embeddings.select(vec_id_col), vec_id_col, "left_anti"
+    )
+    stranded = [r[0] for r in missing.limit(5).collect()]
+    if stranded:
+        raise ValueError(
+            f"queries with no embedding under {vec_id_col}: {stranded}..."
+        )
     graph = brute_force_topk_batch(
         embeddings,
         probes,

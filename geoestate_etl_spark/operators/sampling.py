@@ -178,29 +178,34 @@ def grouped_split(
     silently mis-splitting is worse than failing (same philosophy as
     the NULL-stratum fix in :func:`temperature_mix`).
     """
+    gkey = _group_key(group, fallback_key, "grouped_split")
+    df = df.withColumn("_gkey", gkey)
+    return hash_split(df, "_gkey", fractions, salt, split_col).drop("_gkey")
+
+
+def _group_key(
+    group: Column | str, fallback_key: str | None, fn_name: str
+) -> Column:
+    """The shared NULL-group contract of :func:`grouped_split` and
+    :func:`k_fold` (r4 review: one home, not two copies): raise on
+    NULL groups without a fallback; with one, NULL-group rows key on a
+    TAGGED stable row id (the tag makes a group whose string form
+    equals an id collision-proof)."""
     g = F.col(group) if isinstance(group, str) else group
     if fallback_key is None:
-        df = df.withColumn(
-            "_gkey",
-            F.when(
-                g.isNull(),
-                F.raise_error(
-                    F.lit(
-                        "grouped_split: NULL group value and no fallback_key "
-                        "given — pass a stable row-id column"
-                    )
-                ),
-            ).otherwise(g.cast("string")),
-        )
-    else:
-        df = df.withColumn(
-            "_gkey",
-            F.coalesce(
-                g.cast("string"),
-                F.concat(F.lit("\x00row:"), F.col(fallback_key).cast("string")),
+        return F.when(
+            g.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"{fn_name}: NULL group value and no fallback_key "
+                    "given — pass a stable row-id column"
+                )
             ),
-        )
-    return hash_split(df, "_gkey", fractions, salt, split_col).drop("_gkey")
+        ).otherwise(g.cast("string"))
+    return F.coalesce(
+        g.cast("string"),
+        F.concat(F.lit("\x00row:"), F.col(fallback_key).cast("string")),
+    )
 
 
 def k_fold(
@@ -227,22 +232,7 @@ def k_fold(
     """
     if k < 2:
         raise ValueError("k_fold needs k >= 2")
-    g = F.col(group) if isinstance(group, str) else group
-    if fallback_key is None:
-        gkey = F.when(
-            g.isNull(),
-            F.raise_error(
-                F.lit(
-                    "k_fold: NULL group value and no fallback_key given "
-                    "— pass a stable row-id column"
-                )
-            ),
-        ).otherwise(g.cast("string"))
-    else:
-        gkey = F.coalesce(
-            g.cast("string"),
-            F.concat(F.lit("\x00row:"), F.col(fallback_key).cast("string")),
-        )
+    gkey = _group_key(group, fallback_key, "k_fold")
     return df.withColumn(
         fold_col,
         F.pmod(F.xxhash64(F.lit(salt), gkey), F.lit(k)).cast("int"),

@@ -65,10 +65,17 @@ def q_chat_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     role = F.when(
         F.col("event_type").isin("click", "view", "purchase"), F.lit("user")
     ).otherwise(F.lit("system"))
-    line = F.concat_ws(
-        " ",
-        F.concat(role, F.lit(":")),
+    # F.concat, NOT concat_ws: the oracle's `||` propagates NULL, so a
+    # NULL value/event_type must null the WHOLE line on the Spark side
+    # too (string_agg and array_join then both skip it identically) —
+    # concat_ws would render a truncated line the oracle never sees
+    # (r4 review; current testdata has no NULLs, this is the latent
+    # divergence guard)
+    line = F.concat(
+        role,
+        F.lit(": "),
         F.col("event_type"),
+        F.lit(" "),
         F.round(F.col("value") * 100).cast("long").cast("string"),
     )
     packed = F.struct(

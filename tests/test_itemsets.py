@@ -133,3 +133,17 @@ def test_max_basket_size_drops_mega_baskets(spark):
     # its (10, 20) row, so no +1)
     uncapped = frequent_pairs(df, "b", "i", 1).count()
     assert uncapped == (50 * 49) // 2
+
+
+def test_association_rules_cap_consistent(spark):
+    from geoestate_etl_spark.operators.itemsets import association_rules
+
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20)] + [(9, i) for i in range(40)]
+    df = _baskets(spark, rows)
+    capped = association_rules(df, "b", "i", 2, 20, max_basket_size=10)
+    got = {(r.antecedent, r.consequent): (r.support, r.confidence_pct_e2, r.lift_e6)
+           for r in capped.collect()}
+    # mega-basket gone: 2 baskets remain, both {10,20} → conf 100%, lift 1.0
+    assert got[(10, 20)] == (2, 10000, 1_000_000)
+    assert got[(20, 10)] == (2, 10000, 1_000_000)
+    assert len(got) == 2
