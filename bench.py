@@ -132,7 +132,7 @@ def main() -> None:
     # probe-only and a phantom "build" time gets recorded (review
     # finding — the index cache is keyed by source stats and survives
     # across runs in spark-warehouse/).
-    if "ann_certify" in specs:
+    if "similarity_ann" in specs:  # r5: ann_certify folded in here
         import shutil
 
         from geoestate_etl_spark.plans.queries_ext import (
@@ -166,7 +166,7 @@ def main() -> None:
             timings[name] = min(
                 timings[name], round(time.perf_counter() - t0, 3)
             )
-        if "ann_certify" in specs:
+        if "similarity_ann" in specs:
             # best-of-2 for the build line too: drop the materialized
             # index and rebuild (deterministic), same throttle-noise
             # rationale as the query loop — a single cold sample of the
@@ -211,7 +211,14 @@ def main() -> None:
             "variant",
             ["bpe", "encode", "mix", "pack", "unigram", "vocab"],
         ),
-        "status_extrema": ("kind", ["argmax", "argmin", "boolbit", "cond", "top3"]),
+        "status_extrema": (
+            "kind",
+            # rf_cnt stands in for the 9 former-returnflag_stats melt
+            # kinds (they share one wide-agg sub-plan; timing each melt
+            # row would re-time the same aggregation 9x)
+            ["argmax", "argmin", "boolbit", "cond", "top3", "rf_cnt"],
+        ),
+        "window_rank_suite": ("kind", ["rank", "frame"]),
         "tpch_q1": (
             "kind",
             ["q1", "q3", "q5", "q6", "q7", "q10", "q13", "q14", "q15", "q17", "q18", "q22"],
@@ -226,8 +233,13 @@ def main() -> None:
         # (the vocab_suite caveat above applies)
         "decontaminate": ("kind", ["ngram", "bloom", "semantic"]),
         "dedup_exact_suite": ("kind", ["exact", "keyed", "span"]),
-        "urls_chunks_suite": ("kind", ["url", "chunk", "html"]),
-        "ann_certify": ("variant", ["ivf_full", "lsh_cand", "pq_adc"]),
+        # r5 folds: urls/chunks kinds live in string_suite, the
+        # ann-certification variants in similarity_ann
+        "string_suite": ("kind", ["url", "chunk", "html"]),
+        "similarity_ann": (
+            "method",
+            ["lsh", "ivf", "hybrid", "exact", "ivf_full", "lsh_cand", "pq_adc"],
+        ),
     }
     from pyspark.sql import functions as _Fv
 

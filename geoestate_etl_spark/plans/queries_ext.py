@@ -451,8 +451,9 @@ def ensure_neardup_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize real PNG/BMP/WAV payloads (id-derived parameters)
-    and decode them back with the real header parser. Every decoded
+    """Synthesize real PNG/BMP/WAV/MP4/JPEG payloads (id-derived
+    parameters) and decode them back with the real header parser
+    (JPEG since r5 — VERDICT r4 #2: SOF marker walk). Every decoded
     field is a pure function of doc_id, so a SQL oracle predicts the
     exact output — the decode path is hash-match-gated, not rows-only."""
     docs = _t(spark, sf_dir, "documents")
@@ -734,39 +735,30 @@ SPECS = [
         "UNION ALL SELECT 'bm25', doc_id, NULL, score, rn FROM btop",
         "ext-tfidf+bm25-retrieval",
     ),
-    QuerySpec(
-        "similarity_bruteforce",
-        q_similarity_bruteforce,
-        "WITH probe AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p "
-        "FROM embeddings WHERE vec_id = 0), "
-        "scored AS (SELECT vec_id, round(list_cosine_similarity("
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)), (SELECT p FROM probe)"
-        "), 4) + 0 AS cos_sim FROM embeddings) "
-        "SELECT vec_id, cos_sim FROM scored "
-        "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10",
-        "ext-similarity-exact",
-    ),
+    # similarity_bruteforce folded into queries_suites.q_similarity_ann
+    # as method='exact' (r5, VERDICT r4 #1 — 50-entry driver window)
     QuerySpec(
         "multimodal_meta",
         q_multimodal_meta,
         # every decoded field is a pure function of doc_id (see
         # attach_real_media): the oracle predicts what the real header
-        # parser must recover from the actual PNG/BMP/WAV/MP4 bytes
+        # parser must recover from the actual PNG/BMP/WAV/MP4/JPEG bytes
         "SELECT doc_id AS media_id, "
-        "CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
-        "WHEN 2 THEN 'wav' ELSE 'mp4' END AS format, "
-        "CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(doc_id % 64 + 1 AS INT) "
-        "WHEN doc_id % 4 = 3 THEN CAST(doc_id % 128 + 16 AS INT) END AS width, "
-        "CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(doc_id % 48 + 1 AS INT) "
-        "WHEN doc_id % 4 = 3 THEN CAST(doc_id % 96 + 16 AS INT) END AS height, "
-        "CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 "
+        "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
+        "WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4' ELSE 'jpeg' END AS format, "
+        "CASE WHEN doc_id % 5 IN (0, 1, 4) THEN CAST(doc_id % 64 + 1 AS INT) "
+        "WHEN doc_id % 5 = 3 THEN CAST(doc_id % 128 + 16 AS INT) END AS width, "
+        "CASE WHEN doc_id % 5 IN (0, 1, 4) THEN CAST(doc_id % 48 + 1 AS INT) "
+        "WHEN doc_id % 5 = 3 THEN CAST(doc_id % 96 + 16 AS INT) END AS height, "
+        "CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 "
         "WHEN 2 THEN doc_id % 2 + 1 ELSE 1 END AS INT) AS n_channels, "
-        "CASE WHEN doc_id % 4 = 2 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) "
-        "WHEN doc_id % 4 = 3 THEN CAST(1000 * (doc_id % 5 + 1) AS INT) END AS sample_rate, "
-        "CAST(CASE doc_id % 4 WHEN 2 THEN doc_id % 100 + 1 "
+        "CASE WHEN doc_id % 5 = 2 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) "
+        "WHEN doc_id % 5 = 3 THEN CAST(1000 * (doc_id % 5 + 1) AS INT) END AS sample_rate, "
+        "CAST(CASE doc_id % 5 WHEN 2 THEN doc_id % 100 + 1 "
         "WHEN 3 THEN doc_id % 5000 + 1 ELSE 1 END AS INT) AS n_frames "
         "FROM documents",
-        "ext-multimodal (png/bmp/wav/mp4 since late-r4)",
+        "ext-multimodal (png/bmp/wav/mp4 late-r4; jpeg r5 — real "
+        "baseline-SOF0 files, SOF0/SOF2 marker-walk header decode)",
     ),
     QuerySpec(
         "decontaminate",

@@ -109,6 +109,53 @@ def q_renumber_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full window surface, tagged (r5 fold — VERDICT r4 #1: the
+    registry must hold ≤50 entries so every name gets a driver
+    verdict; ``window_frame_suite`` is now the ``frame`` kind here).
+
+    - ``rank``: rank family (desc window) + distribution family
+      (asc window) per customer row (:func:`_window_rank_rows`).
+    - ``frame``: explicit-frame functions per order row
+      (:func:`q_window_frame_suite` — trailing moving average,
+      first/last/nth_value).
+
+    Generic tagged shape (kind, k1, k2, val, l1..l7, d1, d2); each
+    kind's column mapping is documented at its select site.
+    """
+    rank = _window_rank_rows(spark, sf_dir).select(
+        F.lit("rank").alias("kind"),
+        F.col("c_custkey").cast(T.LongType()).alias("k1"),
+        F.col("c_nationkey").cast(T.LongType()).alias("k2"),
+        F.col("c_acctbal").alias("val"),
+        F.col("rn").alias("l1"),
+        F.col("rnk").alias("l2"),
+        F.col("dense_rnk").alias("l3"),
+        F.col("running_cents").alias("l4"),
+        F.col("quartile").alias("l5"),
+        F.col("pct_rank_micro").alias("l6"),
+        F.col("cdist_micro").alias("l7"),
+        F.col("prev_value").alias("d1"),
+        F.col("next_value").alias("d2"),
+    )
+    frame = q_window_frame_suite(spark, sf_dir).select(
+        F.lit("frame").alias("kind"),
+        F.col("o_orderkey").cast(T.LongType()).alias("k1"),
+        F.col("o_custkey").cast(T.LongType()).alias("k2"),
+        _NULL_D().alias("val"),
+        F.col("ma4_cents").alias("l1"),
+        F.col("first_order").cast(T.LongType()).alias("l2"),
+        F.col("last_order").cast(T.LongType()).alias("l3"),
+        F.col("second_order").cast(T.LongType()).alias("l4"),
+        _NULL_L().alias("l5"),
+        _NULL_L().alias("l6"),
+        _NULL_L().alias("l7"),
+        _NULL_D().alias("d1"),
+        _NULL_D().alias("d2"),
+    )
+    return rank.unionByName(frame)
+
+
+def _window_rank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank family (desc window) + distribution family (asc window)
     per customer row."""
     cust = _t(spark, sf_dir, "customer")
@@ -730,6 +777,37 @@ def q_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete similarity-search serving + certification surface,
+    tagged (method, vec_id, cos_sim) — r5 fold (VERDICT r4 #1, the
+    50-entry driver window):
+
+    - ``lsh``/``ivf``/``hybrid``: the approximate serving top-10s
+      (:func:`_similarity_ann_rows`).
+    - ``exact``: brute-force cosine top-10 — the recall baseline
+      (formerly the ``similarity_bruteforce`` entry).
+    - ``ivf_full``/``lsh_cand``/``pq_adc``: the machinery
+      certification rows (formerly the ``ann_certify`` entry; its
+      ``pq_adc`` variant gets its first driver verdict through this
+      fold).
+    """
+    from geoestate_etl_spark.operators import similarity as SIM
+    from geoestate_etl_spark.plans.queries_ext import _probe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = SIM.brute_force_topk(emb, _probe(spark, sf_dir), k=10).select(
+        F.lit("exact").alias("method"), "vec_id", "cos_sim"
+    )
+    cert = q_ann_certify(spark, sf_dir).select(
+        F.col("variant").alias("method"), "vec_id", "cos_sim"
+    )
+    return (
+        _similarity_ann_rows(spark, sf_dir)
+        .unionByName(exact)
+        .unionByName(cert)
+    )
+
+
+def _similarity_ann_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k three ways, tagged: hyperplane-LSH
     multi-probe, IVF (probe-only), and the hybrid exact re-rank over
     their candidate union (recall ≥ either by construction).
@@ -1259,13 +1337,70 @@ def q_status_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents=F.col("high_cents"),
         )
     )
-    return argmax.unionByName(argmin).unionByName(top3).unionByName(boolbit).unionByName(cond)
+    # r5 fold (VERDICT r4 #1): the former returnflag_stats entry melts
+    # into the same tagged shape — one kind per stat family so the
+    # whole stats/distinct/quantiles/salted-count surface shares this
+    # driver row. The wide frame is 3 rows; localCheckpoint keeps the
+    # 9 melt selects from re-running the lineitem aggregation.
+    rf = q_returnflag_stats(spark, sf_dir).localCheckpoint(eager=True)
+    key = F.col("l_returnflag")
+    rf_rows = [
+        rf.select(*shape("rf_cnt", key, F.col("cnt"))),
+        rf.select(*shape("rf_dist", key, F.col("n_parts"), k2=F.col("n_supps"))),
+        rf.select(*shape("rf_sd", key, _NULL_L(), val=F.col("sd_qty"))),
+        rf.select(*shape("rf_var", key, _NULL_L(), val=F.col("var_qty"))),
+        rf.select(*shape("rf_corr", key, _NULL_L(), val=F.col("corr_qp"))),
+        rf.select(*shape("rf_covar", key, _NULL_L(), val=F.col("covar_qd"))),
+        rf.select(*shape("rf_p50", key, _NULL_L(), val=F.col("p50"))),
+        rf.select(*shape("rf_p90", key, _NULL_L(), val=F.col("p90"))),
+        rf.select(*shape("rf_p95", key, _NULL_L(), val=F.col("price_p95"))),
+    ]
+    out = argmax.unionByName(argmin).unionByName(top3).unionByName(boolbit).unionByName(cond)
+    for r in rf_rows:
+        out = out.unionByName(r)
+    return out
 
 
 # --- scalar-function suites ------------------------------------------------
 
 
+#: string_suite melt kinds: string-valued wide columns land in ``s1``,
+#: long-valued ones in ``id2`` (the urls/chunks tagged shape).
+_STRING_MELT_S = [
+    "up", "lo", "sub", "padded", "joined", "name_head", "repl",
+    "name_num", "pii_hash", "pii_token",
+]
+_STRING_MELT_L = ["ln", "n_digits"]
+
+
 def q_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function + URL/chunk/markup surface, tagged
+    (kind, id1, id2, s1, s2) — r5 fold (VERDICT r4 #1):
+    ``urls_chunks_suite`` (never driver-verified as its own entry) is
+    now the ``url``/``chunk``/``html`` kinds here, and the customer
+    string-function wide projection melts to one row per (customer,
+    function) so both surfaces share one driver-hashed row.
+    """
+    wide = _string_wide(spark, sf_dir)
+    s_rows = wide.unpivot("c_custkey", _STRING_MELT_S, "kind", "s1").select(
+        "kind",
+        F.col("c_custkey").cast(T.LongType()).alias("id1"),
+        _NULL_L().alias("id2"),
+        "s1",
+        _NULL_S().alias("s2"),
+    )
+    l_rows = wide.unpivot("c_custkey", _STRING_MELT_L, "kind", "lv").select(
+        "kind",
+        F.col("c_custkey").cast(T.LongType()).alias("id1"),
+        F.col("lv").alias("id2"),
+        _NULL_S().alias("s1"),
+        _NULL_S().alias("s2"),
+    )
+    urls = q_urls_chunks_suite(spark, sf_dir)
+    return s_rows.unionByName(l_rows).unionByName(urls)
+
+
+def _string_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String + regexp-extract surface, one customer projection.
 
     ``pii_hash``/``pii_token`` (r4): deterministic pseudonymization for
@@ -1297,6 +1432,34 @@ def q_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + map/collect surface, tagged (r5 fold — VERDICT r4 #1:
+    ``map_collect_suite`` is now the ``map``/``collect`` kinds here so
+    the registry fits the driver's 50-entry verification window).
+
+    Shape (kind, key, k, v, s_val, arr_val): array stat/element kinds
+    carry key=vec_id with (k, v); map/collect kinds carry the
+    nation/region key with (k=n_val, s_val, arr_val).
+    """
+    arr = _array_rows(spark, sf_dir).select(
+        "kind",
+        F.col("vec_id").cast(T.LongType()).alias("key"),
+        "k",
+        "v",
+        _NULL_S().alias("s_val"),
+        _NULL_S().alias("arr_val"),
+    )
+    mc = q_map_collect_suite(spark, sf_dir).select(
+        "kind",
+        "key",
+        F.col("n_val").alias("k"),
+        _NULL_D().alias("v"),
+        "s_val",
+        "arr_val",
+    )
+    return arr.unionByName(mc)
+
+
+def _array_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array surface melted to (kind, vec_id, k, v): per-vector stats
     via higher-order functions + posexplode elements."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
@@ -1757,6 +1920,115 @@ UNION ALL SELECT * FROM html_rows
 """
 
 
+#: The pre-r5-fold single-surface oracles, kept as named constants the
+#: merged tagged-union oracles wrap (DuckDB allows WITH inside a
+#: parenthesized subquery, so each folds in verbatim).
+_RANK_SQL = (
+    "WITH r AS (SELECT c_custkey, c_nationkey, c_acctbal, "
+    "row_number() OVER wd AS rn, rank() OVER wd AS rnk, "
+    "dense_rank() OVER wd AS dense_rnk, "
+    "lag(c_acctbal, 1) OVER wd AS prev_value, "
+    "lead(c_acctbal, 1) OVER wd AS next_value, "
+    "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER "
+    "(PARTITION BY c_nationkey "
+    "ORDER BY c_acctbal DESC, c_custkey ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents, "
+    "ntile(4) OVER wa AS quartile, rank() OVER wa AS rnk_a, "
+    "count(*) OVER (PARTITION BY c_nationkey) AS n FROM customer "
+    "WINDOW wd AS (PARTITION BY c_nationkey "
+    "ORDER BY c_acctbal DESC, c_custkey ASC), "
+    "wa AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)) "
+    "SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk, dense_rnk, "
+    "prev_value, next_value, running_cents, quartile, "
+    "CASE WHEN n = 1 THEN 0 ELSE CAST(floor((2 * (rnk_a - 1) * 1000000 "
+    "+ (n - 1)) / (2 * (n - 1))) AS BIGINT) END AS pct_rank_micro, "
+    "CAST(floor((2 * rnk_a * 1000000 + n) / (2 * n)) AS BIGINT) AS cdist_micro "
+    "FROM r"
+)
+
+_FRAME_SQL = (
+    "WITH c AS (SELECT o_orderkey, o_custkey, o_orderdate, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+    "SELECT o_orderkey, o_custkey, "
+    "CAST(floor((2 * sum(cents) OVER wt + count(cents) OVER wt) "
+    "/ (2 * count(cents) OVER wt)) AS BIGINT) AS ma4_cents, "
+    "first_value(o_orderkey) OVER wf AS first_order, "
+    "last_value(o_orderkey) OVER wf AS last_order, "
+    "nth_value(o_orderkey, 2) OVER wf AS second_order FROM c "
+    "WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, "
+    "o_orderkey ASC ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), "
+    "wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, "
+    "o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+)
+
+_STRING_SQL = (
+    "SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo, "
+    "substring(c_name, 1, 8) AS sub, length(c_name) AS ln, "
+    "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, "
+    "c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS joined, "
+    "string_split(c_name, '#')[1] AS name_head, "
+    "replace(c_name, 'Customer', 'Cst') AS repl, "
+    "regexp_extract(c_name, '#(\\d+)', 1) AS name_num, "
+    "len(regexp_extract_all(c_name, '\\d')) AS n_digits, "
+    "sha256(c_name) AS pii_hash, "
+    "substring(sha256('pepper-2026' || c_name), 1, 16) AS pii_token "
+    "FROM customer"
+)
+
+_ARRAY_SQL = (
+    "WITH base AS (SELECT vec_id, len(embedding) AS dim, "
+    "round(CAST(embedding[1] AS DOUBLE), 4) AS first_el, "
+    "round(CAST(list_max(embedding) AS DOUBLE), 4) AS mx, "
+    "round(CAST(list_min(embedding) AS DOUBLE), 4) AS mn, "
+    "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS total, "
+    "len(list_filter(embedding, x -> x > 0)) AS n_pos "
+    "FROM embeddings WHERE vec_id < 50) "
+    "SELECT kind, vec_id, CAST(NULL AS BIGINT) AS k, v FROM ("
+    "SELECT vec_id, 'dim' AS kind, CAST(dim AS DOUBLE) AS v FROM base "
+    "UNION ALL SELECT vec_id, 'first_el', first_el FROM base "
+    "UNION ALL SELECT vec_id, 'mx', mx FROM base "
+    "UNION ALL SELECT vec_id, 'mn', mn FROM base "
+    "UNION ALL SELECT vec_id, 'total', total FROM base "
+    "UNION ALL SELECT vec_id, 'n_pos', CAST(n_pos AS DOUBLE) FROM base) "
+    "UNION ALL SELECT 'el', vec_id, u.pos - 1, CAST(u.val AS DOUBLE) "
+    "FROM embeddings, LATERAL (SELECT UNNEST(embedding) AS val, "
+    "generate_subscripts(embedding, 1) AS pos) u WHERE vec_id < 10"
+)
+
+_MAP_COLLECT_SQL = (
+    "SELECT 'map' AS kind, CAST(n_nationkey AS BIGINT) AS key, "
+    "n_name AS s_val, CAST(2 AS BIGINT) AS n_val, "
+    "'key|name' AS arr_val FROM nation "
+    "UNION ALL SELECT 'collect', CAST(n_regionkey AS BIGINT), "
+    "CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
+    "array_to_string(list_sort(list(n_name)), '|') FROM nation GROUP BY n_regionkey"
+)
+
+_RETURNFLAG_SQL = (
+    "SELECT l_returnflag, count(*) AS cnt, "
+    "round(stddev_samp(l_quantity), 4) AS sd_qty, "
+    "round(var_samp(l_quantity), 4) AS var_qty, "
+    "round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qp, "
+    "round(covar_samp(l_quantity, l_discount), 4) + 0 AS covar_qd, "
+    "count(DISTINCT l_partkey) AS n_parts, "
+    "count(DISTINCT l_suppkey) AS n_supps, "
+    "quantile_cont(l_quantity, 0.5) AS p50, "
+    "quantile_cont(l_quantity, 0.9) AS p90, "
+    "quantile_cont(l_extendedprice, 0.95) AS price_p95 "
+    "FROM lineitem GROUP BY l_returnflag"
+)
+
+_BRUTEFORCE_SQL = (
+    "WITH probe AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p "
+    "FROM embeddings WHERE vec_id = 0), "
+    "scored AS (SELECT vec_id, round(list_cosine_similarity("
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)), (SELECT p FROM probe)"
+    "), 4) + 0 AS cos_sim FROM embeddings) "
+    "SELECT vec_id, cos_sim FROM scored "
+    "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"
+)
+
+
 def _specs() -> list[QuerySpec]:
     from geoestate_etl_spark.plans.queries_etl import _morton_sql
     from geoestate_etl_spark.plans.queries_ext import (
@@ -2179,27 +2451,22 @@ LEFT JOIN mqs USING (doc_id)
         QuerySpec(
             "window_rank_suite",
             q_window_rank_suite,
-            "WITH r AS (SELECT c_custkey, c_nationkey, c_acctbal, "
-            "row_number() OVER wd AS rn, rank() OVER wd AS rnk, "
-            "dense_rank() OVER wd AS dense_rnk, "
-            "lag(c_acctbal, 1) OVER wd AS prev_value, "
-            "lead(c_acctbal, 1) OVER wd AS next_value, "
-            "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER "
-            "(PARTITION BY c_nationkey "
-            "ORDER BY c_acctbal DESC, c_custkey ASC "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents, "
-            "ntile(4) OVER wa AS quartile, rank() OVER wa AS rnk_a, "
-            "count(*) OVER (PARTITION BY c_nationkey) AS n FROM customer "
-            "WINDOW wd AS (PARTITION BY c_nationkey "
-            "ORDER BY c_acctbal DESC, c_custkey ASC), "
-            "wa AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)) "
-            "SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk, dense_rnk, "
-            "prev_value, next_value, running_cents, quartile, "
-            "CASE WHEN n = 1 THEN 0 ELSE CAST(floor((2 * (rnk_a - 1) * 1000000 "
-            "+ (n - 1)) / (2 * (n - 1))) AS BIGINT) END AS pct_rank_micro, "
-            "CAST(floor((2 * rnk_a * 1000000 + n) / (2 * n)) AS BIGINT) AS cdist_micro "
-            "FROM r",
-            "W-rank+distribution (merged: rank_family+rank_distribution)",
+            "SELECT 'rank' AS kind, CAST(c_custkey AS BIGINT) AS k1, "
+            "CAST(c_nationkey AS BIGINT) AS k2, c_acctbal AS val, "
+            "rn AS l1, rnk AS l2, dense_rnk AS l3, running_cents AS l4, "
+            "CAST(quartile AS BIGINT) AS l5, pct_rank_micro AS l6, "
+            "cdist_micro AS l7, prev_value AS d1, next_value AS d2 "
+            "FROM (" + _RANK_SQL + ") "
+            "UNION ALL SELECT 'frame', CAST(o_orderkey AS BIGINT), "
+            "CAST(o_custkey AS BIGINT), CAST(NULL AS DOUBLE), ma4_cents, "
+            "CAST(first_order AS BIGINT), CAST(last_order AS BIGINT), "
+            "CAST(second_order AS BIGINT), CAST(NULL AS BIGINT), "
+            "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) "
+            "FROM (" + _FRAME_SQL + ")",
+            "W-rank+distribution+frames (merged: rank_family+"
+            "rank_distribution; r5 fold: window_frame_suite -> kind="
+            "'frame' so the registry fits the 50-entry driver window)",
         ),
         QuerySpec(
             "orders_scalar_suite",
@@ -2499,9 +2766,16 @@ LEFT JOIN mqs USING (doc_id)
         QuerySpec(
             "similarity_ann",
             q_similarity_ann,
-            similarity_ann_sql,
+            "SELECT * FROM (" + similarity_ann_sql + ") ann "
+            "UNION ALL SELECT 'exact' AS method, vec_id, cos_sim "
+            "FROM (" + _BRUTEFORCE_SQL + ") bf "
+            "UNION ALL SELECT variant AS method, vec_id, cos_sim "
+            "FROM (" + ann_certify_sql + ") cert",
             "ext-similarity lsh+ivf+hybrid serving top-k (hash-oracled r4 "
-            "via the committed IVF artifact + inlined probe cells)",
+            "via the committed IVF artifact + inlined probe cells; r5 "
+            "fold: similarity_bruteforce -> method='exact', ann_certify "
+            "-> methods ivf_full/lsh_cand/pq_adc, giving pq_adc its "
+            "first driver verdict)",
         ),
         QuerySpec(
             "approx_sketches",
@@ -2533,26 +2807,10 @@ LEFT JOIN mqs USING (doc_id)
             "(hash-oracled r4)",
         ),
         QuerySpec(
-            "returnflag_stats",
-            q_returnflag_stats,
-            "SELECT l_returnflag, count(*) AS cnt, "
-            "round(stddev_samp(l_quantity), 4) AS sd_qty, "
-            "round(var_samp(l_quantity), 4) AS var_qty, "
-            "round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qp, "
-            "round(covar_samp(l_quantity, l_discount), 4) + 0 AS covar_qd, "
-            "count(DISTINCT l_partkey) AS n_parts, "
-            "count(DISTINCT l_suppkey) AS n_supps, "
-            "quantile_cont(l_quantity, 0.5) AS p50, "
-            "quantile_cont(l_quantity, 0.9) AS p90, "
-            "quantile_cont(l_extendedprice, 0.95) AS price_p95 "
-            "FROM lineitem GROUP BY l_returnflag",
-            "stats+distinct+quantiles+salted-count (merged: stats_aggs+"
-            "distinct_counts+quantiles_by_group+salted_counts)",
-        ),
-        QuerySpec(
             "status_extrema",
             q_status_extrema,
-            "WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice, "
+            "WITH rf AS (" + _RETURNFLAG_SQL + ") "
+            "SELECT * FROM (WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice, "
             "row_number() OVER (PARTITION BY o_orderstatus "
             "ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax, "
             "row_number() OVER (PARTITION BY o_orderstatus "
@@ -2581,76 +2839,63 @@ LEFT JOIN mqs USING (doc_id)
             "CAST(all_positive AS BIGINT), CAST(any_high_disc AS BIGINT), "
             "NULL, NULL FROM ls "
             "UNION ALL SELECT 'cond', l_linestatus, n_high, n_low, NULL, "
-            "NULL, NULL, high_cents FROM ls",
-            "agg-argminmax+topk-per-group+bool-bit+conditional (merged r3: "
-            "minby_maxby+top3_per_group+linestatus_aggs)",
+            "NULL, NULL, high_cents FROM ls) base "
+            "UNION ALL SELECT 'rf_cnt', l_returnflag, cnt, NULL, NULL, "
+            "NULL, NULL, NULL FROM rf "
+            "UNION ALL SELECT 'rf_dist', l_returnflag, n_parts, n_supps, "
+            "NULL, NULL, NULL, NULL FROM rf "
+            "UNION ALL SELECT 'rf_sd', l_returnflag, NULL, NULL, NULL, "
+            "NULL, sd_qty, NULL FROM rf "
+            "UNION ALL SELECT 'rf_var', l_returnflag, NULL, NULL, NULL, "
+            "NULL, var_qty, NULL FROM rf "
+            "UNION ALL SELECT 'rf_corr', l_returnflag, NULL, NULL, NULL, "
+            "NULL, corr_qp, NULL FROM rf "
+            "UNION ALL SELECT 'rf_covar', l_returnflag, NULL, NULL, NULL, "
+            "NULL, covar_qd, NULL FROM rf "
+            "UNION ALL SELECT 'rf_p50', l_returnflag, NULL, NULL, NULL, "
+            "NULL, p50, NULL FROM rf "
+            "UNION ALL SELECT 'rf_p90', l_returnflag, NULL, NULL, NULL, "
+            "NULL, p90, NULL FROM rf "
+            "UNION ALL SELECT 'rf_p95', l_returnflag, NULL, NULL, NULL, "
+            "NULL, price_p95, NULL FROM rf",
+            "agg-argminmax+topk-per-group+bool-bit+conditional+stats+"
+            "distinct+quantiles+salted-count (merged r3: minby_maxby+"
+            "top3_per_group+linestatus_aggs; r5 fold: returnflag_stats "
+            "-> rf_* kinds)",
         ),
         QuerySpec(
             "string_suite",
             q_string_suite,
-            "SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo, "
-            "substring(c_name, 1, 8) AS sub, length(c_name) AS ln, "
-            "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, "
-            "c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS joined, "
-            "string_split(c_name, '#')[1] AS name_head, "
-            "replace(c_name, 'Customer', 'Cst') AS repl, "
-            "regexp_extract(c_name, '#(\\d+)', 1) AS name_num, "
-            "len(regexp_extract_all(c_name, '\\d')) AS n_digits, "
-            "sha256(c_name) AS pii_hash, "
-            "substring(sha256('pepper-2026' || c_name), 1, 16) AS pii_token "
-            "FROM customer",
+            "WITH ss AS (" + _STRING_SQL + ") "
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS kind, CAST(c_custkey AS BIGINT) AS id1, "
+                "CAST(NULL AS BIGINT) AS id2, "
+                f"{c} AS s1, CAST(NULL AS VARCHAR) AS s2 FROM ss"
+                for c in _STRING_MELT_S
+            )
+            + " UNION ALL "
+            + " UNION ALL ".join(
+                f"SELECT '{c}', c_custkey, {c}, NULL, NULL FROM ss"
+                for c in _STRING_MELT_L
+            )
+            + " UNION ALL SELECT kind, id1, id2, s1, s2 FROM ("
+            + _URLS_CHUNKS_SQL
+            + ") u",
             "fn-strings+regexp+sha2-pseudonymization "
-            "(merged: string_funcs+regexp_extract; pii r4)",
+            "(merged: string_funcs+regexp_extract; pii r4; r5 fold: "
+            "urls_chunks_suite -> kinds url/chunk/html)",
         ),
         QuerySpec(
             "array_suite",
             q_array_suite,
-            "WITH base AS (SELECT vec_id, len(embedding) AS dim, "
-            "round(CAST(embedding[1] AS DOUBLE), 4) AS first_el, "
-            "round(CAST(list_max(embedding) AS DOUBLE), 4) AS mx, "
-            "round(CAST(list_min(embedding) AS DOUBLE), 4) AS mn, "
-            "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS total, "
-            "len(list_filter(embedding, x -> x > 0)) AS n_pos "
-            "FROM embeddings WHERE vec_id < 50) "
-            "SELECT kind, vec_id, CAST(NULL AS BIGINT) AS k, v FROM ("
-            "SELECT vec_id, 'dim' AS kind, CAST(dim AS DOUBLE) AS v FROM base "
-            "UNION ALL SELECT vec_id, 'first_el', first_el FROM base "
-            "UNION ALL SELECT vec_id, 'mx', mx FROM base "
-            "UNION ALL SELECT vec_id, 'mn', mn FROM base "
-            "UNION ALL SELECT vec_id, 'total', total FROM base "
-            "UNION ALL SELECT vec_id, 'n_pos', CAST(n_pos AS DOUBLE) FROM base) "
-            "UNION ALL SELECT 'el', vec_id, u.pos - 1, CAST(u.val AS DOUBLE) "
-            "FROM embeddings, LATERAL (SELECT UNNEST(embedding) AS val, "
-            "generate_subscripts(embedding, 1) AS pos) u WHERE vec_id < 10",
-            "fn-arrays+explode (merged: array_funcs+explode_embeddings)",
-        ),
-        QuerySpec(
-            "map_collect_suite",
-            q_map_collect_suite,
-            "SELECT 'map' AS kind, CAST(n_nationkey AS BIGINT) AS key, "
-            "n_name AS s_val, CAST(2 AS BIGINT) AS n_val, "
-            "'key|name' AS arr_val FROM nation "
-            "UNION ALL SELECT 'collect', CAST(n_regionkey AS BIGINT), "
-            "CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
-            "array_to_string(list_sort(list(n_name)), '|') FROM nation GROUP BY n_regionkey",
-            "fn-maps+agg-collect (merged: map_funcs+collect_sorted)",
-        ),
-        QuerySpec(
-            "window_frame_suite",
-            q_window_frame_suite,
-            "WITH c AS (SELECT o_orderkey, o_custkey, o_orderdate, "
-            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
-            "SELECT o_orderkey, o_custkey, "
-            "CAST(floor((2 * sum(cents) OVER wt + count(cents) OVER wt) "
-            "/ (2 * count(cents) OVER wt)) AS BIGINT) AS ma4_cents, "
-            "first_value(o_orderkey) OVER wf AS first_order, "
-            "last_value(o_orderkey) OVER wf AS last_order, "
-            "nth_value(o_orderkey, 2) OVER wf AS second_order FROM c "
-            "WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, "
-            "o_orderkey ASC ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), "
-            "wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, "
-            "o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
-            "window-frames (merged: moving_avg+window_values)",
+            "SELECT kind, CAST(vec_id AS BIGINT) AS key, k, v, "
+            "CAST(NULL AS VARCHAR) AS s_val, CAST(NULL AS VARCHAR) AS arr_val "
+            "FROM (" + _ARRAY_SQL + ") a "
+            "UNION ALL SELECT kind, key, n_val, CAST(NULL AS DOUBLE), "
+            "s_val, arr_val FROM (" + _MAP_COLLECT_SQL + ") m",
+            "fn-arrays+explode+maps+agg-collect (merged: array_funcs+"
+            "explode_embeddings; r5 fold: map_collect_suite -> kinds "
+            "map/collect)",
         ),
         QuerySpec(
             "geo_distance_radius",
@@ -2700,25 +2945,10 @@ LEFT JOIN mqs USING (doc_id)
             "brute-force argmin)",
         ),
         QuerySpec(
-            "ann_certify",
-            q_ann_certify,
-            ann_certify_sql,
-            "ext-ann-certification (full-probe IVF == brute force; LSH "
-            "candidate set == SQL bucket rebuild)",
-        ),
-        QuerySpec(
             "vocab_suite",
             q_vocab_suite,
             vocab_sql,
             "ext-vocab-build+encode (LLM-pipeline op, driver-oracled r3)",
-        ),
-        QuerySpec(
-            "urls_chunks_suite",
-            q_urls_chunks_suite,
-            _URLS_CHUNKS_SQL,
-            "ext-url-canonicalization+registered-domain+doc-chunking "
-            "(r4: the test-tier DuckDB parity formulations promoted to "
-            "a driver row)",
         ),
     ]
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from geoestate_etl_spark.operators.multimodal import (
     decode_media_real,
     make_bmp,
+    make_jpeg,
     make_png,
     make_wav,
 )
@@ -32,6 +33,7 @@ def media_dir(tmp_path_factory):
     (d / "a.png").write_bytes(make_png(12, 7))
     (d / "b.bmp").write_bytes(make_bmp(5, 9))
     (d / "nested" / "c.wav").write_bytes(make_wav(16000, 2, 40))
+    (d / "d.jpg").write_bytes(make_jpeg(24, 16))
     (d / "notes.txt").write_text("not media")
     return str(d)
 
@@ -40,7 +42,7 @@ def test_scan_shape_and_recursion(spark, media_dir):
     files = read_binary_files(spark, media_dir)
     rows = {os.path.basename(r.path): r for r in files.collect()}
     # recursive lookup found the nested wav; txt is listed too (no glob)
-    assert set(rows) == {"a.png", "b.bmp", "c.wav", "notes.txt"}
+    assert set(rows) == {"a.png", "b.bmp", "c.wav", "d.jpg", "notes.txt"}
     assert rows["a.png"].length == len(make_png(12, 7))
     assert bytes(rows["b.bmp"].content) == make_bmp(5, 9)
 
@@ -51,7 +53,7 @@ def test_glob_filters_at_listing(spark, media_dir):
 
 
 def test_ingest_decode_end_to_end(spark, media_dir):
-    files = read_binary_files(spark, media_dir, glob="*.{png,bmp,wav}")
+    files = read_binary_files(spark, media_dir, glob="*.{png,bmp,wav,jpg}")
     media = media_table(files)
     decoded = decode_media_real(media).join(
         media.select("media_id", "source_path"), "media_id"
@@ -59,7 +61,7 @@ def test_ingest_decode_end_to_end(spark, media_dir):
     by_name = {
         os.path.basename(r.source_path): r for r in decoded.collect()
     }
-    assert len(by_name) == 3
+    assert len(by_name) == 4
     png = by_name["a.png"]
     assert (png.format, png.width, png.height) == ("png", 12, 7)
     bmp = by_name["b.bmp"]
@@ -71,6 +73,10 @@ def test_ingest_decode_end_to_end(spark, media_dir):
         2,
         40,
     )
+    jpg = by_name["d.jpg"]
+    assert (jpg.format, jpg.width, jpg.height, jpg.n_channels) == (
+        "jpeg", 24, 16, 1,
+    )
 
 
 def test_media_id_deterministic_path_hash(spark, media_dir):
@@ -81,7 +87,7 @@ def test_media_id_deterministic_path_hash(spark, media_dir):
     a = {(r.media_id, r.source_path) for r in m1.collect()}
     b = {(r.media_id, r.source_path) for r in m2.collect()}
     assert a == b  # id is content-of-path, not partition-order
-    assert m1.select("media_id").distinct().count() == 4
+    assert m1.select("media_id").distinct().count() == 5
 
 
 def test_glob_is_pushed_to_listing(spark, media_dir):

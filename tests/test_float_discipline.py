@@ -36,10 +36,13 @@ ALLOWED_DOUBLES = {
     ("minmax_by_group", "max_price"),   # min/max select stored values
     ("minmax_by_group", "min_price"),
     ("upsert_customers", "c_acctbal"),  # stored value (+1000.0 exact)
-    ("window_rank_suite", "c_acctbal"),
-    ("window_rank_suite", "prev_value"),  # lag/lead passthrough
-    ("window_rank_suite", "next_value"),
-    ("status_extrema", "val"),          # o_totalprice passthrough
+    ("window_rank_suite", "val"),  # c_acctbal passthrough (r5 fold)
+    ("window_rank_suite", "d1"),   # lag/lead passthrough
+    ("window_rank_suite", "d2"),
+    # o_totalprice passthrough + (r5 fold) the former returnflag_stats
+    # variance/corr/quantile moments — messy-repr/interpolated class,
+    # evidenced green since r1 under their old entry name
+    ("status_extrema", "val"),
     ("orders_scalar_suite", "capped"),  # passthrough or NULL
     ("orders_scalar_suite", "price_round"),  # 2dp->1dp: measured 0 diverge/1M
     ("array_suite", "v"),               # float32 elements + stats (messy reprs)
@@ -53,21 +56,14 @@ ALLOWED_DOUBLES = {
     # messy-repr computed values (quotients/irrationals; repr never
     # terminates at the cut) — evidenced green since r1/r2
     ("tfidf_top_terms", "score"),  # tfidf + bm25 variants: ln-product sums
-    ("similarity_bruteforce", "cos_sim"),
-    ("ann_certify", "cos_sim"),
-    ("similarity_ann", "cos_sim"),  # same messy-repr cosine class
+    # messy-repr cosine class (r5 fold: covers the former
+    # similarity_bruteforce + ann_certify entries too)
+    ("similarity_ann", "cos_sim"),
     ("pair_similarity", "value"),
     ("text_metrics", "punct_ratio"),
     ("text_metrics", "stop_ratio"),
     ("text_metrics", "quality"),
     ("geo_distance_radius", "dist_km"),
-    ("returnflag_stats", "sd_qty"),
-    ("returnflag_stats", "var_qty"),
-    ("returnflag_stats", "corr_qp"),
-    ("returnflag_stats", "covar_qd"),
-    ("returnflag_stats", "p50"),   # integer-valued interpolation
-    ("returnflag_stats", "p90"),
-    ("returnflag_stats", "price_p95"),
     ("pagerank_suppliers", "pr"),  # messy-repr quotient sums, round 6dp
     # integer-valued doubles (CMS counter estimates, exact distinct
     # count, 0/1 tolerance indicators) + the interpolated exact median

@@ -77,6 +77,38 @@ def test_sniff_media_parses_real_containers():
     assert sniff_media(b"RIFFxxxxWAVE")["format"] == "unknown"
 
 
+def test_sniff_jpeg_sof_markers():
+    """JPEG marker walk (r5): baseline SOF0 from a fully valid file,
+    progressive SOF2 from a spec-shaped header, graceful truncation."""
+    import struct
+
+    from geoestate_etl_spark.operators.multimodal import make_jpeg, sniff_media
+
+    j = sniff_media(make_jpeg(37, 22))
+    assert (j["format"], j["width"], j["height"], j["n_channels"], j["n_frames"]) == (
+        "jpeg", 37, 22, 1, 1,
+    )
+    # progressive (SOF2) 3-component frame header behind a COM segment:
+    # the walk must skip non-SOF segments by their length fields
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    sof2 = (
+        b"\xff\xc2"
+        + struct.pack(">H", 17)
+        + struct.pack(">BHHB", 8, 1080, 1920, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    p = sniff_media(b"\xff\xd8" + com + sof2)
+    assert (p["format"], p["width"], p["height"], p["n_channels"]) == (
+        "jpeg", 1920, 1080, 3,
+    )
+    # truncation before/inside SOF: jpeg detected or unknown, no crash
+    for cut in (2, 3, 6, len(com) + 4):
+        sniff_media((b"\xff\xd8" + com + sof2)[:cut])
+    # DHT (0xC4) must NOT be mistaken for a frame header
+    dht_only = b"\xff\xd8" + b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x00\x00"
+    assert sniff_media(dht_only)["width"] is None
+
+
 def test_png_is_fully_valid_zlib_stream():
     """The generated PNG's IDAT decompresses to exact scanline bytes —
     it is a complete image file, not just a plausible header."""
@@ -117,22 +149,26 @@ def test_decode_media_real_roundtrip(spark):
     assert len(out) == 60
     for i in range(60):
         r = out[i]
-        if i % 4 == 0:
+        if i % 5 == 0:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "png", i % 64 + 1, i % 48 + 1, 1, 1,
             )
-        elif i % 4 == 1:
+        elif i % 5 == 1:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "bmp", i % 64 + 1, i % 48 + 1, 3, 1,
             )
-        elif i % 4 == 2:
+        elif i % 5 == 2:
             assert (r.format, r.n_channels, r.sample_rate, r.n_frames) == (
                 "wav", i % 2 + 1, 8000 + (i % 8) * 1000, i % 100 + 1,
             )
-        else:
+        elif i % 5 == 3:
             assert (
                 r.format, r.width, r.height, r.sample_rate, r.n_frames
             ) == ("mp4", i % 128 + 16, i % 96 + 16, 1000 * (i % 5 + 1), i % 5000 + 1)
+        else:
+            assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
+                "jpeg", i % 64 + 1, i % 48 + 1, 1, 1,
+            )
         assert r.n_bytes > 40
 
 

@@ -48,3 +48,12 @@ def test_contract_shape():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 20
+    # The driver verifies the FIRST 50 registry entries only (r2 rule,
+    # re-broken in r4 at 56 entries — VERDICT r4 #1). Exactly 50 means
+    # every declared capability gets a driver verdict every round; a
+    # 51st entry would silently fall outside the verification window.
+    assert len(q) == 50, (
+        f"registry has {len(q)} entries; the driver verifies exactly the "
+        "first 50 — fold new surface into an existing tagged suite "
+        "instead of appending past the verification window"
+    )

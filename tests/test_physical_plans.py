@@ -146,8 +146,13 @@ def test_range_join_is_bucketed_equi(spark):
 def test_ann_certify_probe_path_shuffle_free(spark):
     """Full-probe IVF + LSH candidate scoring are scan+filter+local
     top-k over the (cell-partitioned) index — no shuffle exchange in
-    the static plan, no product joins."""
-    plan = plan_of(spark, "ann_certify")
+    the static plan, no product joins. (r5: ann_certify folded into
+    the similarity_ann registry entry; the certification sub-plan is
+    still audited directly here.)"""
+    from geoestate_etl_spark.plans.queries_suites import q_ann_certify
+
+    df = q_ann_certify(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
@@ -221,9 +226,12 @@ def test_similarity_ann_single_scan_with_broadcast_flags(spark):
     candidate frame is checkpoint-backed, and each top-10 is a
     TakeOrderedAndProject over it. Never a corpus shuffle, never a
     product join."""
-    from geoestate_etl_spark.plans.queries_ext import ivf_assign_path
+    from geoestate_etl_spark.plans.queries_suites import _similarity_ann_rows
 
-    df = SPECS["similarity_ann"].fn(spark, SF_ORACLE)
+    # r5: the registry entry also unions the exact baseline and the
+    # certification rows; the single-scan claim is about the SERVING
+    # sub-plan, so audit that directly
+    df = _similarity_ann_rows(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -138,10 +138,11 @@ NOTES = {
         "stop. The loop-invariant edge relation is persisted once and "
         "unpersisted on return (11.2s -> ~4.4s warm at sf0.1)."
     ),
-    "urls_chunks_suite": (
-        "Three map-only branches (URL canonicalization, sliding-window "
-        "chunking, markup-to-prose) — pure Columns, no shuffle beyond "
-        "the chunk window's per-doc explode; scales as a scan."
+    "string_suite": (
+        "String-function melt + the former urls_chunks_suite branches "
+        "(URL canonicalization, sliding-window chunking, markup-to-"
+        "prose) — pure Columns, map-only; no shuffle beyond the chunk "
+        "window's per-doc explode; scales as a scan."
     ),
     "basket_pairs": (
         "Within-basket self-join keyed on the basket id: the shuffle "
