@@ -1,9 +1,19 @@
 """Deterministic negative sampling for contrastive training pairs —
 given ``(query, positive)`` rows and a candidate corpus, attach k
 negatives per query that are (a) drawn uniformly-by-hash from the
-corpus, (b) never a positive of that query, (c) bit-reproducible
-(the sampler family contract: re-runs, growth of UNRELATED data, and
-partitioning cannot change a query's negatives).
+corpus, (b) never a positive of that query, (c) bit-reproducible:
+re-runs, partitioning, and growth of data OUTSIDE the candidate
+corpus cannot change a query's negatives.
+
+Scope of the stability claim (ADVICE r4): draw positions are
+``xxhash64 pmod N`` over a dense renumbering of the candidate corpus
+itself, so growing the CORPUS changes ``N`` and re-shuffles every
+query's positions — that is by design (a uniform draw over the new
+corpus), not an accident. For negatives that stay fixed across corpus
+growth, pin the renumbering once with :func:`build_negative_index`,
+persist it as a versioned artifact, and pass it back via
+``sample_negatives(index=...)`` — then draws depend only on the pinned
+``(N, position → id)`` mapping, and ingest growth cannot touch them.
 
 Spark shape (the 100 TB story):
 
@@ -32,6 +42,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def build_negative_index(
+    corpus: DataFrame, corpus_id_col: str = "doc_id"
+) -> DataFrame:
+    """The dense ``(pos, cand_id)`` draw index over the candidate
+    corpus — build once, persist as a VERSIONED artifact, and pass to
+    :func:`sample_negatives` via ``index=`` for negatives that stay
+    bit-stable across later corpus growth (module docstring, ADVICE
+    r4). Positions are 0-based and contiguous."""
+    from geoestate_etl_spark.operators.windows import renumber_scalable
+
+    cand_ids = corpus.select(
+        F.col(corpus_id_col).alias("cand_id")
+    ).distinct()
+    return renumber_scalable(
+        cand_ids, order_key="cand_id", id_alias="pos"
+    ).select((F.col("pos") - 1).alias("pos"), "cand_id")
+
+
 def sample_negatives(
     pairs: DataFrame,
     corpus: DataFrame,
@@ -41,25 +69,32 @@ def sample_negatives(
     corpus_id_col: str = "doc_id",
     seed: int = 42,
     oversample: int = 4,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """``(query_id, neg_id, slot)`` — up to ``k`` deterministic
     negatives per query (see module docstring for the contract).
-    ``slot`` is the draw order (0-based over the surviving draws)."""
-    from geoestate_etl_spark.operators.windows import renumber_scalable
+    ``slot`` is the draw order (0-based over the surviving draws).
 
+    ``index``: a pinned ``(pos, cand_id)`` frame from
+    :func:`build_negative_index` (typically re-read from a committed
+    artifact). When given, ``corpus`` is ignored for the draw domain,
+    so corpus growth between runs cannot re-shuffle draw positions.
+    """
     if k < 1:
         raise ValueError("k must be >= 1")
-    cand_ids = corpus.select(
-        F.col(corpus_id_col).alias("cand_id")
-    ).distinct()
-    # n from the cheap distinct count — counting the renumbered index
-    # would execute the full two-phase renumber twice (r4 review)
-    n = cand_ids.count()
+    if index is None:
+        index = build_negative_index(corpus, corpus_id_col)
+        # n from the cheap distinct count — counting the renumbered
+        # index would execute the two-phase renumber twice (r4 review)
+        n = (
+            corpus.select(F.col(corpus_id_col).alias("cand_id"))
+            .distinct()
+            .count()
+        )
+    else:
+        n = index.count()
     if n <= k:
         raise ValueError(f"corpus too small for k={k} negatives (n={n})")
-    index = renumber_scalable(
-        cand_ids, order_key="cand_id", id_alias="pos"
-    ).select((F.col("pos") - 1).alias("pos"), "cand_id")
 
     draws = (
         pairs.select(F.col(query_col).alias("q"))
@@ -114,6 +149,9 @@ def mine_hard_negatives(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 4,
+    method: str = "exact",
+    n_cells: int = 16,
+    n_probe: int = 4,
 ) -> DataFrame:
     """``(query_id, neg_id, cos_sim)`` — the k most query-SIMILAR
     corpus vectors that are not positives: hard negatives, the
@@ -121,19 +159,32 @@ def mine_hard_negatives(
     uniform draws (random negatives teach coarse separation; hard
     negatives teach the decision boundary).
 
-    Shape: the exact batch ANN path
-    (:func:`~geoestate_etl_spark.operators.similarity.
-    brute_force_topk_batch` — broadcast probe batch, ONE corpus scan,
-    two-phase partial top-k) over-fetches ``k + max positives + 1``
-    neighbors per query, then self + positives are excluded and the
-    top-k by (rounded score desc, id asc) survive — the ranking
-    discipline every serving path here uses. Queries must appear in
-    ``embeddings`` under their ``query_col`` ids. For query sets too
-    large to broadcast, build an IVF index and swap in
-    ``similarity.knn_join`` — same downstream exclusion/re-rank."""
+    Two candidate-generation shapes, same downstream exclusion/re-rank
+    (self + positives anti-joined out, top-k by (rounded score desc,
+    id asc) — the ranking discipline every serving path here uses):
+
+    - ``method="exact"``: the batch ANN path
+      (:func:`~geoestate_etl_spark.operators.similarity.
+      brute_force_topk_batch` — broadcast probe batch, ONE corpus
+      scan, two-phase partial top-k). Exact, but the scan is
+      |corpus| × |query batch| — right for bounded query batches.
+    - ``method="ivf"`` (r5 — VERDICT r4 #4): for CORPUS-SIZED query
+      sets that cannot broadcast, build the IVF quantizer and run the
+      shuffle-shaped :func:`~geoestate_etl_spark.operators.similarity.
+      knn_join` (cell equi-join, pair volume ≈ N²·n_probe/n_cells),
+      then keep the query rows. IVF's approximation contract applies:
+      a true neighbor in a non-probed cell is missed;
+      ``n_probe = n_cells`` is exact (pinned in test_negatives).
+
+    Both over-fetch ``k + max positives + 1`` neighbors per query so
+    exclusions cannot starve the top-k. Queries must appear in
+    ``embeddings`` under their ``query_col`` ids."""
     from pyspark.sql import Window as W
 
     from geoestate_etl_spark.operators.similarity import brute_force_topk_batch
+
+    if method not in ("exact", "ivf"):
+        raise ValueError(f"unknown method {method!r}: use 'exact' or 'ivf'")
 
     max_pos = (
         pairs.groupBy(query_col)
@@ -157,14 +208,46 @@ def mine_hard_negatives(
         raise ValueError(
             f"queries with no embedding under {vec_id_col}: {stranded}..."
         )
-    graph = brute_force_topk_batch(
-        embeddings,
-        probes,
-        k=k + max_pos + 1,
-        id_col=vec_id_col,
-        vec_col=vec_col,
-        scale=scale,
-    )
+    if method == "ivf":
+        from geoestate_etl_spark.operators.similarity import (
+            ivf_build,
+            knn_join,
+        )
+
+        assigned, centroids = ivf_build(
+            embeddings,
+            n_cells=n_cells,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+        )
+        # knn_join already excludes self; keep only the query rows
+        graph = (
+            knn_join(
+                assigned,
+                centroids,
+                k=k + max_pos + 1,
+                n_probe=n_probe,
+                id_col=vec_id_col,
+                vec_col=vec_col,
+                scale=scale,
+            )
+            .withColumnRenamed(vec_id_col, "probe_id")
+            .withColumnRenamed("neighbor_id", vec_id_col)
+            .join(
+                q_ids.select(F.col(vec_id_col).alias("probe_id")),
+                "probe_id",
+                "left_semi",
+            )
+        )
+    else:
+        graph = brute_force_topk_batch(
+            embeddings,
+            probes,
+            k=k + max_pos + 1,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            scale=scale,
+        )
     cand = graph.filter(F.col("probe_id") != F.col(vec_id_col)).join(
         pairs.select(
             F.col(query_col).alias("probe_id"),

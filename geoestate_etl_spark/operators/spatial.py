@@ -291,9 +291,17 @@ def nearest_join(
         * F.asin(cos_m * math.sin(math.radians(cell_deg) / 2.0))
     )
     r_safe = F.least(F.lit(km_per_deg * cell_deg), r_lon)
+    # Margin (ADVICE r4): the winner is picked by (round(dist, scale),
+    # key) but certified on the UNROUNDED best. An uncovered point with
+    # raw distance >= r_safe could still round to the same scale-value
+    # as the certified best and win the (d, k) tie-break on a lower
+    # key — so require the best to clear r_safe by half an ulp of the
+    # rounding grid, making a rounding tie with any uncovered point
+    # impossible.
+    half_ulp = 0.5 * 10.0 ** (-scale)
     certified = (
         left.join(fast, left_key)
-        .filter(F.col("_raw") < r_safe)
+        .filter(F.col("_raw") + half_ulp < r_safe)
         .select(left_key, F.col("_best.k").alias(right_key), F.col("_best.d").alias("dist_km"))
     )
     rest = left.join(certified.select(left_key), left_key, "left_anti")

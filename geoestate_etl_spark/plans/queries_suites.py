@@ -2361,9 +2361,12 @@ tok AS (
 {_rep_cte(2)},
 {_rep_cte(3)},
 lmg AS (
-  SELECT doc_id, substr(text, i, 3) AS gram
-  FROM documents CROSS JOIN generate_series(1, 1000) t(i)
-  WHERE length(text) > 0 AND i <= greatest(length(text) - 2, 1)
+  -- bound derived from each document's own length (ADVICE r4: a fixed
+  -- generate_series(1, 1000) cap silently diverged from the uncapped
+  -- Spark side for documents longer than 1002 chars)
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram
+  FROM documents, UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)
+  WHERE length(text) > 0
 ),
 lmm AS (SELECT gram, count(*) AS c FROM lmg GROUP BY gram),
 lmt AS (SELECT sum(c) AS total, count(*) AS vocab FROM lmm),
@@ -2745,9 +2748,10 @@ LEFT JOIN mqs USING (doc_id)
         QuerySpec(
             "pair_similarity",
             q_pair_similarity,
+            # per-document series bound (ADVICE r4 — no fixed 1000 cap)
             "WITH g AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS gram "
-            "FROM documents CROSS JOIN generate_series(1, 1000) t(i) "
-            "WHERE i <= greatest(length(text) - 2, 1)), "
+            "FROM documents, "
+            "UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)), "
             "d AS (SELECT DISTINCT doc_id, gram FROM g), "
             "sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id), "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "

@@ -18,6 +18,8 @@ read-modify-overwrite at 100 TB, which is why the probe prefers them.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -98,10 +100,28 @@ def merge_upsert(
 
     target = spark.read.parquet(target_path)
     merged = upsert(target, updates, keys)
-    # self-overwrite needs a materialized break from the source files
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        target_path
-    )
+    # Write-then-swap (ADVICE r4): the merged frame lands in a temp
+    # sibling FIRST, so the old files survive until the new write has
+    # fully committed — a failure mid-write leaves the target intact.
+    # The previous localCheckpoint+overwrite broke lineage through
+    # executor-LOCAL, non-replicated blocks: on a real cluster, losing
+    # an executor after the overwrite truncated the directory but
+    # before completion lost the table (classic read-modify-overwrite).
+    # os.replace/rename is atomic on POSIX; on object stores the swap
+    # step would become the store's atomic rename/commit primitive.
+    import shutil
+    import uuid
+
+    tmp_path = f"{target_path.rstrip('/')}__merge_tmp_{uuid.uuid4().hex[:8]}"
+    old_path = f"{target_path.rstrip('/')}__merge_old_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp_path)
+    os.replace(target_path.rstrip("/"), old_path)
+    try:
+        os.replace(tmp_path, target_path.rstrip("/"))
+    except Exception:
+        os.replace(old_path, target_path.rstrip("/"))  # roll back
+        raise
+    shutil.rmtree(old_path, ignore_errors=True)
     return "parquet"
 
 

@@ -100,3 +100,78 @@ def test_hard_negatives_on_real_embeddings(spark):
         want = sorted(sims, reverse=True)[:3]
         want_ids = [-i for _, i in want]
         assert [n for n, _ in got[q]] == want_ids, (q, got[q], want_ids)
+
+
+def test_hard_negatives_ivf_path(spark):
+    """r5 (VERDICT r4 #4): the IVF-backed mining path for corpus-sized
+    query sets. Full probe (n_probe = n_cells) must EQUAL the exact
+    batch path — same ids, same scores; a pruned probe must keep
+    recall above the floor the hybrid_topk pattern pins."""
+    from geoestate_etl_spark.operators.negatives import mine_hard_negatives
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 120)
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (5, 7), (11, 13)], "query_id long, pos_id long"
+    )
+
+    def as_map(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, []).append((r.neg_id, r.cos_sim))
+        return out
+
+    exact = as_map(mine_hard_negatives(pairs, emb, k=4))
+    full = as_map(
+        mine_hard_negatives(
+            pairs, emb, k=4, method="ivf", n_cells=8, n_probe=8
+        )
+    )
+    assert full == exact  # full probe == brute force, ids AND scores
+
+    pruned = as_map(
+        mine_hard_negatives(
+            pairs, emb, k=4, method="ivf", n_cells=8, n_probe=4
+        )
+    )
+    hits = total = 0
+    for q, want in exact.items():
+        got_ids = {n for n, _ in pruned.get(q, [])}
+        hits += sum(1 for n, _ in want if n in got_ids)
+        total += len(want)
+    assert total > 0 and hits / total >= 0.5, (hits, total, pruned)
+
+    with pytest.raises(ValueError):
+        mine_hard_negatives(pairs, emb, k=4, method="nope")
+
+
+def test_pinned_index_survives_corpus_growth(spark, corpus):
+    """r5 (ADVICE r4): negatives drawn through a pinned
+    build_negative_index artifact are bit-stable when the corpus
+    grows; unpinned draws legitimately re-shuffle (N changes)."""
+    from geoestate_etl_spark.operators.negatives import (
+        build_negative_index,
+        sample_negatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(q, q) for q in range(8)], "query_id long, pos_id long"
+    )
+    grown = spark.range(700).select(F.col("id").alias("doc_id"))
+    idx = build_negative_index(corpus).localCheckpoint(eager=True)
+
+    a = {(r.query_id, r.slot): r.neg_id
+         for r in sample_negatives(pairs, corpus, 3, index=idx).collect()}
+    b = {(r.query_id, r.slot): r.neg_id
+         for r in sample_negatives(pairs, grown, 3, index=idx).collect()}
+    assert a == b  # pinned index -> growth cannot touch the draws
+    # and the pinned run equals the unpinned run on the SAME corpus
+    c = {(r.query_id, r.slot): r.neg_id
+         for r in sample_negatives(pairs, corpus, 3).collect()}
+    assert a == c
+    # unpinned on the grown corpus: N changed, draws re-shuffle
+    d = {(r.query_id, r.slot): r.neg_id
+         for r in sample_negatives(pairs, grown, 3).collect()}
+    assert d != a
