@@ -305,15 +305,284 @@ def decode_media_real(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_decode, MEDIA_DECODED_SCHEMA)
 
 
+def png_pixels(b: bytes):
+    """REAL PNG pixel decode — stdlib zlib + numpy, no codec library.
+
+    PNG "decompression" is exactly: concatenate IDAT chunks, zlib
+    inflate, undo the per-scanline filter byte (0 None / 1 Sub / 2 Up
+    / 3 Average / 4 Paeth — PNG spec §9). Supports 8-bit gray, gray+
+    alpha, RGB, RGBA (color types 0/2/4/6, no interlace); anything
+    else returns None (undecodable-by-this-path is data, not a crash).
+    Returns a ``(height, width, channels)`` uint8 array.
+    """
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS or ctype == 3:
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).copy()
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — vectorizable
+            cur = line + prev  # uint8 wraps mod 256, per spec
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need left-pixel scan
+            cur = line
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                bb = int(prev[i])
+                if ftype == 1:
+                    cur[i] = (int(cur[i]) + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (int(cur[i]) + (a + bb) // 2) & 0xFF
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def bmp_pixels(b: bytes):
+    """REAL BMP pixel decode (uncompressed 24-bit BITMAPINFOHEADER):
+    bottom-up rows, 4-byte row padding stripped, BGR byte order kept
+    (channel order is irrelevant to the stats layer). Returns
+    ``(height, width, 3)`` uint8 or None."""
+    import struct
+
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    (data_off,) = struct.unpack("<I", b[10:14])
+    w, h = struct.unpack("<ii", b[18:26])
+    (bpp,) = struct.unpack("<H", b[28:30])
+    (compression,) = struct.unpack("<I", b[30:34])
+    if bpp != 24 or compression != 0 or w <= 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    if len(b) < data_off + row_bytes * h:
+        return None
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3]
+    if not top_down:
+        rows = rows[::-1]
+    return rows.reshape(h, w, 3)
+
+
+def wav_samples(b: bytes):
+    """REAL WAV sample decode (16-bit PCM): RIFF chunk walk to fmt +
+    data, ``int16`` numpy array of interleaved samples, or None."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 24 <= len(b):
+            audio_fmt, _ch = struct.unpack("<HH", b[pos + 8 : pos + 12])
+            (bits,) = struct.unpack("<H", b[pos + 22 : pos + 24])
+            fmt_ok = audio_fmt == 1 and bits == 16
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if not fmt_ok or data is None:
+        return None
+    return np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+
+
+#: Content-level (pixel/sample) statistics — the tier ABOVE header
+#: decode: values computed from every decoded pixel/sample byte.
+MEDIA_CONTENT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_max", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("pcm_sq_sum", T.LongType()),
+        T.StructField("pcm_peak", T.IntegerType()),
+    ]
+)
+
+
+def decode_media_content(df: DataFrame) -> DataFrame:
+    """REAL content decode over ``mapInPandas``: PNG/BMP payloads →
+    exact pixel statistics (count / integer sum / max over every
+    decoded subpixel), WAV payloads → exact sample statistics (count /
+    integer sum of squares / peak |amplitude|). All integers, so an
+    oracle that knows the planted content predicts them bit-exactly.
+    Formats without a stdlib-decodable body (JPEG entropy data, MP4
+    tracks) yield NULL stats rows — the honest boundary: their
+    CONTAINER metadata is still decoded by :func:`decode_media_real`.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(payload) if payload is not None else b""
+                fmt = sniff_media(b)["format"]
+                n_px = px_sum = px_max = n_s = sq = peak = None
+                if fmt == "png":
+                    px = png_pixels(b)
+                elif fmt == "bmp":
+                    px = bmp_pixels(b)
+                else:
+                    px = None
+                if px is not None:
+                    n_px = int(px.size)
+                    px_sum = int(px.astype(np.int64).sum())
+                    px_max = int(px.max()) if px.size else None
+                if fmt == "wav":
+                    s = wav_samples(b)
+                    if s is not None:
+                        n_s = int(s.size)
+                        s64 = s.astype(np.int64)
+                        sq = int((s64 * s64).sum())
+                        peak = int(np.abs(s64).max()) if s.size else None
+                rows.append((int(mid), fmt, n_px, px_sum, px_max, n_s, sq, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "n_px", "px_sum", "px_max",
+                    "n_samples", "pcm_sq_sum", "pcm_peak",
+                ],
+            ).astype(
+                {
+                    "n_px": "Int64", "px_sum": "Int64", "px_max": "Int32",
+                    "n_samples": "Int64", "pcm_sq_sum": "Int64",
+                    "pcm_peak": "Int32",
+                }
+            )
+
+    parallelism = min(df.sparkSession.sparkContext.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df.mapInPandas(_decode, MEDIA_CONTENT_SCHEMA)
+
+
+def resize_image_nearest(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize (nearest-neighbor) for stdlib-decodable
+    payloads: decode PNG/BMP pixels, index-map to the target grid, and
+    re-encode as grayscale PNG bytes (channel-mean luminance). Rows
+    whose payload this path cannot decode pass through with NULL
+    content — the caller decides whether to route them to a codec
+    service. Output: (media_id, content[binary PNG], width, height).
+    """
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(payload) if payload is not None else b""
+                fmt = sniff_media(b)["format"]
+                px = png_pixels(b) if fmt == "png" else (
+                    bmp_pixels(b) if fmt == "bmp" else None
+                )
+                if px is None:
+                    out.append((int(mid), None, width, height))
+                    continue
+                h0, w0 = px.shape[:2]
+                ys = (np.arange(height) * h0) // height
+                xs = (np.arange(width) * w0) // width
+                gray = px.mean(axis=2).astype(np.uint8)[ys][:, xs]
+                out.append(
+                    (int(mid), _encode_gray_png(gray), width, height)
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "content", "width", "height"]
+            )
+
+    parallelism = min(df.sparkSession.sparkContext.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df.mapInPandas(_resize, out_schema)
+
+
+def _encode_gray_png(gray) -> bytes:
+    """Re-encode a 2-D uint8 array as a valid grayscale PNG (filter 0
+    rows, one IDAT) — the :func:`make_png` chunk writer over real data."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    h, w = gray.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def pixel_decode_unavailable() -> None:
-    """The one genuinely-stubbed step: pixel/sample decompression
-    (image decode, audio resample, video frame extraction) needs
-    PIL/soundfile/ffmpeg, absent in this container. Container
-    METADATA decoding above is real."""
+    """The remaining genuinely-stubbed step, now narrowed (r5): JPEG
+    entropy decoding and MP4 video frame extraction need libjpeg/
+    ffmpeg, absent in this container. PNG/BMP pixels and WAV PCM
+    samples ARE decoded for real (:func:`png_pixels`,
+    :func:`bmp_pixels`, :func:`wav_samples` — stdlib zlib/struct +
+    numpy), as is container METADATA for every format."""
     raise NotImplementedError(
-        "pixel-level codecs are not installed; container-header decoding "
-        "(decode_media_real) is fully functional — a codec library would "
-        "replace only the batch-fn body, same mapInPandas plan shape"
+        "JPEG/MP4 body codecs are not installed; PNG/BMP pixel decode, "
+        "WAV PCM decode, and container-header decoding are fully "
+        "functional — a codec library would replace only the batch-fn "
+        "body, same mapInPandas plan shape"
     )
 
 

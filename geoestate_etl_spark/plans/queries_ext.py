@@ -453,14 +453,25 @@ def ensure_neardup_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize real PNG/BMP/WAV/MP4/JPEG payloads (id-derived
     parameters) and decode them back with the real header parser
-    (JPEG since r5 — VERDICT r4 #2: SOF marker walk). Every decoded
-    field is a pure function of doc_id, so a SQL oracle predicts the
-    exact output — the decode path is hash-match-gated, not rows-only."""
+    (JPEG since r5 — VERDICT r4 #2: SOF marker walk) AND the real
+    content decoder (r5: PNG/BMP pixels via stdlib zlib+unfilter, WAV
+    PCM samples — exact integer pixel/sample statistics). Every
+    decoded field is a pure function of doc_id, so a SQL oracle
+    predicts the exact output — both decode tiers are
+    hash-match-gated, not rows-only."""
     docs = _t(spark, sf_dir, "documents")
-    media = MM.attach_real_media(docs, "doc_id")
-    return MM.decode_media_real(media).select(
+    # persisted: the header tier and the pixel/sample tier both decode
+    # the same synthesized payloads; without this the Arrow-batched
+    # synthesis pass runs twice
+    media = MM.attach_real_media(docs, "doc_id").persist()
+    meta = MM.decode_media_real(media).select(
         "media_id", "format", "width", "height", "n_channels", "sample_rate", "n_frames"
     )
+    content = MM.decode_media_content(media).select(
+        "media_id", "n_px", "px_sum", "px_max",
+        "n_samples", "pcm_sq_sum", "pcm_peak",
+    )
+    return meta.join(content, "media_id")
 
 
 def semantic_clusters_path(sf_dir: str) -> str:
@@ -742,23 +753,49 @@ SPECS = [
         q_multimodal_meta,
         # every decoded field is a pure function of doc_id (see
         # attach_real_media): the oracle predicts what the real header
-        # parser must recover from the actual PNG/BMP/WAV/MP4/JPEG bytes
-        "SELECT doc_id AS media_id, "
-        "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
+        # parser must recover from the actual PNG/BMP/WAV/MP4/JPEG
+        # bytes, AND what the real pixel/sample decoders must sum over
+        # every decoded byte. PNG values are (x+y), BMP row bytes are
+        # (t+y) with t=x*3+c — both < 256 at these sizes so the %256
+        # never wraps and the pixel sums have closed forms; WAV samples
+        # (i*257)%32768-16384 DO wrap, so the oracle rebuilds them with
+        # a correlated UNNEST(range(n)) (n = channels·frames ≤ 200).
+        "WITH m AS (SELECT doc_id, doc_id % 5 AS k, "
+        "doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h, "
+        "doc_id % 2 + 1 AS ch, doc_id % 100 + 1 AS fr FROM documents), "
+        "wavs AS (SELECT doc_id, "
+        "CAST(sum(s * s) AS BIGINT) AS sq, CAST(max(abs(s)) AS INT) AS pk "
+        "FROM (SELECT doc_id, ((i * 257) % 32768) - 16384 AS s "
+        "FROM m, UNNEST(range(ch * fr)) AS t(i) WHERE k = 2) "
+        "GROUP BY doc_id) "
+        "SELECT m.doc_id AS media_id, "
+        "CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
         "WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4' ELSE 'jpeg' END AS format, "
-        "CASE WHEN doc_id % 5 IN (0, 1, 4) THEN CAST(doc_id % 64 + 1 AS INT) "
-        "WHEN doc_id % 5 = 3 THEN CAST(doc_id % 128 + 16 AS INT) END AS width, "
-        "CASE WHEN doc_id % 5 IN (0, 1, 4) THEN CAST(doc_id % 48 + 1 AS INT) "
-        "WHEN doc_id % 5 = 3 THEN CAST(doc_id % 96 + 16 AS INT) END AS height, "
-        "CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 "
-        "WHEN 2 THEN doc_id % 2 + 1 ELSE 1 END AS INT) AS n_channels, "
-        "CASE WHEN doc_id % 5 = 2 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) "
-        "WHEN doc_id % 5 = 3 THEN CAST(1000 * (doc_id % 5 + 1) AS INT) END AS sample_rate, "
-        "CAST(CASE doc_id % 5 WHEN 2 THEN doc_id % 100 + 1 "
-        "WHEN 3 THEN doc_id % 5000 + 1 ELSE 1 END AS INT) AS n_frames "
-        "FROM documents",
+        "CASE WHEN k IN (0, 1, 4) THEN CAST(w AS INT) "
+        "WHEN k = 3 THEN CAST(m.doc_id % 128 + 16 AS INT) END AS width, "
+        "CASE WHEN k IN (0, 1, 4) THEN CAST(h AS INT) "
+        "WHEN k = 3 THEN CAST(m.doc_id % 96 + 16 AS INT) END AS height, "
+        "CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 3 "
+        "WHEN 2 THEN ch ELSE 1 END AS INT) AS n_channels, "
+        "CASE WHEN k = 2 THEN CAST(8000 + (m.doc_id % 8) * 1000 AS INT) "
+        "WHEN k = 3 THEN CAST(1000 * (m.doc_id % 5 + 1) AS INT) END AS sample_rate, "
+        "CAST(CASE k WHEN 2 THEN fr "
+        "WHEN 3 THEN m.doc_id % 5000 + 1 ELSE 1 END AS INT) AS n_frames, "
+        "CASE WHEN k = 0 THEN CAST(w * h AS BIGINT) "
+        "WHEN k = 1 THEN CAST(w * h * 3 AS BIGINT) END AS n_px, "
+        "CASE WHEN k = 0 THEN CAST(w * h * (w + h - 2) / 2 AS BIGINT) "
+        "WHEN k = 1 THEN CAST(h * (3 * w) * (3 * w - 1) / 2 "
+        "+ 3 * w * h * (h - 1) / 2 AS BIGINT) END AS px_sum, "
+        "CASE WHEN k = 0 THEN CAST(w + h - 2 AS INT) "
+        "WHEN k = 1 THEN CAST(3 * w + h - 2 AS INT) END AS px_max, "
+        "CASE WHEN k = 2 THEN CAST(ch * fr AS BIGINT) END AS n_samples, "
+        "wavs.sq AS pcm_sq_sum, wavs.pk AS pcm_peak "
+        "FROM m LEFT JOIN wavs ON m.doc_id = wavs.doc_id",
         "ext-multimodal (png/bmp/wav/mp4 late-r4; jpeg r5 — real "
-        "baseline-SOF0 files, SOF0/SOF2 marker-walk header decode)",
+        "baseline-SOF0 files, SOF0/SOF2 marker-walk header decode; r5 "
+        "content tier: REAL PNG/BMP pixel decode [zlib + filter 0-4 "
+        "unfilter] and WAV PCM decode, exact integer pixel/sample "
+        "stats vs closed-form/UNNEST oracle)",
     ),
     QuerySpec(
         "decontaminate",

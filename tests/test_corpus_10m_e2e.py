@@ -1,0 +1,192 @@
+"""10M-doc dedup-tier e2e (r5 — VERDICT r4 #7): the scale claim the
+README makes, measured instead of asserted.
+
+One :func:`run_corpus` pass over 10M JVM-synthesized docs combining
+span dedup → exact dedup → MinHash near-dup → SemDeDup, with planted
+duplicates per tier so the funnel counts are PREDICTED, not observed:
+
+- span tier: 100k docs share one boilerplate paragraph (the other
+  paragraph is unique) — exactly the later 99,999 copies lose it.
+- exact tier: 2k families × 5 identical docs → 8k drops.
+- near tier: 2k families × 5 one-suffix variants (J≈0.9) → recall-
+  floored drops, every drop inside its family.
+- semantic tier: embeddings cover a 120k-doc slice (partial coverage
+  is the documented contract — docs without vectors pass through);
+  1k planted pairs of identical vectors → exactly 1k drops.
+
+Wall time is bounded and the MinHash candidate volume is audited from
+bucket occupancies (the 1M-test discipline at 10×), so "would still
+work at scale" is a measured statement about shuffle volume, not hope.
+
+Marked ``slow``: deselect with ``-m 'not slow'`` when iterating.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.plans.corpus_pipeline import run_corpus
+
+N = 10_000_000
+N_EXACT_FAM = 2_000  # ids [0, 10k): families of 5 identical docs
+N_NEAR_FAM = 2_000   # ids [10k, 20k): families of 5 near-dup docs
+SPAN_DOCS = 100_000  # ids [20k, 120k): share one boilerplate paragraph
+EMB_COVER = 120_000  # embeddings exist for ids < 120k only
+SEM_PAIRS = 1_000    # ids [2k, 4k): pairs (2i, 2i+1) share a vector
+
+
+def _docs(spark):
+    fam5 = (F.col("id") / 5).cast("long")
+    exact_text = F.concat(
+        F.lit("family doc alpha "), fam5.cast("string"),
+        F.lit(" body text payload "), (fam5 * 17).cast("string"),
+    )
+    near_text = F.concat(
+        F.lit("family doc beta "), fam5.cast("string"),
+        F.lit(" body text payload "), (fam5 * 19).cast("string"),
+        F.lit(" variant "), (F.col("id") % 5).cast("string"),
+    )
+    span_text = F.concat(
+        F.lit("standard cookie banner boilerplate paragraph shared verbatim\n"),
+        F.lit("unique paragraph "), F.col("id").cast("string"),
+        F.lit(" with filler "), ((F.col("id") * 7) % 997).cast("string"),
+    )
+    uniq_text = F.concat(
+        F.lit("unique doc "), F.col("id").cast("string"),
+        F.lit(" filler "), ((F.col("id") * 7) % 997).cast("string"),
+        F.lit(" "), ((F.col("id") * 13) % 991).cast("string"),
+        F.lit(" tail content"),
+    )
+    return spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10_000, exact_text)
+        .when(F.col("id") < 20_000, near_text)
+        .when(F.col("id") < 20_000 + SPAN_DOCS, span_text)
+        .otherwise(uniq_text)
+        .alias("text"),
+    )
+
+
+def _embeddings(spark):
+    """dim-4 vectors for ids < EMB_COVER: semantic pair (2i, 2i+1) in
+    [2k, 4k) shares one vector (cos = 1.0 ≥ threshold); everyone else
+    gets a well-separated unique direction (id-derived, far below the
+    0.95 threshold for distinct ids)."""
+    base = F.when(
+        (F.col("doc_id") >= 2_000) & (F.col("doc_id") < 4_000),
+        (F.col("doc_id") / 2).cast("long") * 2,
+    ).otherwise(F.col("doc_id"))
+    return spark.range(EMB_COVER).select(
+        F.col("id").alias("doc_id"),
+        F.array(
+            F.cos(base * 0.7).cast("double"),
+            F.sin(base * 0.7).cast("double"),
+            F.cos(base * 0.013 + 1.0).cast("double"),
+            F.sin(base * 0.013 + 1.0).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+@pytest.mark.slow
+def test_corpus_10m_dedup_tiers(spark):
+    docs = _docs(spark)
+    emb = _embeddings(spark)
+
+    t0 = time.perf_counter()
+    res = run_corpus(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        gate=F.length("text") > 0,  # focus the run on the dedup tiers
+        jaccard_threshold=0.5,
+        span_dedup_delimiter="\n",
+        span_dedup_min_chars=30,
+        embeddings=emb,
+        semantic_threshold=0.95,
+        semantic_cells=64,
+        max_bucket_size=256,
+    )
+    # force the full pipeline output, not just the funnel counts
+    res.packed.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+
+    try:
+        assert res.n_input == N
+        assert res.n_gated == N
+
+        # span tier: the boilerplate paragraph survives only in the
+        # earliest doc that carries it — 99,999 later copies drop
+        assert res.n_spans_dropped == SPAN_DOCS - 1
+
+        # exact tier: 4 of 5 per family drop
+        assert res.n_exact_unique == N - N_EXACT_FAM * 4
+
+        # near tier: per-pair band-match ~1-(1-J^4)^4 at J≈0.9 → ≥90%
+        # of the 4-per-family drops; no false positives outside the
+        # planted families (unique docs share no 5-shingles)
+        near_dropped = res.n_exact_unique - (
+            res.n_near_unique + res.n_semantic_dropped
+        )
+        assert near_dropped >= int(0.9 * N_NEAR_FAM * 4)
+        assert near_dropped <= N_NEAR_FAM * 4
+
+        # semantic tier: exactly the 1k planted higher-id twins drop
+        # (identical vectors, cos 1.0; all other coverage vectors are
+        # distinct directions below 0.95)
+        assert res.n_semantic_dropped == SEM_PAIRS
+
+        # wall-time bound: generous (CI hosts throttle 3-5×) but real —
+        # a quadratic regression in any tier blows through it
+        assert elapsed < 900, f"10M e2e took {elapsed:.0f}s"
+    finally:
+        res.unpersist()
+
+
+@pytest.mark.slow
+def test_minhash_candidate_volume_10m(spark):
+    """Candidate-volume audit at 10M (the 1M discipline, 10×): capped
+    band-bucket pair volume stays sub-quadratic and linear-ish in the
+    planted-duplicate volume, while the uncapped volume is dominated
+    by the boilerplate-family bucket."""
+    from geoestate_etl_spark.operators.dedup import (
+        band_explode,
+        cap_hot_buckets,
+        minhash_signatures,
+    )
+
+    # reuse the corpus shape but with a pathological 50k-copy family
+    docs = spark.range(N).select(
+        F.col("id"),
+        F.when(
+            F.col("id") < 50_000,
+            F.lit("standard boilerplate cookie banner text shared verbatim"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("unique doc "), F.col("id").cast("string"),
+                F.lit(" filler "), ((F.col("id") * 7) % 997).cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+    sigs = minhash_signatures(docs, "text", "id")
+    banded = band_explode(sigs, 16, 4)
+    occ = banded.groupBy("band_hash").agg(F.count("*").alias("n"))
+    uncapped = occ.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("v")
+    ).collect()[0].v
+    capped = (
+        cap_hot_buckets(banded, ["band_hash"], 256)
+        .groupBy("band_hash")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("v"))
+        .collect()[0]
+        .v
+    )
+    # uncapped: the 50k-family alone contributes ~1.25e9 pairs/band
+    assert uncapped > 1e9
+    # capped: sub-quadratic — bounded by cap²/2 per hot bucket
+    assert capped < 30_000_000, f"capped candidate volume {capped:,.0f}"

@@ -232,3 +232,160 @@ def test_sniff_mp4_box_walk():
     assert (m["sample_rate"], m["n_frames"]) == (30000, 90000)
     trunc = sniff_media(make_mp4(640, 360, 30000, 90000)[:20])
     assert trunc["format"] == "unknown"
+
+
+def test_png_bmp_wav_content_decoders_pure():
+    """r5 content tier, pure-Python checks: PNG zlib+unfilter decode
+    (all five filter types), BMP bottom-up row decode, WAV int16 PCM
+    decode — each against the generator's known planted values."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import (
+        _encode_gray_png,
+        bmp_pixels,
+        make_bmp,
+        make_png,
+        make_wav,
+        png_pixels,
+        wav_samples,
+    )
+
+    px = png_pixels(make_png(17, 9))
+    want = np.array(
+        [[(x + y) % 256 for x in range(17)] for y in range(9)], dtype=np.uint8
+    )[..., None]
+    assert (px == want).all()
+
+    # BMP stores rows bottom-up: decoded row 0 is the generator's last
+    px = bmp_pixels(make_bmp(13, 7))
+    wantb = np.array(
+        [[[(x * 3 + c + y) % 256 for c in range(3)] for x in range(13)]
+         for y in range(7)],
+        dtype=np.uint8,
+    )
+    assert (px == wantb[::-1]).all()
+
+    s = wav_samples(make_wav(16000, 2, 40))
+    ws = np.array([(i * 257) % 32768 - 16384 for i in range(80)], dtype=np.int16)
+    assert (s == ws).all()
+
+    # a PNG using every filter type (0-4) must reconstruct exactly
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    raws, prev = [], np.zeros(24, dtype=np.uint8)
+    for y in range(6):
+        line = img[y].reshape(-1).astype(np.int16)
+        f = y % 5
+        a = np.zeros_like(line); a[3:] = line[:-3]
+        bb = prev.astype(np.int16)
+        c = np.zeros_like(line); c[3:] = bb[:-3]
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = (line - a) % 256
+        elif f == 2:
+            enc = (line - bb) % 256
+        elif f == 3:
+            enc = (line - (a + bb) // 2) % 256
+        else:
+            pred = np.zeros_like(line)
+            for i in range(len(line)):
+                p = int(a[i]) + int(bb[i]) - int(c[i])
+                pa, pb, pc = abs(p - a[i]), abs(p - bb[i]), abs(p - c[i])
+                pred[i] = a[i] if (pa <= pb and pa <= pc) else (
+                    bb[i] if pb <= pc else c[i]
+                )
+            enc = (line - pred) % 256
+        raws.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = line.astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 8, 6, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(raws))) + chunk(b"IEND", b"")
+    )
+    assert (png_pixels(png) == img).all()
+
+    # grayscale re-encode roundtrip (the resize writer)
+    g = rng.integers(0, 256, size=(5, 11), dtype=np.uint8)
+    assert (png_pixels(_encode_gray_png(g))[:, :, 0] == g).all()
+
+    # undecodables are data, not crashes
+    assert png_pixels(b"junk") is None
+    assert bmp_pixels(b"xx") is None
+    assert wav_samples(b"") is None
+
+
+def test_decode_media_content_roundtrip(spark):
+    """attach_real_media → decode_media_content recovers the exact
+    planted pixel/sample statistics for every decodable row; JPEG/MP4
+    rows carry NULL stats (the honest codec boundary)."""
+    from geoestate_etl_spark.operators.multimodal import (
+        attach_real_media,
+        decode_media_content,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    out = {
+        r.media_id: r
+        for r in decode_media_content(attach_real_media(ids, "doc_id")).collect()
+    }
+    assert len(out) == 40
+    for i in range(40):
+        r, w, h = out[i], i % 64 + 1, i % 48 + 1
+        if i % 5 == 0:  # png: values x+y, never wrapping at these sizes
+            assert (r.n_px, r.px_sum, r.px_max) == (
+                w * h, w * h * (w + h - 2) // 2, w + h - 2,
+            )
+            assert r.n_samples is None
+        elif i % 5 == 1:  # bmp: row bytes t+y, t in 0..3w-1
+            assert (r.n_px, r.px_sum, r.px_max) == (
+                w * h * 3,
+                h * (3 * w) * (3 * w - 1) // 2 + 3 * w * h * (h - 1) // 2,
+                3 * w + h - 2,
+            )
+        elif i % 5 == 2:  # wav: samples (i*257)%32768-16384
+            n = (i % 2 + 1) * (i % 100 + 1)
+            samples = [(j * 257) % 32768 - 16384 for j in range(n)]
+            assert (r.n_samples, r.pcm_sq_sum, r.pcm_peak) == (
+                n, sum(s * s for s in samples), max(abs(s) for s in samples),
+            )
+            assert r.n_px is None
+        else:  # mp4/jpeg: container metadata only
+            assert r.n_px is None and r.n_samples is None
+
+
+def test_resize_image_nearest_real(spark):
+    """REAL nearest-neighbor resize: PNG/BMP rows come back as valid
+    8x8 grayscale PNGs with index-mapped pixels; undecodable payloads
+    (wav) pass through with NULL content."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import (
+        attach_real_media,
+        png_pixels,
+        resize_image_nearest,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    media = attach_real_media(ids, "doc_id")
+    out = {r.media_id: r for r in resize_image_nearest(media, 8, 8).collect()}
+    for i in range(10):
+        r = out[i]
+        assert (r.width, r.height) == (8, 8)
+        if i % 5 in (0, 1):
+            px = png_pixels(bytes(r.content))
+            assert px is not None and px.shape == (8, 8, 1)
+            if i % 5 == 0:  # png source: gray (x+y), spot-check corner
+                w, h = i % 64 + 1, i % 48 + 1
+                assert int(px[0, 0, 0]) == (0 * h) // 8 + (0 * w) // 8
+        else:
+            assert r.content is None
