@@ -3,16 +3,29 @@ README makes, measured instead of asserted.
 
 One :func:`run_corpus` pass over 10M JVM-synthesized docs combining
 span dedup → exact dedup → MinHash near-dup → SemDeDup, with planted
-duplicates per tier so the funnel counts are PREDICTED, not observed:
+duplicates per tier so the funnel counts are PREDICTED, not observed.
+The tiers are id-disjoint and each planting is invisible to every
+OTHER tier (the first version of this test learned the hard way that
+span dedup legitimately fires on exact-duplicate families too — their
+whole text is one corpus-repeated span — and that low-dimensional
+trigonometric embeddings collide periodically):
 
 - span tier: 100k docs share one boilerplate paragraph (the other
   paragraph is unique) — exactly the later 99,999 copies lose it.
-- exact tier: 2k families × 5 identical docs → 8k drops.
-- near tier: 2k families × 5 one-suffix variants (J≈0.9) → recall-
-  floored drops, every drop inside its family.
-- semantic tier: embeddings cover a 120k-doc slice (partial coverage
+- exact tier: 2k families × 5 identical SHORT docs (single span under
+  ``span_dedup_min_chars``, so the span tier treats them as structure
+  and the exact tier sees them intact) → 8k drops.
+- near tier: 2k families × 5 one-suffix variants (3-word-shingle
+  J = 7/9 → band-hit prob ≈ 0.994 at 8×3 banding) → recall-floored
+  drops, every drop inside its family.
+- semantic tier: embeddings cover a 130k-doc slice (partial coverage
   is the documented contract — docs without vectors pass through);
-  1k planted pairs of identical vectors → exactly 1k drops.
+  1k planted pairs of identical vectors in their own id range →
+  exactly 1k drops. Non-planted vectors are 96-dim hash-derived
+  noise: cosine concentrates ~N(0, 1/96·σ²) so the 0.95 threshold
+  sits > 9σ out — no accidental near-threshold mass (the 4-dim
+  ``cos(0.7·Δid)`` design this replaces put every Δid ≈ 9 pair at
+  similarity 0.996).
 
 Wall time is bounded and the MinHash candidate volume is audited from
 bucket occupancies (the 1M-test discipline at 10×), so "would still
@@ -31,18 +44,25 @@ from pyspark.sql import functions as F
 from geoestate_etl_spark.plans.corpus_pipeline import run_corpus
 
 N = 10_000_000
-N_EXACT_FAM = 2_000  # ids [0, 10k): families of 5 identical docs
+N_EXACT_FAM = 2_000  # ids [0, 10k): families of 5 identical short docs
 N_NEAR_FAM = 2_000   # ids [10k, 20k): families of 5 near-dup docs
 SPAN_DOCS = 100_000  # ids [20k, 120k): share one boilerplate paragraph
-EMB_COVER = 120_000  # embeddings exist for ids < 120k only
-SEM_PAIRS = 1_000    # ids [2k, 4k): pairs (2i, 2i+1) share a vector
+SEM_BASE = 120_000
+SEM_PAIRS = 1_000    # ids [120k, 122k): pairs (SEM_BASE+2i, +2i+1) share a vector
+EMB_COVER = 130_000  # embeddings exist for ids < 130k only
+EMB_DIM = 96
 
 
 def _docs(spark):
     fam5 = (F.col("id") / 5).cast("long")
+    # single span, whitespace-stripped length < span_dedup_min_chars=30
+    # ("fam 1999 p96" tops out at 12 chars): the span tier keeps short
+    # spans as structure, so these reach the exact tier verbatim; and
+    # at 3 words they carry exactly one 3-word shingle (distinct per
+    # family), so the near tier sees no cross-family candidates
     exact_text = F.concat(
-        F.lit("family doc alpha "), fam5.cast("string"),
-        F.lit(" body text payload "), (fam5 * 17).cast("string"),
+        F.lit("fam "), fam5.cast("string"),
+        F.lit(" p"), ((fam5 * 17) % 97).cast("string"),
     )
     near_text = F.concat(
         F.lit("family doc beta "), fam5.cast("string"),
@@ -53,6 +73,10 @@ def _docs(spark):
         F.lit("standard cookie banner boilerplate paragraph shared verbatim\n"),
         F.lit("unique paragraph "), F.col("id").cast("string"),
         F.lit(" with filler "), ((F.col("id") * 7) % 997).cast("string"),
+    )
+    sem_text = F.concat(
+        F.lit("semantic doc "), F.col("id").cast("string"),
+        F.lit(" standalone prose body "), ((F.col("id") * 11) % 1009).cast("string"),
     )
     uniq_text = F.concat(
         F.lit("unique doc "), F.col("id").cast("string"),
@@ -65,27 +89,33 @@ def _docs(spark):
         F.when(F.col("id") < 10_000, exact_text)
         .when(F.col("id") < 20_000, near_text)
         .when(F.col("id") < 20_000 + SPAN_DOCS, span_text)
+        .when(F.col("id") < SEM_BASE + 2 * SEM_PAIRS, sem_text)
         .otherwise(uniq_text)
         .alias("text"),
     )
 
 
 def _embeddings(spark):
-    """dim-4 vectors for ids < EMB_COVER: semantic pair (2i, 2i+1) in
-    [2k, 4k) shares one vector (cos = 1.0 ≥ threshold); everyone else
-    gets a well-separated unique direction (id-derived, far below the
-    0.95 threshold for distinct ids)."""
-    base = F.when(
-        (F.col("doc_id") >= 2_000) & (F.col("doc_id") < 4_000),
-        (F.col("doc_id") / 2).cast("long") * 2,
-    ).otherwise(F.col("doc_id"))
+    """96-dim vectors for ids < EMB_COVER: the planted pair
+    (SEM_BASE+2i, SEM_BASE+2i+1) shares one vector (cos exactly 1.0 ≥
+    threshold); every other id gets hash-derived noise —
+    ``sin(xxhash64(base, j)/1e9)`` per component, so two distinct ids'
+    cosine is a mean of 96 decorrelated terms (std ≈ 0.10; the 0.95
+    threshold is > 9σ away even allowing for the same-k-means-cell
+    selection bias of the pairs SemDeDup actually compares)."""
+    in_pair = (F.col("doc_id") >= SEM_BASE) & (
+        F.col("doc_id") < SEM_BASE + 2 * SEM_PAIRS
+    )
+    base = F.when(in_pair, (F.col("doc_id") / 2).cast("long") * 2).otherwise(
+        F.col("doc_id")
+    )
     return spark.range(EMB_COVER).select(
         F.col("id").alias("doc_id"),
         F.array(
-            F.cos(base * 0.7).cast("double"),
-            F.sin(base * 0.7).cast("double"),
-            F.cos(base * 0.013 + 1.0).cast("double"),
-            F.sin(base * 0.013 + 1.0).cast("double"),
+            *[
+                F.sin(F.xxhash64(base, F.lit(j)).cast("double") / F.lit(1e9))
+                for j in range(EMB_DIM)
+            ]
         ).alias("embedding"),
     )
 
@@ -106,7 +136,11 @@ def test_corpus_10m_dedup_tiers(spark):
         span_dedup_min_chars=30,
         embeddings=emb,
         semantic_threshold=0.95,
-        semantic_cells=64,
+        # 128 cells over ~114k covered survivors → ~900 docs/cell mean,
+        # far under semantic_dedup's 4096 hot-cluster cap even with
+        # k-means imbalance (a capped cell would silently exempt any
+        # planted pair that landed in it)
+        semantic_cells=128,
         max_bucket_size=256,
     )
     # force the full pipeline output, not just the funnel counts
