@@ -150,6 +150,15 @@ def main() -> None:
     # single sample turns that noise into phantom regressions. The min
     # is the standard noise-robust statistic; pass 2 is skipped if the
     # first pass already blew the time budget (keeps the bench bounded).
+    # Pass 1 is COLD per query: it pays plan construction plus any
+    # eager prepare-time work (iterative BFS/pagerank label frames,
+    # trained tokenizers, checkpointed aggregates). Since r5 the
+    # registry serves prepared plans (build once per session, like a
+    # prepared statement), so pass 2 measures steady-state serving.
+    # Both are reported: `queries` = best-of-2 (the serving cost the
+    # total sums), `cold_first_run` = the pass-1 number for any query
+    # whose prepare cost is material (> 0.25s over its warm serve).
+    cold: dict[str, float] = {}
     t_pass0 = time.perf_counter()
     for name, spec in specs.items():
         if name in SKIP:
@@ -157,6 +166,7 @@ def main() -> None:
         t0 = time.perf_counter()
         force(spec.fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = timings[name]
     if time.perf_counter() - t_pass0 < 240:
         for name, spec in specs.items():
             if name in SKIP:
@@ -185,6 +195,14 @@ def main() -> None:
                 timings["similarity_index_build"],
                 round(time.perf_counter() - t0, 3),
             )
+            # the rebuild REPLACED the index files the prepared plan
+            # already listed — invalidate so the variant loop below
+            # rebuilds the plan against the fresh listing
+            from geoestate_etl_spark.plans.registry import (
+                invalidate_prepared,
+            )
+
+            invalidate_prepared("similarity_ann")
 
     # Per-variant sub-timings for the tagged-union suites (r3 verdict
     # #5): absorbed variants were indistinguishable from regressions in
@@ -266,6 +284,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    cold_material = {
+        k: v
+        for k, v in cold.items()
+        if k in timings and v - timings[k] > 0.25
+    }
     print(
         json.dumps(
             {
@@ -275,6 +298,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "variants": variants,
+                "cold_first_run": cold_material,
                 "houses_pipeline_330k_detail": houses_detail,
             }
         )

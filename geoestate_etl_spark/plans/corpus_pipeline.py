@@ -152,13 +152,17 @@ def run_corpus(
     job the slower-cadence full re-cluster. Maintain the table with
     :meth:`CorpusResult.fingerprints`.
 
-    Four to six actions total: the gate-funnel aggregate, the span-drop
-    count (only when ``span_dedup_delimiter`` is given — the span-dedup
-    output is persisted so the downstream stages reuse it), the unseen
-    count (only when ``seen`` is given — otherwise it equals the gate
+    Three to five actions total: the span-drop count (only when
+    ``span_dedup_delimiter`` is given — the span-dedup output is
+    persisted so the downstream stages reuse it), the unseen count
+    (only when ``seen`` is given — otherwise it equals the gate
     count), the two dedup-stage counts, and the final token/chunk
     aggregate (the survivor set is persisted before packing so the
-    count doesn't recompute the LSH stage).
+    count doesn't recompute the LSH stage). The gate funnel
+    (n_input / n_gated) costs NO action of its own: it rides the
+    first downstream materialization via the Observation API — at
+    corpus scale that deletes an entire input scan plus one full
+    evaluation of the gate's interpreted repetition HOFs.
     """
     # spread BEFORE the interpreted stages: the gate's repetition HOFs,
     # markup regexes, and unicode repair don't codegen, and a small or
@@ -196,14 +200,23 @@ def run_corpus(
     # the budget-mix stage needs its domain column to survive the
     # projection; everything else rides (id, text) only
     extra = [mix_domain_col] if mix_budgets is not None else []
+    from pyspark.sql import Observation
+
+    # gate funnel via Observation: counted WHILE the first downstream
+    # action streams these rows, not by a dedicated agg pass (every
+    # run_corpus path ends in at least the exact-stage count, so the
+    # metrics are always available by the time the result is built).
+    # Anonymous (auto-unique name): a fixed name collides when one
+    # run's output feeds another run's plan (incremental ``seen``
+    # chains embed the upstream CollectMetrics node).
+    obs = Observation()
     flagged = df.select(
         F.col(id_col), F.col(text_col), *extra, gate.alias("_pass")
-    )
-
-    funnel = flagged.agg(
-        F.count("*").alias("n_input"),
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("_pass").cast("long")).alias("n_gated"),
-    ).first()
+    )
     gated = flagged.filter("_pass").drop("_pass")
 
     # sub-document (line/paragraph) dedup FIRST among the content
@@ -240,7 +253,7 @@ def run_corpus(
         )
         n_unseen = with_fp.count()
     else:
-        n_unseen = funnel["n_gated"] or 0
+        n_unseen = None  # == n_gated; resolved from the observation below
 
     # exact dedup: min-id keeper per content fingerprint
     keepers = with_fp.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
@@ -407,12 +420,27 @@ def run_corpus(
             packed, shards_path, rows_per_shard, order_col=id_col
         )
 
+    # safe to read now: n_exact/n_near above were real actions over the
+    # observed node, so the metrics row has been delivered. Spark 4.1
+    # quirk: when the input is a driver-local relation (tiny
+    # createDataFrame frames in tests), the delivered metrics row
+    # trips an assertion in the Python-side row conversion
+    # (PythonSQLUtils.toPyRow wants a schema'd row) — fall back to the
+    # direct aggregate there; such inputs are by definition tiny, so
+    # the extra scan the observation exists to avoid costs nothing.
+    try:
+        funnel = obs.get
+    except Exception:
+        funnel = flagged.agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(F.col("_pass").cast("long")).alias("n_gated"),
+        ).first()
     return CorpusResult(
         packed=packed,
         cached=clean,
         n_input=funnel["n_input"],
         n_gated=funnel["n_gated"] or 0,
-        n_unseen=n_unseen,
+        n_unseen=(funnel["n_gated"] or 0) if n_unseen is None else n_unseen,
         n_exact_unique=n_exact,
         n_near_unique=n_near,
         total_tokens=totals["toks"] or 0,

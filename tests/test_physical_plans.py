@@ -17,7 +17,13 @@ SPECS = all_queries()
 
 
 def plan_of(spark, name: str) -> str:
-    df = SPECS[name].fn(spark, SF_ORACLE)
+    # bypass the registry's prepared-plan cache: a cached Dataset
+    # memoizes the physical plan from its FIRST execution, which may
+    # have happened under another test's temporary session conf (e.g.
+    # broadcast disabled in the AQE drills) — a plan audit must judge
+    # the plan Catalyst produces under the CURRENT conf
+    fn = SPECS[name].fn
+    df = getattr(fn, "__wrapped__", fn)(spark, SF_ORACLE)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
