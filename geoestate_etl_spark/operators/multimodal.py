@@ -199,7 +199,11 @@ def sniff_media(b: bytes) -> dict:
                 pos += 2 + seglen
         elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
             w, h = struct.unpack("<HH", b[6:10])
-            out.update(format="gif", width=w, height=h, n_frames=1)
+            # palette entries are RGB triples → the decoded frame is
+            # 3-channel regardless of palette depth
+            out.update(
+                format="gif", width=w, height=h, n_channels=3, n_frames=1
+            )
         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             # walk RIFF chunks for fmt (channels/rate/block align) + data
             pos, channels, rate, block_align, data_size = 12, None, None, None, None
@@ -404,6 +408,127 @@ def bmp_pixels(b: bytes):
     return rows.reshape(h, w, 3)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-variant LZW decode (LSB-first bit packing, clear/end codes,
+    code width grows to 12 bits). Returns a list of palette indices,
+    or None on a malformed stream."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    code_size = min_code_size + 1
+    out: list[int] = []
+    acc = bits = pos = 0
+    prev = None
+    while len(out) < n_pixels:
+        while bits < code_size:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                return None
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out[:n_pixels] if len(out) >= n_pixels else None
+
+
+#: GIF interlace row passes: (start, step) per pass (GIF89a spec §20)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_pixels(b: bytes):
+    """REAL GIF pixel decode — stdlib-only LZW + palette lookup.
+
+    Decodes the FIRST image block of a GIF87a/89a stream: logical
+    screen + global color table, extension blocks skipped, local
+    color table honored, interlaced row order undone. Returns the
+    frame as ``(height, width, 3)`` uint8 RGB (transparency index, a
+    GCE rendering hint, is not applied — content statistics read the
+    stored palette colors), or None where the stream is malformed or
+    has no color table.
+    """
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    import struct
+
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            w, h = struct.unpack("<HH", b[pos + 5 : pos + 9])
+            ipacked = b[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if table is None or pos >= len(b) or w == 0 or h == 0:
+                return None
+            min_code_size = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                size = b[pos]
+                data += b[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            idx = _gif_lzw_decode(bytes(data), min_code_size, w * h)
+            if idx is None or max(idx) >= len(table):
+                return None
+            rows = np.array(idx, dtype=np.int64).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    y
+                    for start, step in _GIF_INTERLACE
+                    for y in range(start, h, step)
+                ]
+                deinterlaced = np.empty_like(rows)
+                deinterlaced[order] = rows
+                rows = deinterlaced
+            return table[rows]
+        elif block == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
 def wav_samples(b: bytes):
     """REAL WAV sample decode (16-bit PCM): RIFF chunk walk to fmt +
     data, ``int16`` numpy array of interleaved samples, or None."""
@@ -465,6 +590,8 @@ def decode_media_content(df: DataFrame) -> DataFrame:
                     px = png_pixels(b)
                 elif fmt == "bmp":
                     px = bmp_pixels(b)
+                elif fmt == "gif":
+                    px = gif_pixels(b)
                 else:
                     px = None
                 if px is not None:
@@ -524,7 +651,9 @@ def resize_image_nearest(df: DataFrame, width: int, height: int) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 fmt = sniff_media(b)["format"]
                 px = png_pixels(b) if fmt == "png" else (
-                    bmp_pixels(b) if fmt == "bmp" else None
+                    bmp_pixels(b) if fmt == "bmp" else (
+                        gif_pixels(b) if fmt == "gif" else None
+                    )
                 )
                 if px is None:
                     out.append((int(mid), None, width, height))
@@ -629,6 +758,61 @@ def make_bmp(width: int, height: int) -> bytes:
         row = bytes((x * 3 + c + y) % 256 for x in range(width) for c in range(3))
         rows.append(row + b"\x00" * (row_bytes - len(row)))
     return header + b"".join(rows)
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF LZW encoder, "uncompressed" style: every pixel is emitted
+    as a literal code, with a clear code before the table would force
+    a width increase — spec-valid output any decoder accepts, and the
+    encoder stays a dozen lines (the classic uncompressed-GIF trick)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    # after a clear the table holds clear+end; each literal appends one
+    # entry — clear again before len(table) reaches 1 << code_size
+    budget = (1 << code_size) - (clear + 2)
+    for i, v in enumerate(indices):
+        if budget == 0:
+            emit(clear)
+            budget = (1 << code_size) - (clear + 2)
+        emit(int(v))
+        budget -= 1
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """A complete, spec-valid GIF89a: 4-color global palette
+    ``(10i, 20i, 30i)``, non-interlaced single frame whose pixel at
+    (x, y) has palette index ``x % 4`` — closed-form content stats."""
+    import struct
+
+    palette = bytes(c * i for i in range(4) for c in (10, 20, 30))
+    lsd = struct.pack("<HHBBB", width, height, 0x81, 0, 0)  # GCT, 4 entries
+    desc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    indices = [x % 4 for _ in range(height) for x in range(width)]
+    lzw = _gif_lzw_encode(indices, 2)
+    sub = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a" + lsd + palette + desc + b"\x02" + sub + b"\x00" + b"\x3B"
+    )
 
 
 def make_wav(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
@@ -749,24 +933,28 @@ def make_jpeg(width: int, height: int) -> bytes:
 
 
 def attach_real_media(df: DataFrame, id_col: str) -> DataFrame:
-    """Synthesize REAL media files (valid PNG/BMP/WAV/MP4/JPEG,
-    cycling by id % 5) with deterministic id-derived parameters — the
+    """Synthesize REAL media files (valid PNG/BMP/WAV/MP4/JPEG/GIF,
+    cycling by id % 6) with deterministic id-derived parameters — the
     oracle-able stand-in for reading a binary media column off storage:
 
-    - id % 5 == 0 → PNG,  width = id%64+1,  height = id%48+1
-    - id % 5 == 1 → BMP,  width = id%64+1,  height = id%48+1
-    - id % 5 == 2 → WAV,  rate = 8000 + (id%8)*1000, channels = id%2+1,
+    - id % 6 == 0 → PNG,  width = id%64+1,  height = id%48+1
+    - id % 6 == 1 → BMP,  width = id%64+1,  height = id%48+1
+    - id % 6 == 2 → WAV,  rate = 8000 + (id%8)*1000, channels = id%2+1,
       frames = id%100+1
-    - id % 5 == 3 → MP4,  width = id%128+16, height = id%96+16,
+    - id % 6 == 3 → MP4,  width = id%128+16, height = id%96+16,
       timescale = 1000·(id%5+1), duration = id%5000+1 (ticks; decoded
       into sample_rate / n_frames)
-    - id % 5 == 4 → JPEG (r5, VERDICT r4 #2 — the dominant web-crawl
+    - id % 6 == 4 → JPEG (r5, VERDICT r4 #2 — the dominant web-crawl
       image format), width = id%64+1, height = id%48+1, grayscale
       (n_channels = 1)
+    - id % 6 == 5 → GIF (late r5 — LZW-compressed, 4-color palette
+      (10i, 20i, 30i), pixel (x, y) gets index x%4),
+      width = id%64+1, height = id%48+1
 
     Because every parameter is a pure function of the id, a SQL oracle
-    can predict exactly what :func:`decode_media_real` must recover —
-    the decode path gets a hash-matchable correctness gate, not just a
+    can predict exactly what :func:`decode_media_real` (and, for
+    PNG/BMP/GIF/WAV, :func:`decode_media_content`) must recover — the
+    decode paths get a hash-matchable correctness gate, not just a
     rows-only check.
     """
 
@@ -776,7 +964,7 @@ def attach_real_media(df: DataFrame, id_col: str) -> DataFrame:
             payloads = []
             for i in ids:
                 i = int(i)
-                kind = i % 5
+                kind = i % 6
                 if kind == 0:
                     payloads.append(make_png(i % 64 + 1, i % 48 + 1))
                 elif kind == 1:
@@ -794,8 +982,10 @@ def attach_real_media(df: DataFrame, id_col: str) -> DataFrame:
                             i % 5000 + 1,
                         )
                     )
-                else:
+                elif kind == 4:
                     payloads.append(make_jpeg(i % 64 + 1, i % 48 + 1))
+                else:
+                    payloads.append(make_gif(i % 64 + 1, i % 48 + 1))
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     gen_schema = T.StructType(

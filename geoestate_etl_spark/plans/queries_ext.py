@@ -753,14 +753,17 @@ SPECS = [
         q_multimodal_meta,
         # every decoded field is a pure function of doc_id (see
         # attach_real_media): the oracle predicts what the real header
-        # parser must recover from the actual PNG/BMP/WAV/MP4/JPEG
+        # parser must recover from the actual PNG/BMP/WAV/MP4/JPEG/GIF
         # bytes, AND what the real pixel/sample decoders must sum over
         # every decoded byte. PNG values are (x+y), BMP row bytes are
         # (t+y) with t=x*3+c — both < 256 at these sizes so the %256
-        # never wraps and the pixel sums have closed forms; WAV samples
+        # never wraps and the pixel sums have closed forms; GIF pixel
+        # (x, y) carries palette index x%4 with colors (10i, 20i, 30i)
+        # → per-pixel channel sum 60·(x%4), row sum 60·S(w) with
+        # S(w) = 6·(w//4) + {0,0,1,3}[w%4]; WAV samples
         # (i*257)%32768-16384 DO wrap, so the oracle rebuilds them with
         # a correlated UNNEST(range(n)) (n = channels·frames ≤ 200).
-        "WITH m AS (SELECT doc_id, doc_id % 5 AS k, "
+        "WITH m AS (SELECT doc_id, doc_id % 6 AS k, "
         "doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h, "
         "doc_id % 2 + 1 AS ch, doc_id % 100 + 1 AS fr FROM documents), "
         "wavs AS (SELECT doc_id, "
@@ -769,33 +772,38 @@ SPECS = [
         "FROM m, UNNEST(range(ch * fr)) AS t(i) WHERE k = 2) "
         "GROUP BY doc_id) "
         "SELECT m.doc_id AS media_id, "
-        "CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
-        "WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4' ELSE 'jpeg' END AS format, "
-        "CASE WHEN k IN (0, 1, 4) THEN CAST(w AS INT) "
+        "CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav' "
+        "WHEN 3 THEN 'mp4' WHEN 4 THEN 'jpeg' ELSE 'gif' END AS format, "
+        "CASE WHEN k IN (0, 1, 4, 5) THEN CAST(w AS INT) "
         "WHEN k = 3 THEN CAST(m.doc_id % 128 + 16 AS INT) END AS width, "
-        "CASE WHEN k IN (0, 1, 4) THEN CAST(h AS INT) "
+        "CASE WHEN k IN (0, 1, 4, 5) THEN CAST(h AS INT) "
         "WHEN k = 3 THEN CAST(m.doc_id % 96 + 16 AS INT) END AS height, "
-        "CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 3 "
+        "CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 5 THEN 3 "
         "WHEN 2 THEN ch ELSE 1 END AS INT) AS n_channels, "
         "CASE WHEN k = 2 THEN CAST(8000 + (m.doc_id % 8) * 1000 AS INT) "
         "WHEN k = 3 THEN CAST(1000 * (m.doc_id % 5 + 1) AS INT) END AS sample_rate, "
         "CAST(CASE k WHEN 2 THEN fr "
         "WHEN 3 THEN m.doc_id % 5000 + 1 ELSE 1 END AS INT) AS n_frames, "
         "CASE WHEN k = 0 THEN CAST(w * h AS BIGINT) "
-        "WHEN k = 1 THEN CAST(w * h * 3 AS BIGINT) END AS n_px, "
+        "WHEN k IN (1, 5) THEN CAST(w * h * 3 AS BIGINT) END AS n_px, "
         "CASE WHEN k = 0 THEN CAST(w * h * (w + h - 2) / 2 AS BIGINT) "
         "WHEN k = 1 THEN CAST(h * (3 * w) * (3 * w - 1) / 2 "
-        "+ 3 * w * h * (h - 1) / 2 AS BIGINT) END AS px_sum, "
+        "+ 3 * w * h * (h - 1) / 2 AS BIGINT) "
+        "WHEN k = 5 THEN CAST(h * 60 * (6 * (w // 4) "
+        "+ CASE w % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END) AS BIGINT) "
+        "END AS px_sum, "
         "CASE WHEN k = 0 THEN CAST(w + h - 2 AS INT) "
-        "WHEN k = 1 THEN CAST(3 * w + h - 2 AS INT) END AS px_max, "
+        "WHEN k = 1 THEN CAST(3 * w + h - 2 AS INT) "
+        "WHEN k = 5 THEN CAST(30 * LEAST(3, w - 1) AS INT) END AS px_max, "
         "CASE WHEN k = 2 THEN CAST(ch * fr AS BIGINT) END AS n_samples, "
         "wavs.sq AS pcm_sq_sum, wavs.pk AS pcm_peak "
         "FROM m LEFT JOIN wavs ON m.doc_id = wavs.doc_id",
         "ext-multimodal (png/bmp/wav/mp4 late-r4; jpeg r5 — real "
         "baseline-SOF0 files, SOF0/SOF2 marker-walk header decode; r5 "
         "content tier: REAL PNG/BMP pixel decode [zlib + filter 0-4 "
-        "unfilter] and WAV PCM decode, exact integer pixel/sample "
-        "stats vs closed-form/UNNEST oracle)",
+        "unfilter], GIF LZW+palette decode (late r5), and WAV PCM "
+        "decode, exact integer pixel/sample stats vs closed-form/"
+        "UNNEST oracle)",
     ),
     QuerySpec(
         "decontaminate",

@@ -149,25 +149,29 @@ def test_decode_media_real_roundtrip(spark):
     assert len(out) == 60
     for i in range(60):
         r = out[i]
-        if i % 5 == 0:
+        if i % 6 == 0:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "png", i % 64 + 1, i % 48 + 1, 1, 1,
             )
-        elif i % 5 == 1:
+        elif i % 6 == 1:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "bmp", i % 64 + 1, i % 48 + 1, 3, 1,
             )
-        elif i % 5 == 2:
+        elif i % 6 == 2:
             assert (r.format, r.n_channels, r.sample_rate, r.n_frames) == (
                 "wav", i % 2 + 1, 8000 + (i % 8) * 1000, i % 100 + 1,
             )
-        elif i % 5 == 3:
+        elif i % 6 == 3:
             assert (
                 r.format, r.width, r.height, r.sample_rate, r.n_frames
             ) == ("mp4", i % 128 + 16, i % 96 + 16, 1000 * (i % 5 + 1), i % 5000 + 1)
-        else:
+        elif i % 6 == 4:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "jpeg", i % 64 + 1, i % 48 + 1, 1, 1,
+            )
+        else:
+            assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
+                "gif", i % 64 + 1, i % 48 + 1, 3, 1,
             )
         assert r.n_bytes > 40
 
@@ -341,24 +345,30 @@ def test_decode_media_content_roundtrip(spark):
     assert len(out) == 40
     for i in range(40):
         r, w, h = out[i], i % 64 + 1, i % 48 + 1
-        if i % 5 == 0:  # png: values x+y, never wrapping at these sizes
+        if i % 6 == 0:  # png: values x+y, never wrapping at these sizes
             assert (r.n_px, r.px_sum, r.px_max) == (
                 w * h, w * h * (w + h - 2) // 2, w + h - 2,
             )
             assert r.n_samples is None
-        elif i % 5 == 1:  # bmp: row bytes t+y, t in 0..3w-1
+        elif i % 6 == 1:  # bmp: row bytes t+y, t in 0..3w-1
             assert (r.n_px, r.px_sum, r.px_max) == (
                 w * h * 3,
                 h * (3 * w) * (3 * w - 1) // 2 + 3 * w * h * (h - 1) // 2,
                 3 * w + h - 2,
             )
-        elif i % 5 == 2:  # wav: samples (i*257)%32768-16384
+        elif i % 6 == 2:  # wav: samples (i*257)%32768-16384
             n = (i % 2 + 1) * (i % 100 + 1)
             samples = [(j * 257) % 32768 - 16384 for j in range(n)]
             assert (r.n_samples, r.pcm_sq_sum, r.pcm_peak) == (
                 n, sum(s * s for s in samples), max(abs(s) for s in samples),
             )
             assert r.n_px is None
+        elif i % 6 == 5:  # gif: palette (10i,20i,30i), index x%4
+            s_w = 6 * (w // 4) + [0, 0, 1, 3][w % 4]
+            assert (r.n_px, r.px_sum, r.px_max) == (
+                w * h * 3, h * 60 * s_w, 30 * min(3, w - 1),
+            )
+            assert r.n_samples is None
         else:  # mp4/jpeg: container metadata only
             assert r.n_px is None and r.n_samples is None
 
@@ -375,16 +385,16 @@ def test_resize_image_nearest_real(spark):
         resize_image_nearest,
     )
 
-    ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    ids = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
     media = attach_real_media(ids, "doc_id")
     out = {r.media_id: r for r in resize_image_nearest(media, 8, 8).collect()}
-    for i in range(10):
+    for i in range(12):
         r = out[i]
         assert (r.width, r.height) == (8, 8)
-        if i % 5 in (0, 1):
+        if i % 6 in (0, 1, 5):  # png/bmp/gif all pixel-decodable
             px = png_pixels(bytes(r.content))
             assert px is not None and px.shape == (8, 8, 1)
-            if i % 5 == 0:  # png source: gray (x+y), spot-check corner
+            if i % 6 == 0:  # png source: gray (x+y), spot-check corner
                 w, h = i % 64 + 1, i % 48 + 1
                 assert int(px[0, 0, 0]) == (0 * h) // 8 + (0 * w) // 8
         else:

@@ -171,3 +171,136 @@ def test_wav_samples_roundtrip(samples, extra_odd_chunk):
     decoded = wav_samples(wav)
     assert decoded is not None
     np.testing.assert_array_equal(decoded, np.array(samples, dtype=np.int16))
+
+
+def _ref_lzw_compress(indices, min_code_size: int) -> bytes:
+    """Reference COMPRESSING GIF-LZW encoder (dictionary growth, code
+    widening at table-full, 12-bit cap with mid-stream clear) — the
+    stream shape real encoders emit, which the uncompressed-style
+    generator never produces (no multi-pixel codes, no KwKwK)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = bits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    cur: tuple = ()
+    for v in indices:
+        cand = cur + (int(v),)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        table[cand] = next_code
+        next_code += 1
+        # widen AFTER registering: decoder grows when ITS table hits
+        # the boundary, one entry behind the encoder's
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code - 1 == (1 << 12):
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        cur = (int(v),)
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _ref_gif(px_idx: np.ndarray, palette: np.ndarray, interlace: bool) -> bytes:
+    h, w = px_idx.shape
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length() - 1)  # 2<<f entries
+    table = palette.astype(np.uint8).tobytes()
+    table += b"\0" * (3 * (2 << size_field) - len(table))
+    lsd = struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    desc = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    rows = px_idx
+    if interlace:
+        order = [
+            y
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for y in range(start, h, step)
+        ]
+        rows = px_idx[order]
+    mcs = max(2, (n - 1).bit_length())
+    lzw = _ref_lzw_compress(rows.reshape(-1).tolist(), mcs)
+    sub = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a" + lsd + table + desc + bytes([mcs]) + sub + b"\0" + b"\x3B"
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_gif_pixels_inverts_compressing_lzw_streams(data):
+    from geoestate_etl_spark.operators.multimodal import gif_pixels
+
+    w = data.draw(st.integers(1, 24), label="w")
+    h = data.draw(st.integers(1, 16), label="h")
+    n_colors = data.draw(st.sampled_from([2, 4, 8, 16]), label="colors")
+    interlace = data.draw(st.booleans(), label="interlace")
+    # low-entropy index fields exercise long dictionary chains (and the
+    # KwKwK code == len(table) branch); draw from a small alphabet
+    idx = np.array(
+        data.draw(
+            st.lists(
+                st.integers(0, n_colors - 1),
+                min_size=h * w,
+                max_size=h * w,
+            )
+        ),
+        dtype=np.int64,
+    ).reshape(h, w)
+    palette = np.array(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=3 * n_colors,
+                max_size=3 * n_colors,
+            )
+        ),
+        dtype=np.uint8,
+    ).reshape(n_colors, 3)
+    decoded = gif_pixels(_ref_gif(idx, palette, interlace))
+    assert decoded is not None
+    np.testing.assert_array_equal(decoded, palette[idx])
+
+
+def test_gif_lzw_dictionary_growth_repetitive_stream():
+    """A long repetitive index stream drives the reference compressor
+    through many code-width increases (and, at 12 bits, a mid-stream
+    clear); the decoder must track every boundary."""
+    from geoestate_etl_spark.operators.multimodal import gif_pixels
+
+    w, h = 128, 96  # 12288 px: enough to push past 2^10 dict entries
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    idx = ((x // 3 + y // 5) % 4).astype(np.int64)
+    palette = np.array(
+        [[0, 0, 0], [85, 10, 200], [170, 99, 7], [255, 128, 64]],
+        dtype=np.uint8,
+    )
+    decoded = gif_pixels(_ref_gif(idx, palette, False))
+    assert decoded is not None
+    np.testing.assert_array_equal(decoded, palette[idx])
