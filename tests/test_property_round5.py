@@ -304,3 +304,75 @@ def test_gif_lzw_dictionary_growth_repetitive_stream():
     decoded = gif_pixels(_ref_gif(idx, palette, False))
     assert decoded is not None
     np.testing.assert_array_equal(decoded, palette[idx])
+
+
+def _ref_lzw_compress_deferred(indices, min_code_size: int) -> bytes:
+    """Deferred-clear variant: at 4096 entries the encoder simply
+    STOPS adding (no clear code) and keeps emitting existing codes —
+    what many real-world GIF writers do. The decoder must keep its
+    table aligned (i.e. also stop resolving new KwKwK entries past the
+    cap) for the remainder of the stream."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = bits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    cur: tuple = ()
+    for v in indices:
+        cand = cur + (int(v),)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        if next_code < (1 << 12):
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+        cur = (int(v),)
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_deferred_clear_stream():
+    """A stream long enough to fill the 12-bit table with NO clear
+    code (deferred clear) must still decode exactly."""
+    from geoestate_etl_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        gif_pixels,
+    )
+
+    rng = np.random.RandomState(3)
+    # high-entropy 8-color stream: dictionary fills fast (every miss
+    # adds an entry), comfortably passing 4096 entries
+    idx = rng.randint(0, 8, 40_000).astype(np.int64)
+    enc = _ref_lzw_compress_deferred(idx.tolist(), 3)
+    dec = _gif_lzw_decode(enc, 3, len(idx))
+    assert dec == idx.tolist()
+
+    # and through the full container path
+    h, w = 100, 120
+    grid = idx[: h * w].reshape(h, w)
+    palette = np.array(
+        [[i * 30 % 256, i * 50 % 256, i * 70 % 256] for i in range(8)],
+        dtype=np.uint8,
+    )
+    decoded = gif_pixels(_ref_gif(grid, palette, False))
+    assert decoded is not None
+    np.testing.assert_array_equal(decoded, palette[grid])
