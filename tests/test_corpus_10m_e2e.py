@@ -172,9 +172,10 @@ def test_corpus_10m_dedup_tiers(spark):
         # distinct directions below 0.95)
         assert res.n_semantic_dropped == SEM_PAIRS
 
-        # wall-time bound: generous (CI hosts throttle 3-5×) but real —
-        # a quadratic regression in any tier blows through it
-        assert elapsed < 900, f"10M e2e took {elapsed:.0f}s"
+        # wall-time bound: generous (CI hosts throttle 3-5×; measured
+        # 675s idle / 848s under concurrent load in r5) but real — a
+        # quadratic regression in any tier blows through it
+        assert elapsed < 1500, f"10M e2e took {elapsed:.0f}s"
     finally:
         res.unpersist()
 
