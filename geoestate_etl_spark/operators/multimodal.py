@@ -309,6 +309,29 @@ def decode_media_real(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_decode, MEDIA_DECODED_SCHEMA)
 
 
+def _none_on_error(fn):
+    """Adversarial-bytes contract for the byte-level decoders: a
+    web-crawl media column contains truncated downloads, recompressed
+    garbage, and mislabeled formats, so ANY parse failure is DATA
+    (decode → NULL row, caller routes or drops), never a task crash
+    that kills a 10k-row Arrow batch. Structural guards inside each
+    decoder handle the common cases cheaply; this net catches the
+    rest (short buffers feeding struct/frombuffer, corrupt zlib
+    streams, arithmetic on flipped header fields)."""
+
+    def safe(b: bytes):
+        try:
+            return fn(b)
+        except Exception:
+            return None
+
+    safe.__name__ = fn.__name__
+    safe.__doc__ = fn.__doc__
+    safe.__wrapped__ = fn
+    return safe
+
+
+@_none_on_error
 def png_pixels(b: bytes):
     """REAL PNG pixel decode — stdlib zlib + numpy, no codec library.
 
@@ -380,6 +403,7 @@ def png_pixels(b: bytes):
     return out.reshape(h, w, ch)
 
 
+@_none_on_error
 def bmp_pixels(b: bytes):
     """REAL BMP pixel decode (uncompressed 24-bit BITMAPINFOHEADER):
     bottom-up rows, 4-byte row padding stripped, BGR byte order kept
@@ -412,6 +436,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
     """GIF-variant LZW decode (LSB-first bit packing, clear/end codes,
     code width grows to 12 bits). Returns a list of palette indices,
     or None on a malformed stream."""
+    # spec bound (2..8 for 1..256-color palettes): a corrupted size
+    # byte must not size the code table (1 << 253 hangs the build)
+    if not 2 <= min_code_size <= 8:
+        return None
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     base = [(i,) for i in range(clear)] + [None, None]
     table = list(base)
@@ -459,6 +487,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@_none_on_error
 def gif_pixels(b: bytes):
     """REAL GIF pixel decode — stdlib-only LZW + palette lookup.
 
@@ -529,6 +558,7 @@ def gif_pixels(b: bytes):
     return None
 
 
+@_none_on_error
 def wav_samples(b: bytes):
     """REAL WAV sample decode (16-bit PCM): RIFF chunk walk to fmt +
     data, ``int16`` numpy array of interleaved samples, or None."""

@@ -376,3 +376,43 @@ def test_gif_lzw_deferred_clear_stream():
     decoded = gif_pixels(_ref_gif(grid, palette, False))
     assert decoded is not None
     np.testing.assert_array_equal(decoded, palette[grid])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_decoders_never_raise_on_adversarial_bytes(data):
+    """Crawl-media contract: truncations and bit-flips of valid files
+    (and raw random bytes) decode to None or a valid array — NEVER an
+    exception, which would kill a whole Arrow batch of good rows."""
+    from geoestate_etl_spark.operators.multimodal import (
+        bmp_pixels,
+        gif_pixels,
+        make_bmp,
+        make_gif,
+        make_png,
+        make_wav,
+        png_pixels,
+        wav_samples,
+    )
+
+    decoders = [png_pixels, gif_pixels, bmp_pixels, wav_samples]
+    makers = [
+        lambda: make_png(9, 7),
+        lambda: make_gif(9, 7),
+        lambda: make_bmp(9, 7),
+        lambda: make_wav(8000, 1, 50),
+    ]
+    which = data.draw(st.integers(0, 3), label="format")
+    b = makers[which]()
+    mode = data.draw(st.sampled_from(["cut", "flip", "random"]), label="mode")
+    if mode == "cut":
+        b = b[: data.draw(st.integers(0, len(b)), label="cut")]
+    elif mode == "flip":
+        pos = data.draw(st.integers(0, len(b) - 1), label="pos")
+        b = b[:pos] + bytes([b[pos] ^ 0xFF]) + b[pos + 1 :]
+    else:
+        b = bytes(
+            data.draw(st.lists(st.integers(0, 255), max_size=120), label="raw")
+        )
+    for dec in decoders:  # every decoder must also reject foreign formats
+        dec(b)  # passes iff no exception escapes
