@@ -451,14 +451,15 @@ def ensure_neardup_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize real PNG/BMP/WAV/MP4/JPEG payloads (id-derived
-    parameters) and decode them back with the real header parser
-    (JPEG since r5 — VERDICT r4 #2: SOF marker walk) AND the real
-    content decoder (r5: PNG/BMP pixels via stdlib zlib+unfilter, WAV
-    PCM samples — exact integer pixel/sample statistics). Every
-    decoded field is a pure function of doc_id, so a SQL oracle
-    predicts the exact output — both decode tiers are
-    hash-match-gated, not rows-only."""
+    """Synthesize real PNG/BMP/WAV/MP4/JPEG/GIF/AVI payloads
+    (id-derived parameters) and decode them back with the real header
+    parser (JPEG since r5 — VERDICT r4 #2: SOF marker walk) AND the
+    real content decoder (r5: PNG/BMP/GIF pixels via stdlib
+    zlib/unfilter/LZW, WAV PCM samples, and AVI video frames — exact
+    integer pixel/sample statistics over every decoded byte, video
+    stats spanning every frame). Every decoded field is a pure
+    function of doc_id, so a SQL oracle predicts the exact output —
+    both decode tiers are hash-match-gated, not rows-only."""
     docs = _t(spark, sf_dir, "documents")
     # persisted: the header tier and the pixel/sample tier both decode
     # the same synthesized payloads; without this the Arrow-batched
@@ -763,9 +764,14 @@ SPECS = [
         # S(w) = 6·(w//4) + {0,0,1,3}[w%4]; WAV samples
         # (i*257)%32768-16384 DO wrap, so the oracle rebuilds them with
         # a correlated UNNEST(range(n)) (n = channels·frames ≤ 200).
-        "WITH m AS (SELECT doc_id, doc_id % 6 AS k, "
+        # avi (k=6): w2×h2, vf frames, pixel (f,x,y) = f+x+y on all 3
+        # channels (< 256 at these sizes, never wraps) → px_sum =
+        # 3·(h·w·Σf + F·h·Σx + F·w·Σy) with Σn = n(n-1)/2 triangles
+        "WITH m AS (SELECT doc_id, doc_id % 7 AS k, "
         "doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h, "
-        "doc_id % 2 + 1 AS ch, doc_id % 100 + 1 AS fr FROM documents), "
+        "doc_id % 2 + 1 AS ch, doc_id % 100 + 1 AS fr, "
+        "doc_id % 16 + 4 AS w2, doc_id % 12 + 4 AS h2, "
+        "doc_id % 8 + 2 AS vf, doc_id % 10 + 5 AS fps FROM documents), "
         "wavs AS (SELECT doc_id, "
         "CAST(sum(s * s) AS BIGINT) AS sq, CAST(max(abs(s)) AS INT) AS pk "
         "FROM (SELECT doc_id, ((i * 257) % 32768) - 16384 AS s "
@@ -773,37 +779,48 @@ SPECS = [
         "GROUP BY doc_id) "
         "SELECT m.doc_id AS media_id, "
         "CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav' "
-        "WHEN 3 THEN 'mp4' WHEN 4 THEN 'jpeg' ELSE 'gif' END AS format, "
+        "WHEN 3 THEN 'mp4' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'gif' "
+        "ELSE 'avi' END AS format, "
         "CASE WHEN k IN (0, 1, 4, 5) THEN CAST(w AS INT) "
-        "WHEN k = 3 THEN CAST(m.doc_id % 128 + 16 AS INT) END AS width, "
+        "WHEN k = 3 THEN CAST(m.doc_id % 128 + 16 AS INT) "
+        "WHEN k = 6 THEN CAST(w2 AS INT) END AS width, "
         "CASE WHEN k IN (0, 1, 4, 5) THEN CAST(h AS INT) "
-        "WHEN k = 3 THEN CAST(m.doc_id % 96 + 16 AS INT) END AS height, "
+        "WHEN k = 3 THEN CAST(m.doc_id % 96 + 16 AS INT) "
+        "WHEN k = 6 THEN CAST(h2 AS INT) END AS height, "
         "CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 5 THEN 3 "
-        "WHEN 2 THEN ch ELSE 1 END AS INT) AS n_channels, "
+        "WHEN 6 THEN 3 WHEN 2 THEN ch ELSE 1 END AS INT) AS n_channels, "
         "CASE WHEN k = 2 THEN CAST(8000 + (m.doc_id % 8) * 1000 AS INT) "
-        "WHEN k = 3 THEN CAST(1000 * (m.doc_id % 5 + 1) AS INT) END AS sample_rate, "
+        "WHEN k = 3 THEN CAST(1000 * (m.doc_id % 5 + 1) AS INT) "
+        "WHEN k = 6 THEN CAST(fps AS INT) END AS sample_rate, "
         "CAST(CASE k WHEN 2 THEN fr "
-        "WHEN 3 THEN m.doc_id % 5000 + 1 ELSE 1 END AS INT) AS n_frames, "
+        "WHEN 3 THEN m.doc_id % 5000 + 1 WHEN 6 THEN vf "
+        "ELSE 1 END AS INT) AS n_frames, "
         "CASE WHEN k = 0 THEN CAST(w * h AS BIGINT) "
-        "WHEN k IN (1, 5) THEN CAST(w * h * 3 AS BIGINT) END AS n_px, "
+        "WHEN k IN (1, 5) THEN CAST(w * h * 3 AS BIGINT) "
+        "WHEN k = 6 THEN CAST(vf * w2 * h2 * 3 AS BIGINT) END AS n_px, "
         "CASE WHEN k = 0 THEN CAST(w * h * (w + h - 2) / 2 AS BIGINT) "
         "WHEN k = 1 THEN CAST(h * (3 * w) * (3 * w - 1) / 2 "
         "+ 3 * w * h * (h - 1) / 2 AS BIGINT) "
         "WHEN k = 5 THEN CAST(h * 60 * (6 * (w // 4) "
         "+ CASE w % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END) AS BIGINT) "
+        "WHEN k = 6 THEN CAST(3 * (h2 * w2 * (vf * (vf - 1) / 2) "
+        "+ vf * h2 * (w2 * (w2 - 1) / 2) "
+        "+ vf * w2 * (h2 * (h2 - 1) / 2)) AS BIGINT) "
         "END AS px_sum, "
         "CASE WHEN k = 0 THEN CAST(w + h - 2 AS INT) "
         "WHEN k = 1 THEN CAST(3 * w + h - 2 AS INT) "
-        "WHEN k = 5 THEN CAST(30 * LEAST(3, w - 1) AS INT) END AS px_max, "
+        "WHEN k = 5 THEN CAST(30 * LEAST(3, w - 1) AS INT) "
+        "WHEN k = 6 THEN CAST(vf + w2 + h2 - 3 AS INT) END AS px_max, "
         "CASE WHEN k = 2 THEN CAST(ch * fr AS BIGINT) END AS n_samples, "
         "wavs.sq AS pcm_sq_sum, wavs.pk AS pcm_peak "
         "FROM m LEFT JOIN wavs ON m.doc_id = wavs.doc_id",
         "ext-multimodal (png/bmp/wav/mp4 late-r4; jpeg r5 — real "
         "baseline-SOF0 files, SOF0/SOF2 marker-walk header decode; r5 "
         "content tier: REAL PNG/BMP pixel decode [zlib + filter 0-4 "
-        "unfilter], GIF LZW+palette decode (late r5), and WAV PCM "
-        "decode, exact integer pixel/sample stats vs closed-form/"
-        "UNNEST oracle)",
+        "unfilter], GIF LZW+palette decode (late r5), WAV PCM decode, "
+        "and AVI video frame decode (late r5 — uncompressed DIB "
+        "frames, stats over every pixel of every frame), exact "
+        "integer pixel/sample stats vs closed-form/UNNEST oracle)",
     ),
     QuerySpec(
         "decontaminate",

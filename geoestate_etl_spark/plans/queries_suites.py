@@ -606,9 +606,10 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       + exact cosine ≥ 0.4 (the synthetic-testdata calibration used by
       ``semantic_dedup``) in integer e4.
     """
-    from geoestate_etl_spark.functions.vectors import cosine
+    from geoestate_etl_spark.functions.vectors import to_double_array
     from geoestate_etl_spark.operators import dedup as DD
     from geoestate_etl_spark.operators import similarity as SIM
+    from geoestate_etl_spark.operators.semantic_dedup import _dot_pre
     from geoestate_etl_spark.plans.queries_ext import ensure_neardup_sigs
 
     sigs = ensure_neardup_sigs(spark, sf_dir)
@@ -627,8 +628,19 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     first = emb.select("embedding").first()
     planes = SIM.make_hyperplanes(8, len(first[0]))
+    # per-row double-cast + norm hoist (the semantic_pairs treatment —
+    # HOF folds are interpreted, so per-PAIR vector math is the cost
+    # center; this keeps vectors.cosine's op order bit-for-bit:
+    # cast → self-dot → sqrt → dot/(na·nb))
     b = DD.cap_hot_buckets(SIM.bucketize(emb, planes), ["bucket"], 256)
+    b = b.withColumn("_v", to_double_array("embedding")).withColumn(
+        "_n", F.sqrt(_dot_pre(F.col("_v"), F.col("_v")))
+    )
     left, right = b.alias("l"), b.alias("r")
+    denom = F.col("l._n") * F.col("r._n")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        _dot_pre(F.col("l._v"), F.col("r._v")) / denom
+    )
     ed = (
         left.join(
             right,
@@ -638,9 +650,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.vec_id").alias("id_a"),
             F.col("r.vec_id").alias("id_b"),
-            F.round(cosine(F.col("l.embedding"), F.col("r.embedding")) * 10000)
-            .cast(T.LongType())
-            .alias("score"),
+            F.round(cos * 10000).cast(T.LongType()).alias("score"),
         )
         .filter(F.col("score") >= 4000)
         .select(F.lit("embedding").alias("method"), "id_a", "id_b", "score")

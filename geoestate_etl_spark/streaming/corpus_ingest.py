@@ -26,6 +26,19 @@ already served, so it always wins) or a smaller-id batch sibling.
 Without ``sig_dir``, near-dup stays a slower-cadence corpus job
 (``plans.corpus_pipeline.run_corpus``), the pre-r3 behavior.
 
+Semantic (SemDeDup) removal joins the per-trigger path OPT-IN via
+``sem_dir`` + ``sem_centroids`` (late r5): cells are assigned with the
+FROZEN centroid list (the ``ivf_append`` add-after-train lifecycle —
+retraining is a slower-cadence job that re-materializes the standing
+table), each epoch runs
+:func:`~geoestate_etl_spark.operators.semantic_dedup.\
+incremental_semantic_dedup` against the standing ``(id, cell,
+embedding)`` table — O(batch × touched-cells) equi-join work, never a
+corpus rescan — and survivors' vectors land under ``sem_dir/epoch=N``
+(served-survivors-only, the same policy as the signature table).
+Documents without an embedding pass through unexamined — the same
+coverage-gap rule as ``run_corpus``.
+
 Token-budget mixing joins OPT-IN via ``budget_dir`` + ``mix_budgets``:
 each epoch consumes the remaining per-domain budgets with
 :func:`~geoestate_etl_spark.operators.sampling.consume_token_budget`
@@ -61,6 +74,10 @@ def ingest_batch(
     gate: Column | None = None,
     sig_dir: str | None = None,
     jaccard_threshold: float = 0.7,
+    sem_dir: str | None = None,
+    sem_centroids: list[list[float]] | None = None,
+    sem_threshold: float = 0.92,
+    embedding_col: str = "embedding",
     budget_dir: str | None = None,
     mix_budgets: dict[str, int] | None = None,
     mix_domain_col: str = "lang",
@@ -126,6 +143,39 @@ def ingest_batch(
         drops = batch_drop_ids(pairs, exact.select(id_col), id_col)
         exact = exact.join(drops, id_col, "left_anti")
 
+    sem_vecs = None
+    if sem_dir is not None and sem_centroids is not None:
+        from geoestate_etl_spark.operators.semantic_dedup import (
+            incremental_semantic_dedup,
+        )
+        from geoestate_etl_spark.operators.similarity import assign_cells
+
+        # coverage gaps pass through unexamined (the run_corpus rule);
+        # everything WITH a vector goes through frozen-centroid cells
+        clustered = assign_cells(
+            exact.filter(F.col(embedding_col).isNotNull()),
+            sem_centroids,
+            vec_col=embedding_col,
+        ).select(id_col, "cell", embedding_col)
+        try:
+            standing_sem = (
+                spark.read.parquet(sem_dir)
+                .filter(F.col("epoch") != epoch_id)  # retry-safe, as above
+                .select(id_col, "cell", embedding_col)
+            )
+        except AnalysisException:  # first epoch: no standing vectors
+            standing_sem = None
+        _pairs, decisions = incremental_semantic_dedup(
+            clustered,
+            standing_sem,
+            cosine_threshold=sem_threshold,
+            id_col=id_col,
+            vec_col=embedding_col,
+        )
+        sem_drops = decisions.filter(~F.col("kept")).select(id_col)
+        exact = exact.join(sem_drops, id_col, "left_anti")
+        sem_vecs = clustered
+
     clean = exact.withColumn(text_col, scrub_pii(text_col)).withColumn(
         "n_tokens", token_count(text_col)
     )
@@ -182,6 +232,13 @@ def ingest_batch(
             clean.select(F.col(id_col).alias("id")), "id", "semi"
         ).write.mode("overwrite").parquet(f"{sig_dir}/epoch={epoch_id}")
         batch_sigs.unpersist()
+    if sem_vecs is not None:
+        # same served-survivors-only policy as the signature table:
+        # a doc the budget stage later dropped was never served, so
+        # its vector must not shadow a future arrival
+        sem_vecs.join(clean.select(id_col), id_col, "semi").write.mode(
+            "overwrite"
+        ).parquet(f"{sem_dir}/epoch={epoch_id}")
     base.unpersist()
     return metrics
 
@@ -196,6 +253,10 @@ def start_corpus_ingest(
     gate: Column | None = None,
     sig_dir: str | None = None,
     jaccard_threshold: float = 0.7,
+    sem_dir: str | None = None,
+    sem_centroids: list[list[float]] | None = None,
+    sem_threshold: float = 0.92,
+    embedding_col: str = "embedding",
     budget_dir: str | None = None,
     mix_budgets: dict[str, int] | None = None,
     mix_domain_col: str = "lang",
@@ -207,6 +268,8 @@ def start_corpus_ingest(
             batch, epoch_id, corpus_dir, fp_dir,
             id_col=id_col, text_col=text_col, gate=gate,
             sig_dir=sig_dir, jaccard_threshold=jaccard_threshold,
+            sem_dir=sem_dir, sem_centroids=sem_centroids,
+            sem_threshold=sem_threshold, embedding_col=embedding_col,
             budget_dir=budget_dir, mix_budgets=mix_budgets,
             mix_domain_col=mix_domain_col,
         )

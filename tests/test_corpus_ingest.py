@@ -140,6 +140,55 @@ def test_sig_dir_dropped_doc_does_not_shadow_future_twin(spark, tmp_path):
     assert {r.doc_id for r in _read(spark, corpus).collect()} == {1}
 
 
+def test_sem_dir_semantic_dedup_across_epochs(spark, tmp_path):
+    """Opt-in streaming SemDeDup (late r5): frozen-centroid cells, a
+    later epoch's semantic twin of a served doc is dropped (history
+    wins), in-batch twins keep the min id, docs WITHOUT an embedding
+    pass through unexamined, the standing vector table carries
+    survivors only, and a retried epoch lands identically."""
+    from geoestate_etl_spark.streaming.corpus_ingest import ingest_batch
+
+    corpus, fps, sem = (
+        str(tmp_path / "c"), str(tmp_path / "f"), str(tmp_path / "m")
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]  # frozen — trained offline
+    kw = dict(sem_dir=sem, sem_centroids=cents, sem_threshold=0.92)
+    schema = "doc_id long, text string, embedding array<double>"
+
+    fresh = (
+        "deep in the ancient forest a narrow path wound between mossy "
+        "stones and towering pines where travelers rarely walked"
+    )
+    b0 = spark.createDataFrame(
+        [(1, GOOD, [1.0, 0.0]), (2, OTHER, [0.0, 1.0])], schema
+    )
+    b1 = spark.createDataFrame(
+        [
+            # semantic twin of served doc 1 (cos ≈ 0.990, same cell)
+            (3, fresh + " one", [0.99, 0.14]),
+            # no embedding: the coverage-gap rule admits it untouched
+            (4, fresh + " two", None),
+            # in-batch twins (cos ≈ 0.9997, cell 1) far enough from
+            # history doc 2's [0,1] (cos 0.8 < 0.92): min id 5 kept
+            (5, fresh + " three", [0.60, 0.80]),
+            (6, fresh + " four", [0.62, 0.79]),
+        ],
+        schema,
+    )
+    ingest_batch(b0, 0, corpus, fps, **kw)
+    ingest_batch(b1, 1, corpus, fps, **kw)
+
+    kept = {r.doc_id for r in _read(spark, corpus).collect()}
+    assert kept == {1, 2, 4, 5}
+    # standing vectors: survivors only, and only rows that HAVE vectors
+    assert {r.doc_id for r in _read(spark, sem).collect()} == {1, 2, 5}
+
+    # retry epoch 1: own-partition exclusion makes it idempotent
+    before = sorted(map(str, _read(spark, corpus).collect()))
+    ingest_batch(b1, 1, corpus, fps, **kw)
+    assert sorted(map(str, _read(spark, corpus).collect())) == before
+
+
 def _mk_lang_batch(spark, lo, hi, text_pad=""):
     rows = [
         (i, ["en", "zh"][i % 2],

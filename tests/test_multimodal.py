@@ -141,38 +141,43 @@ def test_decode_media_real_roundtrip(spark):
         decode_media_real,
     )
 
-    ids = spark.createDataFrame([(i,) for i in range(60)], ["doc_id"])
+    ids = spark.createDataFrame([(i,) for i in range(70)], ["doc_id"])
     out = {
         r.media_id: r
         for r in decode_media_real(attach_real_media(ids, "doc_id")).collect()
     }
-    assert len(out) == 60
-    for i in range(60):
+    assert len(out) == 70
+    for i in range(70):
         r = out[i]
-        if i % 6 == 0:
+        if i % 7 == 0:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "png", i % 64 + 1, i % 48 + 1, 1, 1,
             )
-        elif i % 6 == 1:
+        elif i % 7 == 1:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "bmp", i % 64 + 1, i % 48 + 1, 3, 1,
             )
-        elif i % 6 == 2:
+        elif i % 7 == 2:
             assert (r.format, r.n_channels, r.sample_rate, r.n_frames) == (
                 "wav", i % 2 + 1, 8000 + (i % 8) * 1000, i % 100 + 1,
             )
-        elif i % 6 == 3:
+        elif i % 7 == 3:
             assert (
                 r.format, r.width, r.height, r.sample_rate, r.n_frames
             ) == ("mp4", i % 128 + 16, i % 96 + 16, 1000 * (i % 5 + 1), i % 5000 + 1)
-        elif i % 6 == 4:
+        elif i % 7 == 4:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "jpeg", i % 64 + 1, i % 48 + 1, 1, 1,
             )
-        else:
+        elif i % 7 == 5:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "gif", i % 64 + 1, i % 48 + 1, 3, 1,
             )
+        else:  # avi: fps decoded into sample_rate, true frame count
+            assert (
+                r.format, r.width, r.height, r.n_channels,
+                r.sample_rate, r.n_frames,
+            ) == ("avi", i % 16 + 4, i % 12 + 4, 3, i % 10 + 5, i % 8 + 2)
         assert r.n_bytes > 40
 
 
@@ -337,36 +342,47 @@ def test_decode_media_content_roundtrip(spark):
         decode_media_content,
     )
 
-    ids = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    ids = spark.createDataFrame([(i,) for i in range(49)], ["doc_id"])
     out = {
         r.media_id: r
         for r in decode_media_content(attach_real_media(ids, "doc_id")).collect()
     }
-    assert len(out) == 40
-    for i in range(40):
+    assert len(out) == 49
+    for i in range(49):
         r, w, h = out[i], i % 64 + 1, i % 48 + 1
-        if i % 6 == 0:  # png: values x+y, never wrapping at these sizes
+        if i % 7 == 0:  # png: values x+y, never wrapping at these sizes
             assert (r.n_px, r.px_sum, r.px_max) == (
                 w * h, w * h * (w + h - 2) // 2, w + h - 2,
             )
             assert r.n_samples is None
-        elif i % 6 == 1:  # bmp: row bytes t+y, t in 0..3w-1
+        elif i % 7 == 1:  # bmp: row bytes t+y, t in 0..3w-1
             assert (r.n_px, r.px_sum, r.px_max) == (
                 w * h * 3,
                 h * (3 * w) * (3 * w - 1) // 2 + 3 * w * h * (h - 1) // 2,
                 3 * w + h - 2,
             )
-        elif i % 6 == 2:  # wav: samples (i*257)%32768-16384
+        elif i % 7 == 2:  # wav: samples (i*257)%32768-16384
             n = (i % 2 + 1) * (i % 100 + 1)
             samples = [(j * 257) % 32768 - 16384 for j in range(n)]
             assert (r.n_samples, r.pcm_sq_sum, r.pcm_peak) == (
                 n, sum(s * s for s in samples), max(abs(s) for s in samples),
             )
             assert r.n_px is None
-        elif i % 6 == 5:  # gif: palette (10i,20i,30i), index x%4
+        elif i % 7 == 5:  # gif: palette (10i,20i,30i), index x%4
             s_w = 6 * (w // 4) + [0, 0, 1, 3][w % 4]
             assert (r.n_px, r.px_sum, r.px_max) == (
                 w * h * 3, h * 60 * s_w, 30 * min(3, w - 1),
+            )
+            assert r.n_samples is None
+        elif i % 7 == 6:  # avi: pixel (f,x,y)=f+x+y over EVERY frame
+            w2, h2, vf = i % 16 + 4, i % 12 + 4, i % 8 + 2
+            sf, sx, sy = (
+                vf * (vf - 1) // 2, w2 * (w2 - 1) // 2, h2 * (h2 - 1) // 2,
+            )
+            assert (r.n_px, r.px_sum, r.px_max) == (
+                vf * w2 * h2 * 3,
+                3 * (h2 * w2 * sf + vf * h2 * sx + vf * w2 * sy),
+                vf + w2 + h2 - 3,
             )
             assert r.n_samples is None
         else:  # mp4/jpeg: container metadata only
@@ -385,20 +401,95 @@ def test_resize_image_nearest_real(spark):
         resize_image_nearest,
     )
 
-    ids = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    ids = spark.createDataFrame([(i,) for i in range(14)], ["doc_id"])
     media = attach_real_media(ids, "doc_id")
     out = {r.media_id: r for r in resize_image_nearest(media, 8, 8).collect()}
-    for i in range(12):
+    for i in range(14):
         r = out[i]
         assert (r.width, r.height) == (8, 8)
-        if i % 6 in (0, 1, 5):  # png/bmp/gif all pixel-decodable
+        if i % 7 in (0, 1, 5):  # png/bmp/gif all pixel-decodable
             px = png_pixels(bytes(r.content))
             assert px is not None and px.shape == (8, 8, 1)
-            if i % 6 == 0:  # png source: gray (x+y), spot-check corner
+            if i % 7 == 0:  # png source: gray (x+y), spot-check corner
                 w, h = i % 64 + 1, i % 48 + 1
                 assert int(px[0, 0, 0]) == (0 * h) // 8 + (0 * w) // 8
-        else:
+        else:  # wav/mp4/jpeg/avi: not a still image this path resizes
             assert r.content is None
+
+
+def test_avi_make_sniff_frames_pure():
+    """AVI tier, pure-Python: the generated container sniffs to the
+    planted parameters and every frame decodes to the planted
+    f+x+y pixel ramp (late r5 — real video frame decode)."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import (
+        avi_frames,
+        make_avi,
+        sniff_media,
+    )
+
+    b = make_avi(11, 6, 4, 12)
+    m = sniff_media(b)
+    assert (
+        m["format"], m["width"], m["height"], m["n_channels"],
+        m["sample_rate"], m["n_frames"],
+    ) == ("avi", 11, 6, 3, 12, 4)
+    fr = avi_frames(b)
+    assert fr.shape == (4, 6, 11, 3)
+    for f in range(4):
+        for y in (0, 5):
+            for x in (0, 10):
+                assert (fr[f, y, x] == (f + x + y) % 256).all()
+    # truncation/garbage: data, not crashes
+    assert avi_frames(b[:40]) is None
+    assert avi_frames(b"RIFFxxxxAVI ") is None
+    assert sniff_media(b"RIFFxxxxAVI ")["format"] == "unknown"
+
+
+def test_sample_video_frames_real(spark):
+    """REAL frame sampling (the stub's successor): every 2nd frame of
+    each AVI row returns exact integer stats and a decodable grayscale
+    PNG whose pixels are the planted f+x+y ramp; non-video rows
+    produce no frames; the sampled-frame PNGs feed the image tier
+    (embedding bridge) unchanged."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import (
+        attach_real_media,
+        avi_frames,
+        embed_media_stub,
+        make_avi,
+        png_pixels,
+        sample_video_frames,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(21)], ["doc_id"])
+    media = attach_real_media(ids, "doc_id")
+    got = {}
+    for r in sample_video_frames(media, every_nth=2).collect():
+        got.setdefault(r.media_id, {})[r.frame_idx] = r
+    # only the AVI rows (id % 7 == 6) are stdlib-decodable video
+    assert set(got) == {i for i in range(21) if i % 7 == 6}
+    for i in sorted(got):
+        w2, h2, vf = i % 16 + 4, i % 12 + 4, i % 8 + 2
+        assert set(got[i]) == set(range(0, vf, 2))
+        frames = avi_frames(make_avi(w2, h2, vf, i % 10 + 5))
+        for fi, r in got[i].items():
+            fr = frames[fi].astype(np.int64)
+            assert (r.width, r.height) == (w2, h2)
+            assert (r.px_sum, r.px_max) == (int(fr.sum()), int(fr.max()))
+            px = png_pixels(bytes(r.content))
+            assert px is not None and px.shape == (h2, w2, 1)
+            # gray = channel mean = the planted value; corner (0,0) = f
+            assert int(px[0, 0, 0]) == fi
+    # composition: sampled-frame PNG bytes are embedding-bridge-ready
+    frames_df = sample_video_frames(media, every_nth=4)
+    emb = embed_media_stub(frames_df, dim=16)
+    vecs = emb.collect()
+    assert len(vecs) == frames_df.count() and all(
+        len(r.embedding) == 16 for r in vecs
+    )
 
 
 def test_audio_features_match_numpy_reference(spark):
@@ -415,13 +506,13 @@ def test_audio_features_match_numpy_reference(spark):
         make_wav,
     )
 
-    ids = spark.createDataFrame([(i,) for i in range(24)], ["doc_id"])
+    ids = spark.createDataFrame([(i,) for i in range(28)], ["doc_id"])
     media = attach_real_media(ids, "doc_id")
     got = {}
     for r in audio_features(media, frame_size=64, hop=32).collect():
         got.setdefault(r.media_id, {})[r.frame_idx] = r
-    # only the WAV rows (id % 6 == 2) may produce frames
-    assert set(got) == {i for i in range(24) if i % 6 == 2}
+    # only the WAV rows (id % 7 == 2) may produce frames
+    assert set(got) == {i for i in range(28) if i % 7 == 2}
     for i in sorted(got):
         pcm = wav_samples(
             make_wav(8000 + (i % 8) * 1000, i % 2 + 1, i % 100 + 1)

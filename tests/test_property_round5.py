@@ -385,8 +385,10 @@ def test_decoders_never_raise_on_adversarial_bytes(data):
     (and raw random bytes) decode to None or a valid array — NEVER an
     exception, which would kill a whole Arrow batch of good rows."""
     from geoestate_etl_spark.operators.multimodal import (
+        avi_frames,
         bmp_pixels,
         gif_pixels,
+        make_avi,
         make_bmp,
         make_gif,
         make_png,
@@ -395,14 +397,15 @@ def test_decoders_never_raise_on_adversarial_bytes(data):
         wav_samples,
     )
 
-    decoders = [png_pixels, gif_pixels, bmp_pixels, wav_samples]
+    decoders = [png_pixels, gif_pixels, bmp_pixels, wav_samples, avi_frames]
     makers = [
         lambda: make_png(9, 7),
         lambda: make_gif(9, 7),
         lambda: make_bmp(9, 7),
         lambda: make_wav(8000, 1, 50),
+        lambda: make_avi(9, 7, 3, 10),
     ]
-    which = data.draw(st.integers(0, 3), label="format")
+    which = data.draw(st.integers(0, 4), label="format")
     b = makers[which]()
     mode = data.draw(st.sampled_from(["cut", "flip", "random"]), label="mode")
     if mode == "cut":
@@ -416,3 +419,90 @@ def test_decoders_never_raise_on_adversarial_bytes(data):
         )
     for dec in decoders:  # every decoder must also reject foreign formats
         dec(b)  # passes iff no exception escapes
+
+
+def _ref_avi(
+    frames: np.ndarray, top_down: bool, fps: int, junk: bool
+) -> bytes:
+    """INDEPENDENT reference AVI writer (spec-derived, not the
+    module's make_avi): RIFF/LIST layout by hand, dwScale=2 with
+    dwRate=2·fps (the decoder must divide, not read dwRate raw),
+    alternating 00db/00dc frame chunk ids, optional odd-sized JUNK
+    chunk exercising word-alignment, and either DIB orientation
+    (negative biHeight = top-down storage)."""
+    F, h, w, _ = frames.shape
+    row_bytes = (w * 3 + 3) & ~3
+    frame_bytes = row_bytes * h
+
+    def ck(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0, F, 0, 1, frame_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"\x00" * 4
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 2, 2 * fps, 0, F,
+            frame_bytes, 0, 0,
+        )
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        frame_bytes, 0, 0, 0, 0,
+    )
+    movi = []
+    for f in range(F):
+        ys = range(h) if top_down else range(h - 1, -1, -1)
+        rows = []
+        for y in ys:
+            row = frames[f, y].tobytes()
+            rows.append(row + b"\x00" * (row_bytes - len(row)))
+        movi.append(ck(b"00dc" if f % 2 else b"00db", b"".join(rows)))
+    body = b"AVI " + ck(
+        b"LIST",
+        b"hdrl" + ck(b"avih", avih)
+        + ck(b"LIST", b"strl" + ck(b"strh", strh) + ck(b"strf", strf)),
+    )
+    if junk:
+        body += ck(b"JUNK", b"\x00" * 13)  # odd size → pad byte
+    body += ck(b"LIST", b"movi" + b"".join(movi))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_avi_frames_inverts_reference_encoder(data):
+    """avi_frames must decode an INDEPENDENTLY-written AVI: random
+    pixel content, both DIB orientations, non-trivial dwScale, odd
+    JUNK chunks, and mixed 00db/00dc frame ids."""
+    from geoestate_etl_spark.operators.multimodal import (
+        avi_frames,
+        sniff_media,
+    )
+
+    w = data.draw(st.integers(1, 10), label="w")
+    h = data.draw(st.integers(1, 8), label="h")
+    n = data.draw(st.integers(1, 5), label="frames")
+    fps = data.draw(st.integers(1, 60), label="fps")
+    top_down = data.draw(st.booleans(), label="top_down")
+    junk = data.draw(st.booleans(), label="junk")
+    flat = data.draw(
+        st.lists(
+            st.integers(0, 255),
+            min_size=n * h * w * 3,
+            max_size=n * h * w * 3,
+        ),
+        label="px",
+    )
+    frames = np.array(flat, dtype=np.uint8).reshape(n, h, w, 3)
+    b = _ref_avi(frames, top_down, fps, junk)
+    m = sniff_media(b)
+    assert (m["format"], m["width"], m["n_frames"]) == ("avi", w, n)
+    assert m["sample_rate"] == fps  # dwRate/dwScale, not dwRate raw
+    got = avi_frames(b)
+    assert got is not None
+    np.testing.assert_array_equal(got, frames)
