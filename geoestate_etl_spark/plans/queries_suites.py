@@ -509,6 +509,15 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = base
+    # the three gram-derived frames are PERSISTED: each serve would
+    # otherwise re-run a corpus explode + two hash aggs per frame
+    # (the line's whole cost — ~3 gram passes per request). The cached
+    # relations are per-DOC rows (≪ exploded grams, bounded like the
+    # LM model cache), the cacheManager dedups by analyzed plan so
+    # repeated registry runs reuse one entry per sf, and the prepare
+    # cost lands in the bench's cold_first_run — the same
+    # prepared-statement treatment as the tokenizer/label-frame
+    # queries. NOT localCheckpoint (AQE bypass trap, docs/TUNING.md).
     for n in (2, 3):
         rep = ngram_repetition(docs, n).select(
             "doc_id",
@@ -516,10 +525,10 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_gram").alias(f"top{n}_gram"),
             F.col("top_n").alias(f"top{n}_n"),
             F.col("dup_occ").alias(f"dup{n}"),
-        )
+        ).persist()
         out = out.join(rep, "doc_id", "left")
     # model=None: self-scored corpus — ONE shared persisted gram pass
-    lm = ngram_logprob_micro(docs, None, "doc_id", "text", 3)
+    lm = ngram_logprob_micro(docs, None, "doc_id", "text", 3).persist()
     out = out.join(lm, "doc_id", "left")
     return out.select(
         *base.columns,
