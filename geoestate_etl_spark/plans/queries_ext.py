@@ -201,11 +201,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 3-gram Jaccard between consecutive doc pairs —
-    set ops on the gram arrays, exact."""
+    set ops on the gram arrays, exact.
+
+    Per-row ``array_distinct`` BEFORE the pair ops: array_intersect/
+    array_union return distinct elements regardless, so dedup'ing each
+    row once (N rows) instead of inside every pair op (2 ops × pairs)
+    is pure savings with identical semantics. The gram frame persists
+    at prepare — per-doc rows, the text_metrics treatment."""
     docs = _t(spark, sf_dir, "documents")
     grams = docs.select(
-        "doc_id", TX.char_ngrams("text", 3).alias("g")
-    )
+        "doc_id", F.array_distinct(TX.char_ngrams("text", 3)).alias("g")
+    ).persist()
     left = grams.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("id_a"), F.col("g").alias("ga")
     )
