@@ -258,3 +258,75 @@ def test_epoch_metrics_ride_the_write(spark, tmp_path):
     # empty epoch (everything already seen) still reports coherent zeros
     m2 = ingest_batch(b, 1, corpus, fps)
     assert m2 == {"n_written": 0, "n_tokens": 0}
+
+
+def test_all_stages_combined_epoch(spark, tmp_path):
+    """Every opt-in stage at once — fp + LSH signatures + semantic
+    vectors + token budgets in one epoch sequence: stage ORDER holds
+    (gate → exact → near-dup → semantic → budget), each standing
+    table sees only served survivors, and a full-epoch retry is a
+    no-op across all four state directories."""
+    from geoestate_etl_spark.streaming.corpus_ingest import ingest_batch
+
+    d = {k: str(tmp_path / k) for k in ("c", "f", "s", "m", "b")}
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    kw = dict(
+        sig_dir=d["s"], jaccard_threshold=0.5,
+        sem_dir=d["m"], sem_centroids=cents, sem_threshold=0.92,
+        budget_dir=d["b"], mix_budgets={"en": 60, "zh": 10_000},
+        mix_domain_col="lang",
+    )
+    schema = (
+        "doc_id long, lang string, text string, embedding array<double>"
+    )
+    fresh = (
+        "deep in the ancient forest a narrow path wound between mossy "
+        "stones and towering pines where travelers rarely walked"
+    )
+    b0 = spark.createDataFrame(
+        [(1, "en", GOOD, [1.0, 0.0]), (2, "en", OTHER, [0.0, 1.0])], schema
+    )
+    b1 = spark.createDataFrame(
+        [
+            (3, "en", GOOD, [0.5, 0.5]),             # exact dup of 1
+            (4, "en", GOOD + " tonight", [0.5, 0.5]),  # near-dup of 1
+            (5, "en", fresh + " one", [0.99, 0.14]),  # semantic twin of 1
+            # textually UNRELATED to 5 (the LSH stage runs before the
+            # semantic stage and would otherwise collapse 5/6 first)
+            (6, "zh", (
+                "rivers carve deep canyons through the red sandstone "
+                "plateau while hawks circle over the dry valley floor "
+                "waiting for the evening wind to rise"
+            ), None),
+        ],
+        schema,
+    )
+    m0 = ingest_batch(b0, 0, d["c"], d["f"], **kw)
+    m1 = ingest_batch(b1, 1, d["c"], d["f"], **kw)
+    kept = {r.doc_id for r in _read(spark, d["c"]).collect()}
+    assert kept == {1, 2, 6}
+    assert m0["n_written"] == 2 and m1["n_written"] == 1
+    # standing tables: served survivors only, vectors only where given
+    assert {r.id for r in _read(spark, d["s"]).collect()} == {1, 2, 6}
+    assert {r.doc_id for r in _read(spark, d["m"]).collect()} == {1, 2}
+    # budget: en consumed by epoch-0 docs; zh by doc 6
+    import pyspark.sql.functions as F
+
+    consumed = {
+        r.lang: r.t
+        for r in _read(spark, d["b"])
+        .groupBy("lang").agg(F.sum("tokens").alias("t")).collect()
+    }
+    assert consumed["zh"] > 0 and consumed["en"] > 0
+
+    # full-epoch retry: every state dir lands byte-identically
+    before = {
+        k: sorted(map(str, _read(spark, p).collect())) for k, p in d.items()
+        if k != "b"
+    }
+    ingest_batch(b1, 1, d["c"], d["f"], **kw)
+    after = {
+        k: sorted(map(str, _read(spark, p).collect())) for k, p in d.items()
+        if k != "b"
+    }
+    assert before == after
