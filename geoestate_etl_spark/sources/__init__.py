@@ -15,8 +15,16 @@ from geoestate_etl_spark.sources.parquet_io import (
     write_parquet,
     write_sorted_table,
 )
+from geoestate_etl_spark.sources.xml_source import (
+    parse_xml_column,
+    read_xml,
+    to_xml_column,
+)
 
 __all__ = [
+    "read_xml",
+    "parse_xml_column",
+    "to_xml_column",
     "read_columnar",
     "write_columnar",
     "write_sorted",
