@@ -279,3 +279,33 @@ def start_corpus_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def read_served(
+    spark, corpus_dir: str, fp_dir: str
+) -> DataFrame:
+    """READ-COMMITTED view of the streaming corpus: only epochs whose
+    fingerprint partition exists are visible.
+
+    :func:`ingest_batch` writes the epoch's row state in a fixed
+    order — the corpus partition FIRST, fingerprints AFTER it — so the
+    fingerprint partition doubles as the epoch's commit marker: a
+    concurrent reader (serving queries while the ingest stream runs,
+    or a downstream job racing the trigger) that goes through this
+    helper can never observe a torn epoch whose documents landed but
+    whose dedup state did not. Without the marker rule, such a reader
+    would serve documents that a crashed-and-retried epoch is about to
+    OVERWRITE — the read-side half of the overwrite-own-epoch
+    idempotence story.
+
+    Scale shape: committed epoch ids are collected (bounded — one row
+    per epoch, not per document) and applied as a static ``isin``
+    partition filter, so the corpus scan PRUNES uncommitted epoch
+    directories at planning time instead of filtering rows.
+    """
+    committed = [
+        r.epoch
+        for r in spark.read.parquet(fp_dir).select("epoch").distinct().collect()
+    ]
+    corpus = spark.read.parquet(corpus_dir)
+    return corpus.filter(F.col("epoch").isin(committed))

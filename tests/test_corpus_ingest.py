@@ -330,3 +330,38 @@ def test_all_stages_combined_epoch(spark, tmp_path):
         if k != "b"
     }
     assert before == after
+
+
+def test_read_served_excludes_torn_epochs(spark, tmp_path):
+    """Read-committed corpus reads: the fingerprint partition is the
+    epoch's commit marker (written AFTER the corpus partition), so a
+    torn epoch — documents landed, dedup state not — is invisible to
+    read_served until the retry completes it."""
+    from geoestate_etl_spark.streaming.corpus_ingest import (
+        ingest_batch,
+        read_served,
+    )
+
+    corpus, fps = str(tmp_path / "c"), str(tmp_path / "f")
+    ingest_batch(
+        spark.createDataFrame([(1, GOOD), (2, OTHER)], ["doc_id", "text"]),
+        0, corpus, fps,
+    )
+    # simulate the torn state a crash between the two writes leaves:
+    # epoch 1's documents exist, its fingerprints do not
+    torn = spark.createDataFrame(
+        [(3, GOOD + " tonight", 5)], ["doc_id", "text", "n_tokens"]
+    )
+    torn.write.mode("overwrite").parquet(f"{corpus}/epoch=1")
+    assert {r.doc_id for r in read_served(spark, corpus, fps).collect()} == {
+        1, 2,
+    }
+    # the raw reader DOES see the torn rows — the helper is the guard
+    assert spark.read.parquet(corpus).count() == 3
+
+    # the retried epoch completes; the same rows become visible
+    b1 = spark.createDataFrame([(3, GOOD + " tonight")], ["doc_id", "text"])
+    ingest_batch(b1, 1, corpus, fps)
+    assert {r.doc_id for r in read_served(spark, corpus, fps).collect()} == {
+        1, 2, 3,
+    }
