@@ -303,9 +303,18 @@ def read_served(
     partition filter, so the corpus scan PRUNES uncommitted epoch
     directories at planning time instead of filtering rows.
     """
-    committed = [
-        r.epoch
-        for r in spark.read.parquet(fp_dir).select("epoch").distinct().collect()
-    ]
+    try:
+        committed = [
+            r.epoch
+            for r in spark.read.parquet(fp_dir)
+            .select("epoch")
+            .distinct()
+            .collect()
+        ]
+    except AnalysisException:
+        # no fingerprint table at all: nothing has committed — even a
+        # torn epoch 0 (corpus partition landed, crash before the fp
+        # write) must read as EMPTY, not as an error
+        committed = []
     corpus = spark.read.parquet(corpus_dir)
     return corpus.filter(F.col("epoch").isin(committed))

@@ -365,3 +365,16 @@ def test_read_served_excludes_torn_epochs(spark, tmp_path):
     assert {r.doc_id for r in read_served(spark, corpus, fps).collect()} == {
         1, 2, 3,
     }
+
+
+def test_read_served_torn_first_epoch_reads_empty(spark, tmp_path):
+    """A crash before the very first fingerprint write leaves a corpus
+    directory with NO commit markers at all: read_served returns an
+    empty frame (correct — nothing committed), not an error."""
+    from geoestate_etl_spark.streaming.corpus_ingest import read_served
+
+    corpus, fps = str(tmp_path / "c"), str(tmp_path / "f")
+    spark.createDataFrame(
+        [(1, GOOD, 5)], ["doc_id", "text", "n_tokens"]
+    ).write.parquet(f"{corpus}/epoch=0")
+    assert read_served(spark, corpus, fps).count() == 0
