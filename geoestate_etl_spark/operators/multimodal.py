@@ -128,21 +128,33 @@ def _riff_walk(b: bytes, lo: int, hi: int, form: bytes | None = None):
     are word-aligned — an odd-sized body is followed by a pad byte.
     Used by the AVI branches of :func:`sniff_media` /
     :func:`avi_frames` (WAV predates this helper and keeps its own
-    flat walk — WAVE files have no nested LISTs worth descending)."""
+    flat walk — WAVE files have no nested LISTs worth descending).
+
+    Iterative (explicit resume stack), same depth-first pre-order as
+    the obvious recursion: a crafted deeply-nested LIST chain (~12
+    bytes per level, so >1000 levels in a 24 KB payload) must not
+    raise RecursionError — corrupt rows are data, never an exception
+    that kills an Arrow batch."""
     import struct
 
+    resume: list[tuple[int, int, bytes | None]] = []
     pos = lo
-    while pos + 8 <= hi:
-        cid = b[pos : pos + 4]
-        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-        body_lo = pos + 8
-        body_hi = min(body_lo + size, hi)
-        yield cid, body_lo, body_hi, form
-        if cid == b"LIST" and body_hi - body_lo >= 4:
-            yield from _riff_walk(
-                b, body_lo + 4, body_hi, b[body_lo : body_lo + 4]
-            )
-        pos = body_lo + size + (size & 1)
+    while True:
+        while pos + 8 <= hi:
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body_lo = pos + 8
+            body_hi = min(body_lo + size, hi)
+            yield cid, body_lo, body_hi, form
+            next_pos = body_lo + size + (size & 1)
+            if cid == b"LIST" and body_hi - body_lo >= 4:
+                resume.append((next_pos, hi, form))
+                pos, hi, form = body_lo + 4, body_hi, b[body_lo : body_lo + 4]
+            else:
+                pos = next_pos
+        if not resume:
+            return
+        pos, hi, form = resume.pop()
 
 
 def sniff_media(b: bytes) -> dict:
@@ -258,6 +270,7 @@ def sniff_media(b: bytes) -> dict:
             # the mp4 branch uses); strf is a BITMAPINFOHEADER whose
             # biBitCount gives the channel count
             w = h = total = fps = bits = None
+            stream_type = None  # fccType of the most recent strh
             for cid, lo, hi, form in _riff_walk(b, 12, len(b)):
                 if cid == b"avih" and hi - lo >= 40:
                     # dwTotalFrames @16; dwWidth/dwHeight @32/@36
@@ -265,14 +278,21 @@ def sniff_media(b: bytes) -> dict:
                         "<I12xII", b[lo + 16 : lo + 40]
                     )
                 elif cid == b"strh" and hi - lo >= 32:
-                    if b[lo : lo + 4] == b"vids":
+                    stream_type = b[lo : lo + 4]
+                    if stream_type == b"vids":
                         scale, rate = struct.unpack(
                             "<II", b[lo + 20 : lo + 28]
                         )
                         if scale:
                             fps = rate // scale
                 elif cid == b"strf" and hi - lo >= 16:
-                    (bits,) = struct.unpack("<H", b[lo + 14 : lo + 16])
+                    # only the VIDEO stream's strf is a BITMAPINFOHEADER;
+                    # in an audio+video AVI the audio strf is a
+                    # WAVEFORMATEX whose wBitsPerSample sits at the same
+                    # offset and would corrupt the channel count — pair
+                    # each strf with its sibling strh's fccType
+                    if stream_type == b"vids" and bits is None:
+                        (bits,) = struct.unpack("<H", b[lo + 14 : lo + 16])
             if w is not None and total is not None:
                 out.update(
                     format="avi",
@@ -320,8 +340,12 @@ def sniff_media(b: bytes) -> dict:
                     sample_rate=ts,
                     n_frames=dur,
                 )
-    except (struct.error, IndexError):
-        pass  # truncated header → whatever was parsed so far stands
+    except Exception:
+        # truncated/adversarial header → whatever was parsed so far
+        # stands. Broad by design (same net as _none_on_error): any
+        # parse failure here is data, and an escape would kill the
+        # whole Arrow batch in decode_media_real.
+        pass
     return out
 
 
@@ -652,14 +676,21 @@ def avi_frames(b: bytes):
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
     w = h = bits = comp = None
+    stream_type = None  # fccType of the most recent strh (see sniff_media)
     spans = []
     for cid, lo, hi, form in _riff_walk(b, 12, len(b)):
-        if cid == b"strf" and hi - lo >= 20 and form == b"strl":
-            if w is None:  # first video stream wins
+        if cid == b"strh" and form == b"strl" and hi - lo >= 4:
+            stream_type = b[lo : lo + 4]
+        elif cid == b"strf" and hi - lo >= 20 and form == b"strl":
+            # first VIDEO stream wins; an audio strf (WAVEFORMATEX) at
+            # the same offsets would corrupt the BITMAPINFOHEADER read
+            if w is None and stream_type == b"vids":
                 w, h = struct.unpack("<ii", b[lo + 4 : lo + 12])
                 (bits,) = struct.unpack("<H", b[lo + 14 : lo + 16])
                 (comp,) = struct.unpack("<I", b[lo + 16 : lo + 20])
-        elif form == b"movi" and cid[2:4] in (b"db", b"dc"):
+        elif form in (b"movi", b"rec ") and cid[2:4] in (b"db", b"dc"):
+            # interleaved AVIs wrap frame chunks in 'rec ' LISTs inside
+            # movi (AVI spec) — treat those lists as transparent
             spans.append((lo, hi))
     if w is None or w <= 0 or bits != 24 or comp != 0 or not spans:
         return None

@@ -64,6 +64,16 @@ from geoestate_etl_spark.functions.text import (
 from geoestate_etl_spark.plans.corpus_pipeline import quality_gate
 
 
+def _delete_dir(spark, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API
+    (so it works on whatever scheme the dirs live on — local, HDFS,
+    object store). Missing paths are a no-op."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def ingest_batch(
     batch: DataFrame,
     epoch_id: int,
@@ -95,6 +105,16 @@ def ingest_batch(
 
     spark = batch.sparkSession
     gate = quality_gate(text_col) if gate is None else gate
+
+    # UN-COMMIT this epoch before touching its row state: if a prior
+    # attempt crashed AFTER the fp write but before the checkpoint
+    # commit, the epoch's commit marker exists while this retry is
+    # about to overwrite corpus_dir/epoch=N — without the delete, a
+    # concurrent read_served could observe the epoch mid-overwrite
+    # (torn) despite the marker. Deleting first closes that window:
+    # the marker is absent for the whole rewrite and reappears only
+    # with the final fp write below.
+    _delete_dir(spark, f"{fp_dir}/epoch={epoch_id}")
 
     with_fp = batch.filter(gate).withColumn("fp", fingerprint_md5(text_col))
     try:
@@ -287,14 +307,17 @@ def read_served(
     """READ-COMMITTED view of the streaming corpus: only epochs whose
     fingerprint partition exists are visible.
 
-    :func:`ingest_batch` writes the epoch's row state in a fixed
-    order — the corpus partition FIRST, fingerprints AFTER it — so the
-    fingerprint partition doubles as the epoch's commit marker: a
+    :func:`ingest_batch` brackets the epoch's row state with the
+    fingerprint partition as a commit marker: it DELETES
+    ``fp_dir/epoch=N`` first (un-commit — covers a retry of an attempt
+    that crashed after the fp write but before the checkpoint commit),
+    writes the corpus partition, and re-writes fingerprints LAST. So a
     concurrent reader (serving queries while the ingest stream runs,
     or a downstream job racing the trigger) that goes through this
-    helper can never observe a torn epoch whose documents landed but
-    whose dedup state did not. Without the marker rule, such a reader
-    would serve documents that a crashed-and-retried epoch is about to
+    helper can never observe a torn epoch: the marker is absent for
+    the entire window in which the epoch's documents are being
+    (re)written. Without the marker rule, such a reader would serve
+    documents that a crashed-and-retried epoch is about to
     OVERWRITE — the read-side half of the overwrite-own-epoch
     idempotence story.
 

@@ -378,3 +378,51 @@ def test_read_served_torn_first_epoch_reads_empty(spark, tmp_path):
         [(1, GOOD, 5)], ["doc_id", "text", "n_tokens"]
     ).write.parquet(f"{corpus}/epoch=0")
     assert read_served(spark, corpus, fps).count() == 0
+
+
+def test_retry_uncommits_epoch_before_rewrite(spark, tmp_path):
+    """ADVICE r5: crash-AFTER-fp-write retries. A prior attempt that
+    crashed between the fp write and the checkpoint commit left epoch
+    N committed; the retry must DELETE the marker before rewriting the
+    corpus partition, so a reader racing the rewrite sees epoch N as
+    uncommitted — never mid-overwrite (torn). Simulated by a retry
+    whose rewrite job itself fails: the marker must already be gone."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geoestate_etl_spark.streaming.corpus_ingest import (
+        ingest_batch,
+        read_served,
+    )
+
+    corpus, fps = str(tmp_path / "c"), str(tmp_path / "f")
+    ingest_batch(
+        spark.createDataFrame([(1, GOOD), (2, OTHER)], ["doc_id", "text"]),
+        0, corpus, fps,
+    )
+    b1 = spark.createDataFrame([(3, GOOD + " tonight")], ["doc_id", "text"])
+    ingest_batch(b1, 1, corpus, fps)  # epoch 1 fully committed
+    assert {r.doc_id for r in read_served(spark, corpus, fps).collect()} == {
+        1, 2, 3,
+    }
+
+    # retry of epoch 1 that dies mid-rewrite (gate blows up inside the
+    # corpus write job — the worst-case crash point for a racing reader)
+    def _boom(_t):
+        raise ValueError("simulated mid-rewrite crash")
+
+    with pytest.raises(Exception):
+        ingest_batch(
+            b1, 1, corpus, fps, gate=F.udf(_boom, "boolean")("text"),
+        )
+    # the commit marker came OFF before the rewrite began: epoch 1 is
+    # uncommitted (invisible), not torn — epoch 0 still serves
+    assert {r.doc_id for r in read_served(spark, corpus, fps).collect()} == {
+        1, 2,
+    }
+
+    # a clean retry re-commits the epoch with identical content
+    ingest_batch(b1, 1, corpus, fps)
+    assert {r.doc_id for r in read_served(spark, corpus, fps).collect()} == {
+        1, 2, 3,
+    }

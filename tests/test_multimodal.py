@@ -535,3 +535,98 @@ def test_audio_features_match_numpy_reference(spark):
                 )
             else:
                 assert r.centroid_hz is None
+
+
+def test_riff_walk_survives_pathological_list_nesting():
+    """ADVICE r5 (medium): a crafted deeply-nested LIST RIFF (>1000
+    levels fits in ~24 KB) must sniff as data — never a RecursionError
+    escaping sniff_media and killing the whole Arrow batch."""
+    import struct
+
+    from geoestate_etl_spark.operators.multimodal import sniff_media
+
+    inner = b""
+    for _ in range(5000):  # far past any recursion limit
+        payload = b"nest" + inner
+        inner = b"LIST" + struct.pack("<I", len(payload)) + payload
+    b = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    m = sniff_media(b)  # passes iff no exception escapes
+    assert m["format"] in ("unknown", "avi")
+
+
+def _av_interleaved_avi(width, height, n_frames, fps):
+    """Audio+video AVI the spec allows but make_avi doesn't emit: the
+    AUDIO strl comes FIRST (strf = WAVEFORMATEX, wBitsPerSample=16 at
+    the same offset a BITMAPINFOHEADER keeps biBitCount), and every
+    video frame chunk is wrapped in a 'rec ' interleave LIST inside
+    movi. Pixels keep make_avi's (f+x+y)%256 ramp, bottom-up."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(form, body):
+        return chunk(b"LIST", form + body)
+
+    row_bytes = (width * 3 + 3) & ~3
+    frame_bytes = row_bytes * height
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0, n_frames,
+        0, 2, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh_common = struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+        frame_bytes, 0xFFFFFFFF, 0,
+    ) + struct.pack("<4h", 0, 0, width, height)
+    auds_strh = b"auds" + b"\x00" * 4 + strh_common
+    # WAVEFORMATEX: PCM, stereo, 8 kHz, 16-bit — wBitsPerSample @14
+    auds_strf = struct.pack("<HHIIHHH", 1, 2, 8000, 32000, 4, 16, 0)
+    vids_strh = b"vids" + b"DIB " + strh_common
+    vids_strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes,
+        2835, 2835, 0, 0,
+    )
+    frames = []
+    for f in range(n_frames):
+        rows = []
+        for y in range(height - 1, -1, -1):
+            row = bytes(
+                (f + x + y) % 256 for x in range(width) for _ in range(3)
+            )
+            rows.append(row + b"\x00" * (row_bytes - len(row)))
+        # each frame rides inside its own 'rec ' interleave LIST
+        frames.append(lst(b"rec ", chunk(b"00db", b"".join(rows))))
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf))
+        + lst(b"strl", chunk(b"strh", vids_strh) + chunk(b"strf", vids_strf)),
+    )
+    body = b"AVI " + hdrl + lst(b"movi", b"".join(frames))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_audio_video_interleaved_rec_lists():
+    """ADVICE r5 (low ×2): the audio stream's WAVEFORMATEX must not be
+    misread as the video BITMAPINFOHEADER (n_channels must be 3 from
+    the vids strf's 24-bit, not 2 from wBitsPerSample=16), and frames
+    wrapped in 'rec ' interleave LISTs must still decode."""
+    from geoestate_etl_spark.operators.multimodal import (
+        avi_frames,
+        sniff_media,
+    )
+
+    b = _av_interleaved_avi(11, 6, 4, 12)
+    m = sniff_media(b)
+    assert (
+        m["format"], m["width"], m["height"], m["n_channels"],
+        m["sample_rate"], m["n_frames"],
+    ) == ("avi", 11, 6, 3, 12, 4)
+    fr = avi_frames(b)
+    assert fr is not None and fr.shape == (4, 6, 11, 3)
+    for f in range(4):
+        for y in (0, 5):
+            for x in (0, 10):
+                assert (fr[f, y, x] == (f + x + y) % 256).all()

@@ -66,3 +66,25 @@ def test_embedding_near_dups_empty_input(spark):
     )
     df = spark.createDataFrame([], schema)
     assert embedding_near_dups(df).count() == 0
+
+
+def test_no_row_at_a_time_udf_in_package():
+    """Engine discipline (VERDICT r5 #6): row-at-a-time ``F.udf`` is
+    the slow path and is banned from the package — Arrow-batched
+    ``pandas_udf`` / ``mapInPandas`` are the only Python seams. The
+    last site (quality_model's VectorUDT densifier) was replaced with
+    ``pyspark.ml.functions.array_to_vector`` in r6."""
+    import pathlib
+    import re
+
+    import geoestate_etl_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    pat = re.compile(r"(?<!pandas_)\budf\s*\(")
+    for py in root.rglob("*.py"):
+        for lineno, line in enumerate(py.read_text().splitlines(), 1):
+            stripped = line.split("#")[0]
+            if pat.search(stripped) and "pandas_udf" not in stripped:
+                offenders.append(f"{py.relative_to(root)}:{lineno}: {line.strip()}")
+    assert offenders == [], offenders
