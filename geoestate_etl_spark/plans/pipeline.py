@@ -144,14 +144,31 @@ def run_pipeline(
     serving_path: str | None = None,
     encoding: str = "UTF-16",
     scalable_renumber: bool = True,
+    jdbc_url: str | None = None,
+    jdbc_table: str = "houses",
+    jdbc_driver: str | None = None,
 ) -> PipelineResult:
-    """Full reference-equivalent pipeline in one lineage."""
+    """Full reference-equivalent pipeline in one lineage.
+
+    The serving landing is environment-adaptive (r6): with ``jdbc_url``
+    (+ a live driver jar) the clean table goes to the external OLAP
+    store exactly like the reference's ClickHouse load — but
+    executor-parallel instead of a driver-side INSERT loop; otherwise
+    ``serving_path`` lands the sorted-parquet emulation."""
     raw = load_stage(spark, csv_path, encoding)
     validated, n_valid, n_invalid = validate_stage(raw, scalable=scalable_renumber)
     clean = cast_houses(validated).persist()
 
     analytics = analytics_stage(clean)
-    if serving_path is not None:
+    if jdbc_url is not None:
+        from geoestate_etl_spark.sources.jdbc_sink import write_serving_table
+
+        kw = {"driver": jdbc_driver} if jdbc_driver else {}
+        write_serving_table(
+            clean, "house_id", jdbc_url=jdbc_url, table=jdbc_table,
+            mode="overwrite", **kw,
+        )
+    elif serving_path is not None:
         # replaces collect()+batched INSERT (S7): partition-parallel,
         # clustered by the MergeTree sort key
         write_sorted_table(clean, serving_path, "house_id")

@@ -9,6 +9,12 @@ from geoestate_etl_spark.sources.jsonl_source import (
     split_corrupt,
     write_jsonl,
 )
+from geoestate_etl_spark.sources.jdbc_sink import (
+    jdbc_driver_available,
+    read_jdbc_table,
+    write_jdbc_table,
+    write_serving_table,
+)
 from geoestate_etl_spark.sources.parquet_io import (
     load_tables,
     read_parquet,
@@ -36,4 +42,8 @@ __all__ = [
     "write_parquet",
     "write_sorted_table",
     "load_tables",
+    "jdbc_driver_available",
+    "read_jdbc_table",
+    "write_jdbc_table",
+    "write_serving_table",
 ]
