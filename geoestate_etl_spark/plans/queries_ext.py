@@ -772,7 +772,13 @@ SPECS = [
         # a correlated UNNEST(range(n)) (n = channels·frames ≤ 200).
         # avi (k=6): w2×h2, vf frames, pixel (f,x,y) = f+x+y on all 3
         # channels (< 256 at these sizes, never wraps) → px_sum =
-        # 3·(h·w·Σf + F·h·Σx + F·w·Σy) with Σn = n(n-1)/2 triangles
+        # 3·(h·w·Σf + F·h·Σx + F·w·Σy) with Σn = n(n-1)/2 triangles.
+        # jpeg (k=4, r6 — real baseline entropy decode): MCU m
+        # (row-major over a ceil(w/8)×ceil(h/8) grid) is DC-only with
+        # coefficient (m%11)-5 and flat q=16, so every sample in block
+        # m decodes to exactly 128 + 2·((m%11)-5); edge blocks crop to
+        # LEAST(8, w-8·bx)×LEAST(8, h-8·by) pixels — the oracle sums
+        # the block grid via a correlated UNNEST(range(n_blocks))
         "WITH m AS (SELECT doc_id, doc_id % 7 AS k, "
         "doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h, "
         "doc_id % 2 + 1 AS ch, doc_id % 100 + 1 AS fr, "
@@ -782,7 +788,15 @@ SPECS = [
         "CAST(sum(s * s) AS BIGINT) AS sq, CAST(max(abs(s)) AS INT) AS pk "
         "FROM (SELECT doc_id, ((i * 257) % 32768) - 16384 AS s "
         "FROM m, UNNEST(range(ch * fr)) AS t(i) WHERE k = 2) "
-        "GROUP BY doc_id) "
+        "GROUP BY doc_id), "
+        "jpegs AS (SELECT doc_id, "
+        "CAST(sum((128 + 2 * ((i % 11) - 5)) "
+        "* LEAST(8, w - 8 * (i % mcw)) * LEAST(8, h - 8 * (i // mcw))) "
+        "AS BIGINT) AS psum, "
+        "CAST(max(128 + 2 * ((i % 11) - 5)) AS INT) AS pmax "
+        "FROM (SELECT doc_id, w, h, (w + 7) // 8 AS mcw, "
+        "((w + 7) // 8) * ((h + 7) // 8) AS nb FROM m WHERE k = 4), "
+        "UNNEST(range(nb)) AS t(i) GROUP BY doc_id) "
         "SELECT m.doc_id AS media_id, "
         "CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav' "
         "WHEN 3 THEN 'mp4' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'gif' "
@@ -801,7 +815,7 @@ SPECS = [
         "CAST(CASE k WHEN 2 THEN fr "
         "WHEN 3 THEN m.doc_id % 5000 + 1 WHEN 6 THEN vf "
         "ELSE 1 END AS INT) AS n_frames, "
-        "CASE WHEN k = 0 THEN CAST(w * h AS BIGINT) "
+        "CASE WHEN k IN (0, 4) THEN CAST(w * h AS BIGINT) "
         "WHEN k IN (1, 5) THEN CAST(w * h * 3 AS BIGINT) "
         "WHEN k = 6 THEN CAST(vf * w2 * h2 * 3 AS BIGINT) END AS n_px, "
         "CASE WHEN k = 0 THEN CAST(w * h * (w + h - 2) / 2 AS BIGINT) "
@@ -812,20 +826,25 @@ SPECS = [
         "WHEN k = 6 THEN CAST(3 * (h2 * w2 * (vf * (vf - 1) / 2) "
         "+ vf * h2 * (w2 * (w2 - 1) / 2) "
         "+ vf * w2 * (h2 * (h2 - 1) / 2)) AS BIGINT) "
+        "WHEN k = 4 THEN jpegs.psum "
         "END AS px_sum, "
         "CASE WHEN k = 0 THEN CAST(w + h - 2 AS INT) "
         "WHEN k = 1 THEN CAST(3 * w + h - 2 AS INT) "
         "WHEN k = 5 THEN CAST(30 * LEAST(3, w - 1) AS INT) "
-        "WHEN k = 6 THEN CAST(vf + w2 + h2 - 3 AS INT) END AS px_max, "
+        "WHEN k = 6 THEN CAST(vf + w2 + h2 - 3 AS INT) "
+        "WHEN k = 4 THEN jpegs.pmax END AS px_max, "
         "CASE WHEN k = 2 THEN CAST(ch * fr AS BIGINT) END AS n_samples, "
         "wavs.sq AS pcm_sq_sum, wavs.pk AS pcm_peak "
-        "FROM m LEFT JOIN wavs ON m.doc_id = wavs.doc_id",
+        "FROM m LEFT JOIN wavs ON m.doc_id = wavs.doc_id "
+        "LEFT JOIN jpegs ON m.doc_id = jpegs.doc_id",
         "ext-multimodal (png/bmp/wav/mp4 late-r4; jpeg r5 — real "
         "baseline-SOF0 files, SOF0/SOF2 marker-walk header decode; r5 "
         "content tier: REAL PNG/BMP pixel decode [zlib + filter 0-4 "
         "unfilter], GIF LZW+palette decode (late r5), WAV PCM decode, "
         "and AVI video frame decode (late r5 — uncompressed DIB "
-        "frames, stats over every pixel of every frame), exact "
+        "frames, stats over every pixel of every frame); r6: REAL "
+        "baseline-JPEG entropy decode [canonical Huffman + numpy "
+        "IDCT], jpeg rows now carry hash-oracled pixel stats, exact "
         "integer pixel/sample stats vs closed-form/UNNEST oracle)",
     ),
     QuerySpec(

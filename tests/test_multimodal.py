@@ -335,8 +335,9 @@ def test_png_bmp_wav_content_decoders_pure():
 
 def test_decode_media_content_roundtrip(spark):
     """attach_real_media → decode_media_content recovers the exact
-    planted pixel/sample statistics for every decodable row; JPEG/MP4
-    rows carry NULL stats (the honest codec boundary)."""
+    planted pixel/sample statistics for every decodable row — since r6
+    that includes baseline JPEG (real entropy decode); MP4 rows carry
+    NULL stats (the honest codec boundary)."""
     from geoestate_etl_spark.operators.multimodal import (
         attach_real_media,
         decode_media_content,
@@ -385,7 +386,18 @@ def test_decode_media_content_roundtrip(spark):
                 vf + w2 + h2 - 3,
             )
             assert r.n_samples is None
-        else:  # mp4/jpeg: container metadata only
+        elif i % 7 == 4:  # jpeg (r6): per-MCU DC pattern, block m flat
+            mcw, mch = (w + 7) // 8, (h + 7) // 8
+            want_sum = want_max = 0
+            for m in range(mcw * mch):
+                by, bx = divmod(m, mcw)
+                v = 128 + 2 * ((m % 11) - 5)
+                cnt = min(8, w - 8 * bx) * min(8, h - 8 * by)
+                want_sum += v * cnt
+                want_max = max(want_max, v)
+            assert (r.n_px, r.px_sum, r.px_max) == (w * h, want_sum, want_max)
+            assert r.n_samples is None
+        else:  # mp4: container metadata only (no ffmpeg)
             assert r.n_px is None and r.n_samples is None
 
 
@@ -630,3 +642,377 @@ def test_avi_audio_video_interleaved_rec_lists():
         for y in (0, 5):
             for x in (0, 10):
                 assert (fr[f, y, x] == (f + x + y) % 256).all()
+
+
+# --- r6: baseline JPEG entropy decode ---------------------------------------
+
+
+def _jpeg_bitwriter():
+    """Test-side bit writer with 0xFF byte stuffing and restart-marker
+    support — an independent encoder so jpeg_pixels is verified against
+    bytes it did not produce."""
+    state = {"bits": "", "out": bytearray()}
+
+    def put(code, ln):
+        state["bits"] += format(code, "b").zfill(ln)
+        while len(state["bits"]) >= 8:
+            byte = int(state["bits"][:8], 2)
+            state["bits"] = state["bits"][8:]
+            state["out"].append(byte)
+            if byte == 0xFF:
+                state["out"].append(0x00)
+
+    def align_restart(n):
+        if state["bits"]:
+            put((1 << (8 - len(state["bits"]))) - 1, 8 - len(state["bits"]))
+        state["out"] += bytes([0xFF, 0xD0 + (n % 8)])
+
+    def finish():
+        if state["bits"]:
+            put((1 << (8 - len(state["bits"]))) - 1, 8 - len(state["bits"]))
+        return bytes(state["out"])
+
+    return put, align_restart, finish
+
+
+def _encode_test_jpeg(w, h, comps, blocks, qtables, ri=0):
+    """Full baseline encoder for arbitrary zigzag coefficient blocks.
+
+    comps: list of (hs, vs, tq); blocks: per component, array
+    (mcuy*vs, mcux*hs, 64) of zigzag-order quantized coefficients;
+    qtables: {tq: 64 ints}. Emits SOI/APP0/DQT/DHT/DRI/SOF0/SOS with
+    the K.3.1 tables registered under ids 0 AND 1 (components i>0 use
+    id 1, exercising table-id plumbing)."""
+    import struct
+
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _huff_encode_table,
+    )
+
+    enc_dc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    enc_ac = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8" + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in sorted(qtables.items()):
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in q))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for i, (hs, vs, tq) in enumerate(comps):
+        sof += bytes([i + 1, (hs << 4) | vs, tq])
+    out += seg(0xC0, sof)
+    for th in (0, 1) if len(comps) > 1 else (0,):
+        out += seg(0xC4, bytes([th]) + _JPEG_DC_BITS + _JPEG_DC_VALS)
+        out += seg(0xC4, bytes([0x10 | th]) + _JPEG_AC_BITS + _JPEG_AC_VALS)
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
+    sos = bytes([len(comps)])
+    for i in range(len(comps)):
+        t = 0 if i == 0 else 1
+        sos += bytes([i + 1, (t << 4) | t])
+    out += seg(0xDA, sos + bytes([0, 63, 0]))
+
+    put, align_restart, finish = _jpeg_bitwriter()
+
+    def put_val(table, v):
+        ln, code = table[v]
+        put(code, ln)
+
+    def put_extend(v, s):
+        put(v if v > 0 else v + (1 << s) - 1, s)
+
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    preds = [0] * len(comps)
+    nrst = 0
+    for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:
+            align_restart(nrst)
+            nrst += 1
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, (hs, vs, _tq) in enumerate(comps):
+            dc_t, ac_t = (enc_dc, enc_ac)
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = blocks[ci][my * vs + by, mx * hs + bx]
+                    diff = int(coef[0]) - preds[ci]
+                    preds[ci] = int(coef[0])
+                    s = abs(diff).bit_length()
+                    put_val(dc_t, s)
+                    if s:
+                        put_extend(diff, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(coef[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            put_val(ac_t, 0xF0)
+                            run -= 16
+                        sz = abs(v).bit_length()
+                        put_val(ac_t, (run << 4) | sz)
+                        put_extend(v, sz)
+                        run = 0
+                    if run:
+                        put_val(ac_t, 0x00)
+    return out + finish() + b"\xff\xd9"
+
+
+def _reference_reconstruct(w, h, comps, blocks, qtables):
+    """Independent reconstruction: direct four-loop IDCT formula (not
+    the decoder's einsum), then the same assembly/upsample/crop/RGB
+    pipeline the spec mandates."""
+    import numpy as np
+
+    zz = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(7, s) + 1)
+        for r in (reversed(rng) if s % 2 == 0 else rng):
+            zz.append((r, s - r))
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    planes = []
+    for ci, (hs, vs, tq) in enumerate(comps):
+        rows, cols = blocks[ci].shape[:2]
+        plane = np.zeros((rows * 8, cols * 8), np.uint8)
+        for r in range(rows):
+            for c in range(cols):
+                S = np.zeros((8, 8), np.float64)
+                for k, (rr, cc) in enumerate(zz):
+                    S[rr, cc] = blocks[ci][r, c, k] * qtables[tq][k]
+                px = np.zeros((8, 8), np.float64)
+                for x in range(8):
+                    for y in range(8):
+                        acc = 0.0
+                        for u in range(8):
+                            for v in range(8):
+                                cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                                cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                                acc += (
+                                    cu * cv / 4 * S[u, v]
+                                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                                    * np.cos((2 * y + 1) * v * np.pi / 16)
+                                )
+                        px[x, y] = acc
+                plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = np.clip(
+                    np.round(px) + 128, 0, 255
+                ).astype(np.uint8)
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _rand_blocks(rng, rows, cols, density=0.15, max_dc=200, max_ac=120):
+    import numpy as np
+
+    b = np.zeros((rows, cols, 64), np.int64)
+    b[:, :, 0] = rng.integers(-max_dc, max_dc + 1, (rows, cols))
+    mask = rng.random((rows, cols, 63)) < density
+    vals = rng.integers(-max_ac, max_ac + 1, (rows, cols, 63))
+    b[:, :, 1:] = np.where(mask, vals, 0)
+    return b
+
+
+def test_jpeg_pixels_dc_varying_fixture():
+    """make_jpeg's per-MCU DC pattern decodes to exactly 128+2·c per
+    block, cropped at image edges — the closed form the DuckDB oracle
+    predicts for multimodal_meta's jpeg rows."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import jpeg_pixels, make_jpeg
+
+    for (w, h, off) in [(1, 1, 0), (8, 8, 0), (37, 22, 3), (64, 48, 0), (3, 50, 7)]:
+        mcw, mch = (w + 7) // 8, (h + 7) // 8
+        img = np.zeros((mch * 8, mcw * 8), np.int64)
+        for m in range(mcw * mch):
+            by, bx = divmod(m, mcw)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                128 + 2 * (((m + off) % 11) - 5)
+            )
+        px = jpeg_pixels(make_jpeg(w, h, dc_offset=off))
+        assert px is not None and px.shape == (h, w)
+        assert (px == img[:h, :w]).all()
+
+
+def test_jpeg_entropy_full_ac_grayscale():
+    """Random sparse AC spectra (EXTEND bits, ZRL runs, byte stuffing)
+    through an independent encoder decode to the direct-IDCT-formula
+    reconstruction — the Huffman/dequant/zigzag path, not just DC."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import jpeg_pixels
+
+    rng = np.random.default_rng(42)
+    q = {0: ((np.arange(64) * 7) % 29 + 1).astype(np.int64)}
+    for (w, h) in [(16, 16), (24, 10), (7, 13)]:
+        rows, cols = -(-h // 8), -(-w // 8)
+        blocks = [_rand_blocks(rng, rows, cols)]
+        # force a ZRL (>16-gap) into one block: energy at k=1 and k=40
+        blocks[0][0, 0, 1:] = 0
+        blocks[0][0, 0, 1] = 9
+        blocks[0][0, 0, 40] = -17
+        comps = [(1, 1, 0)]
+        jb = _encode_test_jpeg(w, h, comps, blocks, q)
+        px = jpeg_pixels(jb)
+        want = _reference_reconstruct(w, h, comps, blocks, q)
+        assert px is not None and (px == want).all()
+
+
+def test_jpeg_color_444_and_420():
+    """3-component decode: 4:4:4 and 4:2:0 chroma subsampling with
+    separate luma/chroma quant tables and Huffman table ids — the
+    replication upsample and YCbCr→RGB conversion vs the reference."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import jpeg_pixels
+
+    rng = np.random.default_rng(7)
+    q = {
+        0: ((np.arange(64) * 5) % 23 + 1).astype(np.int64),
+        1: ((np.arange(64) * 3) % 17 + 2).astype(np.int64),
+    }
+    for sampling in [((1, 1, 0), (1, 1, 1), (1, 1, 1)),
+                     ((2, 2, 0), (1, 1, 1), (1, 1, 1))]:
+        w, h = 20, 14
+        hmax = max(c[0] for c in sampling)
+        vmax = max(c[1] for c in sampling)
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        blocks = [
+            _rand_blocks(rng, mcuy * vs, mcux * hs, density=0.1, max_ac=60)
+            for (hs, vs, _tq) in sampling
+        ]
+        jb = _encode_test_jpeg(w, h, list(sampling), blocks, q)
+        px = jpeg_pixels(jb)
+        want = _reference_reconstruct(w, h, list(sampling), blocks, q)
+        assert px is not None and px.shape == (h, w, 3)
+        assert (px == want).all()
+
+
+def test_jpeg_restart_intervals():
+    """DRI + RSTn: DC predictors reset and the bit stream re-aligns at
+    every restart marker; decode equals the no-restart reconstruction."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import jpeg_pixels
+
+    rng = np.random.default_rng(3)
+    q = {0: np.full(64, 16, np.int64)}
+    w, h = 40, 24  # 5×3 MCUs → restarts mid-row and across rows
+    blocks = [_rand_blocks(rng, 3, 5, density=0.2)]
+    comps = [(1, 1, 0)]
+    jb = _encode_test_jpeg(w, h, comps, blocks, q, ri=4)
+    assert b"\xff\xd0" in jb or b"\xff\xd1" in jb  # markers actually emitted
+    px = jpeg_pixels(jb)
+    want = _reference_reconstruct(w, h, comps, blocks, q)
+    assert px is not None and (px == want).all()
+
+
+def test_jpeg_fuzz_and_boundaries():
+    """Corrupt rows are data: truncations at every prefix length,
+    seeded byte flips, progressive (SOF2) and 12-bit files all return
+    None or a valid array — never an exception (the _none_on_error
+    contract the Arrow batch depends on)."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import jpeg_pixels, make_jpeg
+
+    base = make_jpeg(19, 11, dc_offset=2)
+    for cut in range(0, len(base), 3):
+        r = jpeg_pixels(base[:cut])
+        assert r is None or isinstance(r, np.ndarray)
+    rng = np.random.default_rng(11)
+    for _ in range(120):
+        bb = bytearray(base)
+        for _f in range(int(rng.integers(1, 4))):
+            bb[int(rng.integers(0, len(bb)))] = int(rng.integers(0, 256))
+        r = jpeg_pixels(bytes(bb))
+        assert r is None or isinstance(r, np.ndarray)
+    # progressive: same file with SOF0 marker rewritten to SOF2
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert jpeg_pixels(prog) is None
+    # 12-bit precision flagged in SOF: unsupported → None
+    i = base.index(b"\xff\xc0")
+    twelve = base[: i + 4] + b"\x0c" + base[i + 5 :]
+    assert jpeg_pixels(twelve) is None
+    assert jpeg_pixels(b"") is None
+    assert jpeg_pixels(b"\xff\xd8") is None
+
+
+def test_mjpeg_avi_end_to_end(spark):
+    """VERDICT r5 #5: MJPEG AVI fixtures decode through avi_frames
+    (per-frame baseline JPEG → 3-channel frames) and the sampled
+    frames feed the image tier unchanged (PNG re-encode decodes to the
+    planted per-block values); decode_media_content sums every frame."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import (
+        avi_frames,
+        decode_media_content,
+        jpeg_pixels,
+        make_avi_mjpeg,
+        make_jpeg,
+        png_pixels,
+        sample_video_frames,
+        sniff_media,
+    )
+
+    w, h, nf = 24, 16, 5
+    b = make_avi_mjpeg(w, h, nf, 12)
+    meta = sniff_media(b)
+    assert (meta["format"], meta["width"], meta["height"], meta["n_frames"]) == (
+        "avi", w, h, nf
+    )
+    frames = avi_frames(b)
+    assert frames is not None and frames.shape == (nf, h, w, 3)
+    for f in range(nf):
+        gray = jpeg_pixels(make_jpeg(w, h, dc_offset=f))
+        assert (frames[f] == gray[:, :, None]).all()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b)), (2, bytearray(make_jpeg(9, 9)))],
+        "media_id: long, content: binary",
+    )
+    # content stats span every MJPEG frame
+    stats = {r.media_id: r for r in decode_media_content(df).collect()}
+    assert stats[1].n_px == nf * h * w * 3
+    assert stats[1].px_sum == int(frames.astype(np.int64).sum())
+    assert stats[1].px_max == int(frames.max())
+    # jpeg rows get real stats now too (the retired NULL boundary)
+    jp = jpeg_pixels(make_jpeg(9, 9))
+    assert stats[2].n_px == 81 and stats[2].px_sum == int(jp.astype(np.int64).sum())
+
+    # sampled MJPEG frames flow into the image tier unchanged
+    sampled = {
+        r.frame_idx: r
+        for r in sample_video_frames(df, every_nth=2).collect()
+        if r.media_id == 1
+    }
+    assert set(sampled) == {0, 2, 4}
+    for fi, r in sampled.items():
+        fr = frames[fi].astype(np.int64)
+        assert (r.px_sum, r.px_max) == (int(fr.sum()), int(fr.max()))
+        px = png_pixels(bytes(r.content))
+        assert px is not None and px.shape == (h, w, 1)
+        # gray == channel mean == the planted flat block value
+        assert (px[:, :, 0] == frames[fi, :, :, 0]).all()
