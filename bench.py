@@ -145,6 +145,34 @@ def main() -> None:
         ensure_warehouse_index(spark, SF_DIR, 16)
         timings["similarity_index_build"] = round(time.perf_counter() - t0, 3)
 
+    # r6: the other prepare-heavy serving state (BFS label frame,
+    # PageRank fixpoint, text gram frames) is disk-backed too
+    # (plans/prepared.py — VERDICT r5 #3). Same lifecycle accounting
+    # as the IVF index: drop any artifacts a prior run left, time the
+    # build ONCE as its own metric, then leave them in place so the
+    # query loop below measures the deployed cold path — a fresh
+    # session reading the prepared store, not re-running iterations.
+    _PREPARED_QUERIES = ("graph_bfs", "pagerank_suppliers", "text_metrics")
+    _PREPARED_NAMES = (
+        "bfs_supplier_order",
+        "pagerank_supplier_nation",
+        "text_grams",
+    )
+    if all(q in specs for q in _PREPARED_QUERIES):
+        from geoestate_etl_spark.plans.prepared import invalidate_artifacts
+        from geoestate_etl_spark.plans.registry import invalidate_prepared
+
+        for n in _PREPARED_NAMES:
+            invalidate_artifacts(n)
+        t0 = time.perf_counter()
+        for qn in _PREPARED_QUERIES:
+            force(specs[qn].fn(spark, SF_DIR))
+        timings["prepare_artifacts_build"] = round(time.perf_counter() - t0, 3)
+        # those serves cached plans over the fresh artifacts; drop them
+        # so pass 1 measures a cold plan build + artifact scan
+        for qn in _PREPARED_QUERIES:
+            invalidate_prepared(qn)
+
     # Two passes, best-of-2 per query: this host's CPU throttling was
     # measured (r3) to swing identical plans 3-5x between runs, and a
     # single sample turns that noise into phantom regressions. The min

@@ -1,0 +1,102 @@
+"""Disk-backed prepare artifacts for the serving cold path (r6 —
+VERDICT r5 #3).
+
+Registry queries are served as prepared plans (``plans/registry.py``):
+the first call per session pays any eager prepare-time work — the
+iterative BFS label frame, the PageRank fixpoint, the corpus gram
+frames behind ``text_metrics``. Until r6 that cost was re-paid in
+EVERY fresh session (BENCH ``cold_first_run``: graph_bfs 8.8s,
+pagerank 4.8s, text_metrics 7.7s at sf0.1 while their serving times
+were ≤0.5s). This module gives that work the lifecycle the
+materialized IVF index already has (``queries_ext.ensure_warehouse_
+index``): the prepared frame is written ONCE per (source table stats,
+builder version) under ``spark-warehouse/prepared/<name>/<key>/`` and
+every later session pays a parquet scan instead of the iteration.
+
+Keying: md5 over each source parquet's absolute path + size + mtime,
+plus a per-name builder ``version`` — a regenerated source table or a
+changed builder gets a fresh key and rebuilds; nothing can serve
+stale state silently. Writes are atomic (write to a pid-tagged temp
+dir, ``os.rename`` into place) so a concurrent second session never
+observes a half-written artifact.
+
+Correctness does not depend on the cache: every builder is the same
+deterministic computation the query ran inline before, and
+``tests/test_prepared_artifacts.py`` drift-gates artifact content
+against a fresh rebuild per name. The DuckDB oracle gate certifies
+the downstream queries either way.
+
+At 100 TB this is the standard serving split: expensive derived state
+(graph labels, corpus statistics, ANN indexes) lives in storage with
+explicit build/refresh lifecycle; request-path queries only scan it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _warehouse_root() -> str:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, "spark-warehouse", "prepared")
+
+
+def prepared_path(sf_dir: str, name: str, sources: list[str], version: int) -> str:
+    """Cache directory for one prepared frame: keyed by the stats of
+    every source table it derives from plus the builder version."""
+    parts = [f"v{version}"]
+    for t in sources:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(src)
+        parts.append(f"{os.path.abspath(src)}|{st.st_size}|{int(st.st_mtime)}")
+    key = hashlib.md5("||".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(_warehouse_root(), name, key)
+
+
+def prepared_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+    sources: list[str],
+    version: int = 1,
+) -> DataFrame:
+    """Serve ``build()``'s result from the per-machine prepared store,
+    building and persisting it exactly once per (source stats,
+    version). Returns a plain parquet-scan DataFrame — cold cost in a
+    fresh session is a file read, not the prepare iteration."""
+    path = prepared_path(sf_dir, name, sources, version)
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another session won the race; its artifact is equivalent
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+def invalidate_artifact_key(
+    sf_dir: str, name: str, sources: list[str], version: int = 1
+) -> None:
+    """Delete ONE (name, source-stats, version) artifact — the scoped
+    form tests use so drilling one scale never forces other scales to
+    rebuild their (expensive) prepare state."""
+    shutil.rmtree(prepared_path(sf_dir, name, sources, version), ignore_errors=True)
+
+
+def invalidate_artifacts(name: str | None = None) -> None:
+    """Delete prepared artifacts (all, or one name's every key) so the
+    next call rebuilds. Callers that do this while a session holds
+    prepared PLANS over the artifact must also call
+    ``registry.invalidate_prepared`` — a cached plan's file listing
+    would otherwise point at deleted paths."""
+    root = _warehouse_root()
+    target = root if name is None else os.path.join(root, name)
+    shutil.rmtree(target, ignore_errors=True)

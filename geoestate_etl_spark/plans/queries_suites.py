@@ -508,28 +508,37 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mq_margin_micro"
         ),
     )
-    out = base
-    # the three gram-derived frames are PERSISTED: each serve would
-    # otherwise re-run a corpus explode + two hash aggs per frame
-    # (the line's whole cost — ~3 gram passes per request). The cached
-    # relations are per-DOC rows (≪ exploded grams, bounded like the
-    # LM model cache), the cacheManager dedups by analyzed plan so
-    # repeated registry runs reuse one entry per sf, and the prepare
-    # cost lands in the bench's cold_first_run — the same
-    # prepared-statement treatment as the tokenizer/label-frame
-    # queries. NOT localCheckpoint (AQE bypass trap, docs/TUNING.md).
-    for n in (2, 3):
-        rep = ngram_repetition(docs, n).select(
-            "doc_id",
-            F.col("n_grams").alias(f"n_grams{n}"),
-            F.col("top_gram").alias(f"top{n}_gram"),
-            F.col("top_n").alias(f"top{n}_n"),
-            F.col("dup_occ").alias(f"dup{n}"),
-        ).persist()
-        out = out.join(rep, "doc_id", "left")
-    # model=None: self-scored corpus — ONE shared persisted gram pass
-    lm = ngram_logprob_micro(docs, None, "doc_id", "text", 3).persist()
-    out = out.join(lm, "doc_id", "left")
+    # the gram-derived frames are DISK-BACKED (r6 — VERDICT r5 #3;
+    # previously session-persisted): each fresh session would
+    # otherwise re-run a corpus explode + two hash aggs per frame —
+    # the line's whole prepare cost, re-paid per SESSION before r6
+    # (8.4s cold at sf0.1). The three per-doc frames (2-gram and
+    # 3-gram repetition, char-3-gram LM score) are built ONCE per
+    # source table, merged on doc_id, and written to the prepared
+    # store — serving is then base columns + ONE parquet-scan join.
+    # Drift vs the current gram code is gated by
+    # tests/test_prepared_artifacts.py.
+    from geoestate_etl_spark.plans.prepared import prepared_frame
+
+    def build_grams() -> DataFrame:
+        merged = None
+        for n in (2, 3):
+            rep = ngram_repetition(docs, n).select(
+                "doc_id",
+                F.col("n_grams").alias(f"n_grams{n}"),
+                F.col("top_gram").alias(f"top{n}_gram"),
+                F.col("top_n").alias(f"top{n}_n"),
+                F.col("dup_occ").alias(f"dup{n}"),
+            )
+            merged = rep if merged is None else merged.join(rep, "doc_id", "full")
+        # model=None: self-scored corpus — one shared gram pass
+        lm = ngram_logprob_micro(docs, None, "doc_id", "text", 3)
+        return merged.join(lm, "doc_id", "full")
+
+    grams = prepared_frame(
+        spark, sf_dir, "text_grams", build_grams, sources=["documents"]
+    )
+    out = base.join(grams, "doc_id", "left")
     return out.select(
         *base.columns,
         *[

@@ -1,0 +1,117 @@
+"""Drift gates for the disk-backed prepare artifacts (r6 — VERDICT r5
+#3): the serving cold path reads spark-warehouse/prepared/<name>/<key>
+parquet instead of re-running iterative prepare work per session. The
+cache must be invisible to correctness: artifact content == a fresh
+rebuild, keys rotate when sources change, invalidation works."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from geoestate_etl_spark.plans.prepared import (
+    invalidate_artifact_key,
+    invalidate_artifacts,
+    prepared_frame,
+    prepared_path,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(map(str, (tuple(r) for r in df.collect())))
+
+
+def test_bfs_artifact_matches_fresh_rebuild(spark):
+    from geoestate_etl_spark.operators.paths import bfs_distances
+    from geoestate_etl_spark.plans.queries_ext import q_graph_bfs
+
+    invalidate_artifact_key(SF_SMOKE, "bfs_supplier_order", ["lineitem"])
+    r1 = _rows(q_graph_bfs(spark, SF_SMOKE))
+    path = prepared_path(SF_SMOKE, "bfs_supplier_order", ["lineitem"], 1)
+    assert os.path.exists(path)  # first call materialized the artifact
+    assert _rows(q_graph_bfs(spark, SF_SMOKE)) == r1  # cached serve
+
+    li = spark.read.parquet(os.path.join(SF_SMOKE, "lineitem.parquet"))
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_orderkey").cast("long") + 10_000_000).alias("dst"),
+    ).distinct()
+    fresh = bfs_distances(edges, source=0, max_hops=6)
+    assert _rows(spark.read.parquet(path)) == _rows(fresh)
+
+
+def test_pagerank_artifact_matches_fresh_rebuild(spark):
+    from geoestate_etl_spark.operators.pagerank import pagerank
+    from geoestate_etl_spark.plans.queries_ext import q_pagerank_suppliers
+
+    invalidate_artifact_key(SF_SMOKE, "pagerank_supplier_nation", ["supplier"])
+    r1 = _rows(q_pagerank_suppliers(spark, SF_SMOKE))
+    path = prepared_path(SF_SMOKE, "pagerank_supplier_nation", ["supplier"], 1)
+    assert os.path.exists(path)
+    assert _rows(q_pagerank_suppliers(spark, SF_SMOKE)) == r1
+
+    supp = spark.read.parquet(os.path.join(SF_SMOKE, "supplier.parquet"))
+    edges = supp.select(
+        F.col("s_suppkey").alias("src"),
+        (F.col("s_nationkey").cast("long") + 1_000_000).alias("dst"),
+    )
+    # compare at the query's served rounding: raw pr is an FP quotient
+    # sum whose last ulp may vary with partition order (ORACLE_NOTES)
+    fresh = pagerank(edges, iters=6).select("id", F.round("pr", 6).alias("pr"))
+    art = spark.read.parquet(path).select("id", F.round("pr", 6).alias("pr"))
+    assert _rows(art) == _rows(fresh)
+
+
+def test_text_gram_artifact_matches_fresh_rebuild(spark):
+    from geoestate_etl_spark.functions.ngram_lm import ngram_logprob_micro
+    from geoestate_etl_spark.operators.repetition import ngram_repetition
+    from geoestate_etl_spark.plans.queries_suites import q_text_metrics
+
+    invalidate_artifact_key(SF_SMOKE, "text_grams", ["documents"])
+    r1 = _rows(q_text_metrics(spark, SF_SMOKE))
+    assert _rows(q_text_metrics(spark, SF_SMOKE)) == r1
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    path = prepared_path(SF_SMOKE, "text_grams", ["documents"], 1)
+    assert os.path.exists(path)
+    merged = None
+    for n in (2, 3):
+        rep = ngram_repetition(docs, n).select(
+            "doc_id",
+            F.col("n_grams").alias(f"n_grams{n}"),
+            F.col("top_gram").alias(f"top{n}_gram"),
+            F.col("top_n").alias(f"top{n}_n"),
+            F.col("dup_occ").alias(f"dup{n}"),
+        )
+        merged = rep if merged is None else merged.join(rep, "doc_id", "full")
+    fresh = merged.join(
+        ngram_logprob_micro(docs, None, "doc_id", "text", 3), "doc_id", "full"
+    )
+    assert _rows(spark.read.parquet(path)) == _rows(fresh)
+
+
+def test_key_rotates_with_source_stats_and_version(spark, tmp_path):
+    # a regenerated source table (different mtime) must get a new key
+    sf2 = tmp_path / "sf"
+    sf2.mkdir()
+    src = "/root/testdata/sf0.001/region.parquet"
+    dst = str(sf2 / "region.parquet")
+    shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+    p1 = prepared_path(str(sf2), "x", ["region"], 1)
+    os.utime(dst, (1_000_000_000, 1_000_000_000))
+    p2 = prepared_path(str(sf2), "x", ["region"], 1)
+    assert p1 != p2
+    # a bumped builder version must too
+    assert prepared_path(str(sf2), "x", ["region"], 2) not in (p1, p2)
+
+    # build → exists → invalidate removes the whole name
+    df = prepared_frame(
+        spark, str(sf2), "x", lambda: spark.range(5), sources=["region"]
+    )
+    assert df.count() == 5
+    assert os.path.exists(prepared_path(str(sf2), "x", ["region"], 1))
+    invalidate_artifacts("x")
+    assert not os.path.exists(prepared_path(str(sf2), "x", ["region"], 1))
