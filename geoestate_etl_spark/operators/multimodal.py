@@ -1557,11 +1557,15 @@ def attach_real_media(df: DataFrame, id_col: str) -> DataFrame:
     - id % 7 == 5 → GIF (late r5 — LZW-compressed, 4-color palette
       (10i, 20i, 30i), pixel (x, y) gets index x%4),
       width = id%64+1, height = id%48+1
-    - id % 7 == 6 → AVI (late r5 — uncompressed 24-bit DIB video, the
-      container whose FRAMES decode stdlib-only; frame f's pixel
-      (x, y) carries f+x+y on all channels), width = id%16+4,
-      height = id%12+4, n_frames = id%8+2, fps = id%10+5 (decoded
-      into sample_rate)
+    - id % 7 == 6 → AVI, width = id%16+4, height = id%12+4,
+      n_frames = id%8+2, fps = id%10+5 (decoded into sample_rate).
+      Codec alternates within the class (r6): id%14 == 6 →
+      uncompressed 24-bit DIB (late r5 — frame f's pixel (x, y)
+      carries f+x+y on all channels); id%14 == 13 → Motion-JPEG
+      (each frame a baseline JPEG with dc_offset=f, so frame f's
+      MCU m decodes to the flat value 128 + 2·(((m+f)%11)−5) on all
+      three replicated channels) — the COMPRESSED video container,
+      entropy-decoded end-to-end by :func:`jpeg_pixels`
 
     Because every parameter is a pure function of the id, a SQL oracle
     can predict exactly what :func:`decode_media_real` (and, for
@@ -1598,6 +1602,10 @@ def attach_real_media(df: DataFrame, id_col: str) -> DataFrame:
                     payloads.append(make_jpeg(i % 64 + 1, i % 48 + 1))
                 elif kind == 5:
                     payloads.append(make_gif(i % 64 + 1, i % 48 + 1))
+                elif i % 14 == 13:
+                    payloads.append(
+                        make_avi_mjpeg(i % 16 + 4, i % 12 + 4, i % 8 + 2, i % 10 + 5)
+                    )
                 else:
                     payloads.append(
                         make_avi(i % 16 + 4, i % 12 + 4, i % 8 + 2, i % 10 + 5)

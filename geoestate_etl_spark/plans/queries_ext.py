@@ -479,7 +479,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     real content decoder (r5: PNG/BMP/GIF pixels via stdlib
     zlib/unfilter/LZW, WAV PCM samples, and AVI video frames — exact
     integer pixel/sample statistics over every decoded byte, video
-    stats spanning every frame). Every decoded field is a pure
+    stats spanning every frame; r6: baseline-JPEG entropy decode and
+    Motion-JPEG AVI frames, so the jpeg rows and the odd avi ids now
+    carry real pixel stats too). Every decoded field is a pure
     function of doc_id, so a SQL oracle predicts the exact output —
     both decode tiers are hash-match-gated, not rows-only."""
     docs = _t(spark, sf_dir, "documents")
@@ -601,7 +603,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    # r6 (scale-sweep finding): the eval set is CAPPED at the first
+    # 500 doc ids — an eval benchmark is O(1) size in production, and
+    # the uncapped %7 framing made the bench side grow with the
+    # corpus, turning both the gram join and the semantic cosine scan
+    # quadratic (measured exponent 1.33 over sf0.1→1.0; 0.64 capped,
+    # 21.2s → 8.7s at sf1.0).
+    # The cap exceeds every id at the ORACLE scale (sf0.01 has 500
+    # docs), so the certified slice is unchanged there.
+    bench = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 500))
     train = docs.filter(F.col("doc_id") % 7 != 0)
     _nl = lambda: F.lit(None).cast("long")  # noqa: E731
     ng = contamination_report(train, bench, "text", "doc_id", n=8).select(
@@ -633,7 +643,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark vector (paraphrase-leakage tier). Scores travel as
     # scaled BIGINT (cos_e4, the semantic_dedup discipline).
     emb = _t(spark, sf_dir, "embeddings")
-    bench_e = emb.filter(F.col("vec_id") % 7 == 0).select(
+    # same O(1)-eval-set cap as the gram tier: 200 = the embeddings
+    # row count at the oracle scale, so sf0.01 certification is
+    # unchanged while the brute-force bench side stops growing
+    bench_e = emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 200)).select(
         F.col("vec_id").alias("bench_id"), "embedding"
     )
     corp_e = emb.filter(F.col("vec_id") % 7 != 0).select(
@@ -786,9 +799,14 @@ SPECS = [
         # S(w) = 6·(w//4) + {0,0,1,3}[w%4]; WAV samples
         # (i*257)%32768-16384 DO wrap, so the oracle rebuilds them with
         # a correlated UNNEST(range(n)) (n = channels·frames ≤ 200).
-        # avi (k=6): w2×h2, vf frames, pixel (f,x,y) = f+x+y on all 3
-        # channels (< 256 at these sizes, never wraps) → px_sum =
-        # 3·(h·w·Σf + F·h·Σx + F·w·Σy) with Σn = n(n-1)/2 triangles.
+        # avi (k=6): w2×h2, vf frames. Codec alternates (r6):
+        # doc_id%14==6 → uncompressed DIB, pixel (f,x,y) = f+x+y on
+        # all 3 channels (< 256 at these sizes, never wraps) → px_sum
+        # = 3·(h·w·Σf + F·h·Σx + F·w·Σy) with Σn = n(n-1)/2 triangles;
+        # doc_id%14==13 → Motion-JPEG, frame f's MCU m decodes to the
+        # flat value 128 + 2·(((m+f)%11)−5) replicated to 3 channels
+        # (the jpeg closed form per frame) — summed over the frame×MCU
+        # grid via UNNEST(range(vf·nb)) with f = i//nb, m = i%nb.
         # jpeg (k=4, r6 — real baseline entropy decode): MCU m
         # (row-major over a ceil(w/8)×ceil(h/8) grid) is DC-only with
         # coefficient (m%11)-5 and flat q=16, so every sample in block
@@ -812,7 +830,16 @@ SPECS = [
         "CAST(max(128 + 2 * ((i % 11) - 5)) AS INT) AS pmax "
         "FROM (SELECT doc_id, w, h, (w + 7) // 8 AS mcw, "
         "((w + 7) // 8) * ((h + 7) // 8) AS nb FROM m WHERE k = 4), "
-        "UNNEST(range(nb)) AS t(i) GROUP BY doc_id) "
+        "UNNEST(range(nb)) AS t(i) GROUP BY doc_id), "
+        "mjp AS (SELECT doc_id, "
+        "CAST(3 * sum((128 + 2 * (((i % nb + i // nb) % 11) - 5)) "
+        "* LEAST(8, w2 - 8 * ((i % nb) % mcw)) "
+        "* LEAST(8, h2 - 8 * ((i % nb) // mcw))) AS BIGINT) AS psum, "
+        "CAST(max(128 + 2 * (((i % nb + i // nb) % 11) - 5)) AS INT) AS pmax "
+        "FROM (SELECT doc_id, w2, h2, vf, (w2 + 7) // 8 AS mcw, "
+        "((w2 + 7) // 8) * ((h2 + 7) // 8) AS nb FROM m "
+        "WHERE k = 6 AND doc_id % 14 = 13), "
+        "UNNEST(range(nb * vf)) AS t(i) GROUP BY doc_id) "
         "SELECT m.doc_id AS media_id, "
         "CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav' "
         "WHEN 3 THEN 'mp4' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'gif' "
@@ -839,20 +866,23 @@ SPECS = [
         "+ 3 * w * h * (h - 1) / 2 AS BIGINT) "
         "WHEN k = 5 THEN CAST(h * 60 * (6 * (w // 4) "
         "+ CASE w % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END) AS BIGINT) "
-        "WHEN k = 6 THEN CAST(3 * (h2 * w2 * (vf * (vf - 1) / 2) "
+        "WHEN k = 6 THEN (CASE WHEN m.doc_id % 14 = 13 THEN mjp.psum "
+        "ELSE CAST(3 * (h2 * w2 * (vf * (vf - 1) / 2) "
         "+ vf * h2 * (w2 * (w2 - 1) / 2) "
-        "+ vf * w2 * (h2 * (h2 - 1) / 2)) AS BIGINT) "
+        "+ vf * w2 * (h2 * (h2 - 1) / 2)) AS BIGINT) END) "
         "WHEN k = 4 THEN jpegs.psum "
         "END AS px_sum, "
         "CASE WHEN k = 0 THEN CAST(w + h - 2 AS INT) "
         "WHEN k = 1 THEN CAST(3 * w + h - 2 AS INT) "
         "WHEN k = 5 THEN CAST(30 * LEAST(3, w - 1) AS INT) "
-        "WHEN k = 6 THEN CAST(vf + w2 + h2 - 3 AS INT) "
+        "WHEN k = 6 THEN (CASE WHEN m.doc_id % 14 = 13 THEN mjp.pmax "
+        "ELSE CAST(vf + w2 + h2 - 3 AS INT) END) "
         "WHEN k = 4 THEN jpegs.pmax END AS px_max, "
         "CASE WHEN k = 2 THEN CAST(ch * fr AS BIGINT) END AS n_samples, "
         "wavs.sq AS pcm_sq_sum, wavs.pk AS pcm_peak "
         "FROM m LEFT JOIN wavs ON m.doc_id = wavs.doc_id "
-        "LEFT JOIN jpegs ON m.doc_id = jpegs.doc_id",
+        "LEFT JOIN jpegs ON m.doc_id = jpegs.doc_id "
+        "LEFT JOIN mjp ON m.doc_id = mjp.doc_id",
         "ext-multimodal (png/bmp/wav/mp4 late-r4; jpeg r5 — real "
         "baseline-SOF0 files, SOF0/SOF2 marker-walk header decode; r5 "
         "content tier: REAL PNG/BMP pixel decode [zlib + filter 0-4 "
@@ -860,8 +890,11 @@ SPECS = [
         "and AVI video frame decode (late r5 — uncompressed DIB "
         "frames, stats over every pixel of every frame); r6: REAL "
         "baseline-JPEG entropy decode [canonical Huffman + numpy "
-        "IDCT], jpeg rows now carry hash-oracled pixel stats, exact "
-        "integer pixel/sample stats vs closed-form/UNNEST oracle)",
+        "IDCT], jpeg rows now carry hash-oracled pixel stats, and "
+        "odd avi ids are Motion-JPEG — compressed video entropy-"
+        "decoded frame by frame, oracled over the frame×MCU grid; "
+        "exact integer pixel/sample stats vs closed-form/UNNEST "
+        "oracle)",
     ),
     QuerySpec(
         "decontaminate",
@@ -874,14 +907,18 @@ SPECS = [
         "grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g "
         "FROM words, UNNEST(range(1, len(w) - 6)) AS t(i) "
         "WHERE len(w) >= 8), "
-        "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0), "
+        # r6: eval sets are O(1) — caps mirror the plan (doc_id < 500 /
+        # vec_id < 200, both ≥ every id at the sf0.01 oracle scale)
+        "bench AS (SELECT DISTINCT g FROM grams "
+        "WHERE doc_id % 7 = 0 AND doc_id < 500), "
         "train AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 7 != 0), "
         # semantic variant: float32 widened to DOUBLE before the cosine
         # (list_cosine_similarity on FLOAT[] would compute in float32),
         # scores as scaled BIGINT, per-doc argmax with min-bench tie
         "emb2 AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
-        "sb AS (SELECT vec_id AS bench_id, v FROM emb2 WHERE vec_id % 7 = 0), "
+        "sb AS (SELECT vec_id AS bench_id, v FROM emb2 "
+        "WHERE vec_id % 7 = 0 AND vec_id < 200), "
         "sc2 AS (SELECT vec_id AS doc_id, v FROM emb2 WHERE vec_id % 7 != 0), "
         "sp AS (SELECT doc_id, bench_id, "
         "CAST(round(list_cosine_similarity(c.v, b.v) * 10000) AS BIGINT) "

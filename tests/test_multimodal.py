@@ -375,16 +375,30 @@ def test_decode_media_content_roundtrip(spark):
                 w * h * 3, h * 60 * s_w, 30 * min(3, w - 1),
             )
             assert r.n_samples is None
-        elif i % 7 == 6:  # avi: pixel (f,x,y)=f+x+y over EVERY frame
+        elif i % 7 == 6:  # avi: DIB (even ids) or MJPEG (odd, r6)
             w2, h2, vf = i % 16 + 4, i % 12 + 4, i % 8 + 2
-            sf, sx, sy = (
-                vf * (vf - 1) // 2, w2 * (w2 - 1) // 2, h2 * (h2 - 1) // 2,
-            )
-            assert (r.n_px, r.px_sum, r.px_max) == (
-                vf * w2 * h2 * 3,
-                3 * (h2 * w2 * sf + vf * h2 * sx + vf * w2 * sy),
-                vf + w2 + h2 - 3,
-            )
+            if i % 14 == 13:  # mjpeg: frame f, block m → 128+2·(((m+f)%11)−5)
+                mcw, mch = (w2 + 7) // 8, (h2 + 7) // 8
+                want_sum, want_max = 0, 0
+                for f in range(vf):
+                    for m in range(mcw * mch):
+                        v = 128 + 2 * (((m + f) % 11) - 5)
+                        by, bx = divmod(m, mcw)
+                        cnt = min(8, w2 - 8 * bx) * min(8, h2 - 8 * by)
+                        want_sum += 3 * v * cnt
+                        want_max = max(want_max, v)
+                assert (r.n_px, r.px_sum, r.px_max) == (
+                    vf * w2 * h2 * 3, want_sum, want_max,
+                )
+            else:
+                sf, sx, sy = (
+                    vf * (vf - 1) // 2, w2 * (w2 - 1) // 2, h2 * (h2 - 1) // 2,
+                )
+                assert (r.n_px, r.px_sum, r.px_max) == (
+                    vf * w2 * h2 * 3,
+                    3 * (h2 * w2 * sf + vf * h2 * sx + vf * w2 * sy),
+                    vf + w2 + h2 - 3,
+                )
             assert r.n_samples is None
         elif i % 7 == 4:  # jpeg (r6): per-MCU DC pattern, block m flat
             mcw, mch = (w + 7) // 8, (h + 7) // 8
@@ -476,25 +490,33 @@ def test_sample_video_frames_real(spark):
         sample_video_frames,
     )
 
+    from geoestate_etl_spark.operators.multimodal import make_avi_mjpeg
+
     ids = spark.createDataFrame([(i,) for i in range(21)], ["doc_id"])
     media = attach_real_media(ids, "doc_id")
     got = {}
     for r in sample_video_frames(media, every_nth=2).collect():
         got.setdefault(r.media_id, {})[r.frame_idx] = r
-    # only the AVI rows (id % 7 == 6) are stdlib-decodable video
+    # every AVI row (id % 7 == 6) is decodable video since r6 —
+    # DIB for even ids, Motion-JPEG for odd (id % 14 == 13)
     assert set(got) == {i for i in range(21) if i % 7 == 6}
     for i in sorted(got):
         w2, h2, vf = i % 16 + 4, i % 12 + 4, i % 8 + 2
         assert set(got[i]) == set(range(0, vf, 2))
-        frames = avi_frames(make_avi(w2, h2, vf, i % 10 + 5))
+        mk = make_avi_mjpeg if i % 14 == 13 else make_avi
+        frames = avi_frames(mk(w2, h2, vf, i % 10 + 5))
         for fi, r in got[i].items():
             fr = frames[fi].astype(np.int64)
             assert (r.width, r.height) == (w2, h2)
             assert (r.px_sum, r.px_max) == (int(fr.sum()), int(fr.max()))
             px = png_pixels(bytes(r.content))
             assert px is not None and px.shape == (h2, w2, 1)
-            # gray = channel mean = the planted value; corner (0,0) = f
-            assert int(px[0, 0, 0]) == fi
+            # gray = channel mean = the planted value; corner (0,0):
+            # DIB plants f there, MJPEG block 0 of frame f is flat
+            want = (
+                128 + 2 * ((fi % 11) - 5) if i % 14 == 13 else fi
+            )
+            assert int(px[0, 0, 0]) == want
     # composition: sampled-frame PNG bytes are embedding-bridge-ready
     frames_df = sample_video_frames(media, every_nth=4)
     emb = embed_media_stub(frames_df, dim=16)

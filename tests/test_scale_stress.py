@@ -802,13 +802,20 @@ def test_video_frame_sampling_20k_payloads(spark):
         F.sum("px_max").alias("sum_max"),
     ).first()
     # predicted: per video, frames F = id%8+2, sampled = ceil(F/k);
-    # px_max per sampled frame fi = fi + (w-1) + (h-1)
+    # px_max per sampled frame fi: DIB (even doc) plants fi+(w-1)+(h-1),
+    # MJPEG (odd doc%14==13, r6) is blockwise-flat 128+2·(((m+fi)%11)−5)
     exp_rows = exp_sum = 0
     for i in range(n):
         doc = i * 7 + 6
         w, h, fr = doc % 16 + 4, doc % 12 + 4, doc % 8 + 2
+        nb = ((w + 7) // 8) * ((h + 7) // 8)
         for fi in range(0, fr, k):
             exp_rows += 1
-            exp_sum += fi + w - 1 + h - 1
+            if doc % 14 == 13:
+                exp_sum += 128 + 2 * (
+                    max(((m + fi) % 11) for m in range(nb)) - 5
+                )
+            else:
+                exp_sum += fi + w - 1 + h - 1
     assert got.rows == exp_rows
     assert got.sum_max == exp_sum
