@@ -820,14 +820,17 @@ class _JpegBitReader:
         raise ValueError("invalid huffman code")
 
 
-def _split_entropy(raw: bytes) -> list:
-    """Scan data → restart segments: split at RSTn markers (which reset
-    DC prediction and bit alignment), drop 0xFF00 stuffing bytes."""
-    segs, cur, i = [], bytearray(), 0
-    while i < len(raw):
-        c = raw[i]
-        if c == 0xFF and i + 1 < len(raw):
-            nxt = raw[i + 1]
+def _split_entropy(b: bytes, lo: int) -> tuple:
+    """Entropy-coded data starting at ``lo`` → (restart segments,
+    end position): split at RSTn markers (which reset DC prediction
+    and bit alignment), drop 0xFF00 stuffing bytes, stop at the first
+    real marker (which ends the scan — possibly another SOS in a
+    progressive stream)."""
+    segs, cur, i = [], bytearray(), lo
+    while i < len(b):
+        c = b[i]
+        if c == 0xFF and i + 1 < len(b):
+            nxt = b[i + 1]
             if nxt == 0x00:
                 cur.append(0xFF)
                 i += 2
@@ -841,7 +844,7 @@ def _split_entropy(raw: bytes) -> list:
         cur.append(c)
         i += 1
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def _decode_block(br: "_JpegBitReader", dcm: dict, acm: dict, pred: int):
@@ -871,19 +874,23 @@ def _decode_block(br: "_JpegBitReader", dcm: dict, acm: dict, pred: int):
 
 @_none_on_error
 def jpeg_pixels(b: bytes):
-    """REAL baseline JPEG decode (r6) — stdlib + numpy, no libjpeg:
-    full entropy decode of SOF0/SOF1 sequential scans, arbitrary
-    quantization/Huffman tables from the stream, restart intervals,
-    chroma subsampling (h/v factors with replication upsample),
-    JFIF YCbCr→RGB for 3-component images. Returns ``(height, width)``
-    uint8 for grayscale, ``(height, width, 3)`` uint8 RGB for color,
-    or None (progressive SOF2, 12-bit precision, arithmetic coding,
+    """REAL JPEG decode (r6) — stdlib + numpy, no libjpeg: full
+    entropy decode of baseline/extended-sequential (SOF0/SOF1) AND
+    progressive (SOF2) Huffman streams — multi-scan spectral
+    selection, successive approximation (DC and AC refinement bits,
+    EOB runs), arbitrary quantization/Huffman tables from the stream,
+    restart intervals, chroma subsampling (h/v factors with
+    replication upsample), JFIF YCbCr→RGB for 3-component images.
+    Returns ``(height, width)`` uint8 for grayscale,
+    ``(height, width, 3)`` uint8 RGB for color, or None (lossless/
+    hierarchical SOFs, arithmetic coding, 12-bit precision,
     truncation, or any corrupt structure — corrupt rows are data)."""
     import struct
 
     if b[:2] != b"\xff\xd8":
         return None
-    qt, huff, frame, scan, ri = {}, {}, None, None, 0
+    qt, huff, frame, ri = {}, {}, None, 0
+    progressive, stores, got_scan = False, None, False
     pos = 2
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
@@ -920,7 +927,8 @@ def jpeg_pixels(b: bytes):
                 n = sum(bits)
                 huff[(tc, th)] = _huff_decode_table(bits, body[i + 17 : i + 17 + n])
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
                 return None
@@ -929,57 +937,255 @@ def jpeg_pixels(b: bytes):
                 cid, hv, tq_ = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq_))
             frame = (h, w, comps)
-        elif marker in _JPEG_SOF:  # progressive/lossless/arithmetic
+        elif marker in _JPEG_SOF:  # lossless/hierarchical/arithmetic
             return None
         elif marker == 0xDD:
             (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
+            if frame is None:
+                return None
             ns = body[0]
             scomps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
                 for i in range(ns)
             ]
-            data_lo = pos + 2 + seglen
-            scan = (scomps, _split_entropy(b[data_lo:]))
-            break  # single-scan baseline: decode what we have
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            segments, end = _split_entropy(b, pos + 2 + seglen)
+            if stores is None:
+                stores = _jpeg_alloc_stores(frame)
+            if progressive:
+                _jpeg_progressive_scan(
+                    frame, scomps, segments, huff, ri, ss, se, ah, al, stores
+                )
+            else:
+                _jpeg_baseline_scan(frame, scomps, segments, huff, ri, stores)
+            got_scan = True
+            pos = end
+            continue
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not got_scan:
         return None
-    return _jpeg_reconstruct(frame, scan, qt, huff, ri)
+    return _jpeg_assemble(frame, stores, qt)
 
 
-def _jpeg_reconstruct(frame, scan, qt, huff, ri):
-    """Entropy-decode every MCU, then per component: dequantize,
-    de-zigzag, IDCT (vectorized), assemble the sample plane, upsample
-    to full resolution, crop; YCbCr→RGB when 3 components."""
+def _jpeg_geometry(frame):
     h, w, comps = frame
-    scomps, segments = scan
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if hmax == 0 or vmax == 0 or not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+    if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
         raise ValueError("bad sampling factors")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _jpeg_alloc_stores(frame) -> dict:
+    """Per-component zigzag-order coefficient stores at the MCU-padded
+    grid — shared across scans (progressive streams fill them in
+    several passes)."""
+    _h, _w, comps = frame
+    hmax, vmax, mcux, mcuy = _jpeg_geometry(frame)
+    return {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), np.int32)
+        for cid, hs, vs, _tq in comps
+    }
+
+
+def _jpeg_natural_grid(frame, cid):
+    """Block grid of one component in a NON-interleaved scan (T.81
+    A.2.2: ceil of the component's own sample dims, not MCU-padded)."""
+    h, w, comps = frame
+    hmax, vmax, _, _ = _jpeg_geometry(frame)
+    _, hs, vs, _tq = next(c for c in comps if c[0] == cid)
+    cw = -(-(w * hs) // hmax)  # component sample dims (ceil)
+    ch_ = -(-(h * vs) // vmax)
+    return -(-cw // 8), -(-ch_ // 8)
+
+
+def _jpeg_baseline_scan(frame, scomps, segments, huff, ri, stores) -> None:
+    """One sequential scan: full-band (DC+AC) blocks, interleaved MCU
+    order for multi-component scans, natural-grid raster order for
+    single-component scans."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = _jpeg_geometry(frame)
     by_id = {c[0]: c for c in comps}
-    order, stores = [], {}
-    for cid, td, ta in scomps:
-        _, hs, vs, tq = by_id[cid]
-        store = np.zeros((mcuy * vs, mcux * hs, 64), np.int32)
-        stores[cid] = store
-        order.append((cid, hs, vs, huff[(0, td)], huff[(1, ta)], store))
-    preds = {cid: 0 for cid, _, _ in scomps}
     br, seg_idx = _JpegBitReader(segments[0]), 0
-    for m in range(mcux * mcuy):
-        if ri and m and m % ri == 0:  # restart: new segment, reset DC
-            seg_idx += 1
-            br = _JpegBitReader(segments[seg_idx])
-            preds = {cid: 0 for cid in preds}
-        my, mx = divmod(m, mcux)
-        for cid, hs, vs, dcm, acm, store in order:
-            for by in range(vs):
-                for bx in range(hs):
-                    coef, preds[cid] = _decode_block(br, dcm, acm, preds[cid])
-                    store[my * vs + by, mx * hs + bx] = coef
+    if len(scomps) > 1:
+        order = []
+        for cid, td, ta in scomps:
+            _, hs, vs, _tq = by_id[cid]
+            order.append((cid, hs, vs, huff[(0, td)], huff[(1, ta)], stores[cid]))
+        preds = {cid: 0 for cid, _, _ in scomps}
+        for m in range(mcux * mcuy):
+            if ri and m and m % ri == 0:  # restart: new segment, reset DC
+                seg_idx += 1
+                br = _JpegBitReader(segments[seg_idx])
+                preds = {cid: 0 for cid in preds}
+            my, mx = divmod(m, mcux)
+            for cid, hs, vs, dcm, acm, store in order:
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef, preds[cid] = _decode_block(br, dcm, acm, preds[cid])
+                        store[my * vs + by, mx * hs + bx] = coef
+    else:
+        cid, td, ta = scomps[0]
+        dcm, acm, store = huff[(0, td)], huff[(1, ta)], stores[cid]
+        bw, bh = _jpeg_natural_grid(frame, cid)
+        pred = 0
+        for u in range(bw * bh):
+            if ri and u and u % ri == 0:
+                seg_idx += 1
+                br = _JpegBitReader(segments[seg_idx])
+                pred = 0
+            r_, c_ = divmod(u, bw)
+            coef, pred = _decode_block(br, dcm, acm, pred)
+            store[r_, c_] = coef
+
+
+def _jpeg_ac_first(br, acm, coef, ss, se, al, eobrun) -> int:
+    """Progressive AC first scan for one block (T.81 G.1.2.2): band
+    run/size pairs with EOB-run codes; new coefficients arrive scaled
+    by 2^Al (sign-magnitude point transform). Returns the EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(acm)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.receive(r)
+                return eobrun - 1  # current block included in the run
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC band overrun")
+            coef[k] = br.receive_extend(s) << al
+            k += 1
+    return 0
+
+
+def _jpeg_ac_refine(br, acm, coef, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3): one
+    correction bit per already-nonzero coefficient, new ±2^Al
+    coefficients placed at zero-history positions, EOB runs carrying
+    correction bits. Returns the EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(acm)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break  # current block finishes under the EOB run
+                # r == 15: sixteen zero-history positions to pass
+            else:
+                # s is 1 in valid refinement streams: a new coefficient
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if br.read_bit() and (abs(int(coef[k])) & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            coef[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        # the rest of the band gets correction bits only
+        while k <= se:
+            if coef[k] != 0 and br.read_bit() and (abs(int(coef[k])) & p1) == 0:
+                coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_scan(
+    frame, scomps, segments, huff, ri, ss, se, ah, al, stores
+) -> None:
+    """One progressive scan: DC scans (Ss=0) may be interleaved and
+    carry either first-pass DPCM (Ah=0, values arrive ×2^Al) or one
+    refinement bit per block; AC scans are single-component over the
+    natural grid, first-pass or refinement per band [Ss, Se]."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = _jpeg_geometry(frame)
+    by_id = {c[0]: c for c in comps}
+    br, seg_idx = _JpegBitReader(segments[0]), 0
+    p1 = 1 << al
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with AC band")
+        order = []
+        for cid, td, _ta in scomps:
+            _, hs, vs, _tq = by_id[cid]
+            # refinement scans read raw bits — no DC table required
+            order.append((cid, hs, vs, huff.get((0, td)), stores[cid]))
+        preds = {cid: 0 for cid, _, _ in scomps}
+        if len(scomps) > 1:
+            units, per_unit = mcux * mcuy, None
+        else:
+            bw, bh = _jpeg_natural_grid(frame, scomps[0][0])
+            units, per_unit = bw * bh, (bw, bh)
+        for m in range(units):
+            if ri and m and m % ri == 0:
+                seg_idx += 1
+                br = _JpegBitReader(segments[seg_idx])
+                preds = {cid: 0 for cid in preds}
+            for cid, hs, vs, dcm, store in order:
+                if per_unit is None:
+                    my, mx = divmod(m, mcux)
+                    blocks = [
+                        store[my * vs + by, mx * hs + bx]
+                        for by in range(vs)
+                        for bx in range(hs)
+                    ]
+                else:
+                    r_, c_ = divmod(m, per_unit[0])
+                    blocks = [store[r_, c_]]
+                for coef in blocks:
+                    if ah == 0:
+                        s = br.huff(dcm)
+                        diff = br.receive_extend(s) if s else 0
+                        preds[cid] += diff
+                        coef[0] = preds[cid] << al
+                    elif br.read_bit():
+                        coef[0] |= p1
+    else:
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid, _td, ta = scomps[0]
+        acm = huff[(1, ta)]
+        store = stores[cid]
+        bw, bh = _jpeg_natural_grid(frame, cid)
+        eobrun = 0
+        step = _jpeg_ac_first if ah == 0 else _jpeg_ac_refine
+        for u in range(bw * bh):
+            if ri and u and u % ri == 0:
+                seg_idx += 1
+                br = _JpegBitReader(segments[seg_idx])
+                eobrun = 0
+            r_, c_ = divmod(u, bw)
+            eobrun = step(br, acm, store[r_, c_], ss, se, al, eobrun)
+
+
+def _jpeg_assemble(frame, stores, qt):
+    """Per component: dequantize, de-zigzag, IDCT (vectorized),
+    assemble the sample plane, replication-upsample to full
+    resolution, crop; YCbCr→RGB when 3 components."""
+    h, w, comps = frame
+    hmax, vmax, _mcux, _mcuy = _jpeg_geometry(frame)
     planes = []
     for cid, hs, vs, tq in comps:
         store = stores[cid]
@@ -1030,10 +1236,10 @@ def decode_media_content(df: DataFrame) -> DataFrame:
     pixel of every decoded frame, WAV payloads → exact sample
     statistics (count / integer sum of squares / peak |amplitude|).
     All integers, so an oracle that knows the planted content predicts
-    them bit-exactly. Baseline JPEG payloads decode for real too (r6,
-    :func:`jpeg_pixels`). Formats without a stdlib-decodable body
-    (progressive JPEG, MP4 tracks) yield NULL stats rows — the honest
-    boundary: their CONTAINER metadata is still decoded by
+    them bit-exactly. JPEG payloads — baseline AND progressive —
+    decode for real too (r6, :func:`jpeg_pixels`). Only MP4 video
+    tracks (H.264, no stdlib codec) yield NULL stats rows — the
+    honest boundary: their CONTAINER metadata is still decoded by
     :func:`decode_media_real`.
     """
 
@@ -1163,19 +1369,20 @@ def _encode_gray_png(gray) -> bytes:
 
 
 def pixel_decode_unavailable() -> None:
-    """The remaining genuinely-stubbed step, narrowed again (r6):
-    progressive-JPEG (SOF2) entropy decoding and MP4 video track
-    extraction need libjpeg/ffmpeg, absent in this container.
-    PNG/BMP/GIF pixels, BASELINE JPEG pixels (:func:`jpeg_pixels` —
-    full Huffman + IDCT, r6), WAV PCM samples, and AVI DIB/MJPEG
-    frames ARE decoded for real (stdlib + numpy), as is container
-    METADATA for every format."""
+    """The remaining genuinely-stubbed step, narrowed to one format
+    (r6): MP4 video track extraction needs an H.264/H.265 codec
+    (ffmpeg), absent in this container and far beyond stdlib scope.
+    Everything else decodes for real — PNG/BMP/GIF pixels, baseline
+    AND progressive JPEG (:func:`jpeg_pixels` — full Huffman + IDCT,
+    spectral selection, successive approximation), WAV PCM samples,
+    AVI DIB/MJPEG frames — as does container METADATA for every
+    format including MP4."""
     raise NotImplementedError(
-        "progressive-JPEG/MP4 body codecs are not installed; baseline "
-        "JPEG, PNG/BMP/GIF pixel decode, WAV PCM decode, AVI DIB/MJPEG "
-        "frame decode, and container-header decoding are fully "
-        "functional — a codec library would replace only the batch-fn "
-        "body, same mapInPandas plan shape"
+        "MP4 video codecs (H.264/H.265) are not installed; JPEG "
+        "(baseline + progressive), PNG/BMP/GIF pixel decode, WAV PCM "
+        "decode, AVI DIB/MJPEG frame decode, and container-header "
+        "decoding are fully functional — a codec library would replace "
+        "only the batch-fn body, same mapInPandas plan shape"
     )
 
 

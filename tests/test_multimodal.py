@@ -970,7 +970,8 @@ def test_jpeg_fuzz_and_boundaries():
             bb[int(rng.integers(0, len(bb)))] = int(rng.integers(0, 256))
         r = jpeg_pixels(bytes(bb))
         assert r is None or isinstance(r, np.ndarray)
-    # progressive: same file with SOF0 marker rewritten to SOF2
+    # a baseline SCAN relabeled SOF2 is malformed progressive (a
+    # progressive scan may not span DC and AC together) → still None
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert jpeg_pixels(prog) is None
     # 12-bit precision flagged in SOF: unsupported → None
@@ -1038,3 +1039,316 @@ def test_mjpeg_avi_end_to_end(spark):
         assert px is not None and px.shape == (h, w, 1)
         # gray == channel mean == the planted flat block value
         assert (px[:, :, 0] == frames[fi, :, :, 0]).all()
+
+
+# --- r6: progressive (SOF2) JPEG entropy decode ------------------------------
+
+
+def _encode_test_jpeg_progressive(w, h, comps, blocks, qtables, scans, ri=0):
+    """Independent progressive encoder: SOF2 + one SOS per scan spec
+    ``(comp_indices, Ss, Se, Ah, Al)``. Implements spectral selection,
+    DC/AC successive approximation (correction-bit buffering, EOB-run
+    accumulation) — the full T.81 G.1.2 emission so the decoder is
+    verified against bytes it did not produce."""
+    import struct
+
+    from geoestate_etl_spark.operators.multimodal import _huff_encode_table
+
+    # the K.3.1 baseline tables lack the EOBn symbols (0x10..0xE0)
+    # progressive scans emit — use flat custom tables covering every
+    # run/size plus all EOBn/ZRL codes (also exercises the decoder
+    # against non-standard DHT content)
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+    dc_vals = bytes(range(12))
+    ac_bits = bytes([0] * 7 + [176] + [0] * 8)
+    ac_vals = bytes(sorted((r << 4) | s for r in range(16) for s in range(11)))
+    enc_dc = _huff_encode_table(dc_bits, dc_vals)
+    enc_ac = _huff_encode_table(ac_bits, ac_vals)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def natural(ci):
+        hs, vs, _tq = comps[ci]
+        cw, ch_ = -(-(w * hs) // hmax), -(-(h * vs) // vmax)
+        return -(-cw // 8), -(-ch_ // 8)
+
+    out = b"\xff\xd8" + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in sorted(qtables.items()):
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in q))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for i, (hs, vs, tq) in enumerate(comps):
+        sof += bytes([i + 1, (hs << 4) | vs, tq])
+    out += seg(0xC2, sof)
+    for th in (0, 1) if len(comps) > 1 else (0,):
+        out += seg(0xC4, bytes([th]) + dc_bits + dc_vals)
+        out += seg(0xC4, bytes([0x10 | th]) + ac_bits + ac_vals)
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
+
+    for cids, Ss, Se, Ah, Al in scans:
+        sos = bytes([len(cids)])
+        for ci in cids:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out += seg(0xDA, sos)
+
+        put, align_restart, finish = _jpeg_bitwriter()
+
+        def put_val(table, v, _put=put):
+            ln, code = table[v]
+            _put(code, ln)
+
+        # two correction-bit pools (T.81 G / jcphuff BE vs BR): bits of
+        # blocks already folded into the EOB run flush with the EOBn
+        # symbol; the CURRENT block's bits flush after its own next
+        # ZRL/coefficient symbol
+        pending = []  # current block, since its last emitted symbol
+        pending_eob = []  # completed blocks inside the pending EOB run
+        eobrun = 0
+
+        def flush_pending():
+            nonlocal pending
+            for bit in pending:
+                put(bit, 1)
+            pending = []
+
+        def flush_eobrun():
+            nonlocal eobrun, pending_eob
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                put_val(enc_ac, r << 4)
+                if r:
+                    put(eobrun - (1 << r), r)
+                for bit in pending_eob:
+                    put(bit, 1)
+                pending_eob = []
+                eobrun = 0
+
+        if Ss == 0:  # DC scan (interleaved when several components)
+            preds = {ci: 0 for ci in cids}
+            units = mcux * mcuy if len(cids) > 1 else (
+                natural(cids[0])[0] * natural(cids[0])[1]
+            )
+            nrst = 0
+            for m in range(units):
+                if ri and m and m % ri == 0:
+                    align_restart(nrst)
+                    nrst += 1
+                    preds = {ci: 0 for ci in cids}
+                for ci in cids:
+                    hs, vs, _tq = comps[ci]
+                    if len(cids) > 1:
+                        my, mx = divmod(m, mcux)
+                        cells = [
+                            (my * vs + by, mx * hs + bx)
+                            for by in range(vs)
+                            for bx in range(hs)
+                        ]
+                    else:
+                        bw, _bh = natural(ci)
+                        cells = [divmod(m, bw)]
+                    for r_, c_ in cells:
+                        v = int(blocks[ci][r_, c_, 0])
+                        if Ah == 0:
+                            tv = v >> Al  # arithmetic shift (two's compl.)
+                            diff = tv - preds[ci]
+                            preds[ci] = tv
+                            s = abs(diff).bit_length()
+                            put_val(enc_dc, s)
+                            if s:
+                                put(
+                                    diff if diff > 0 else diff + (1 << s) - 1, s
+                                )
+                        else:
+                            put((v >> Al) & 1, 1)
+        else:  # AC scan: single component, natural grid
+            ci = cids[0]
+            bw, bh = natural(ci)
+            nrst = 0
+            for u in range(bw * bh):
+                if ri and u and u % ri == 0:
+                    flush_eobrun()
+                    align_restart(nrst)
+                    nrst += 1
+                r_, c_ = divmod(u, bw)
+                coef = blocks[ci][r_, c_]
+                if Ah == 0:  # first pass at this precision
+                    run = 0
+                    emitted = False
+                    for k in range(Ss, Se + 1):
+                        v = int(coef[k])
+                        tv = (abs(v) >> Al) * (1 if v >= 0 else -1)
+                        if tv == 0:
+                            run += 1
+                            continue
+                        flush_eobrun()
+                        while run > 15:
+                            put_val(enc_ac, 0xF0)
+                            run -= 16
+                        s = abs(tv).bit_length()
+                        put_val(enc_ac, (run << 4) | s)
+                        put(tv if tv > 0 else tv + (1 << s) - 1, s)
+                        run = 0
+                        emitted = True
+                    if run or not emitted:
+                        eobrun += 1
+                else:  # refinement pass: Ah == Al + 1
+                    run = 0
+                    for k in range(Ss, Se + 1):
+                        v = int(coef[k])
+                        absv = abs(v) >> Al
+                        if absv == 0:
+                            run += 1
+                            continue
+                        # arriving at ANY nonzero with >15 zeros pending
+                        # settles ZRLs first (T.81 G.7 / jcphuff): the
+                        # buffered correction bits then all lie within
+                        # the stretch each ZRL covers
+                        while run > 15:
+                            flush_eobrun()
+                            put_val(enc_ac, 0xF0)
+                            flush_pending()
+                            run -= 16
+                        if absv > 1:  # history coefficient: buffer bit
+                            pending.append(absv & 1)
+                            continue
+                        flush_eobrun()
+                        put_val(enc_ac, (run << 4) | 1)
+                        put(1 if v > 0 else 0, 1)
+                        flush_pending()
+                        run = 0
+                    if run or pending:
+                        # fold this block into the EOB run; its bits
+                        # move to the run's pool
+                        eobrun += 1
+                        pending_eob.extend(pending)
+                        pending = []
+            flush_eobrun()
+        out += finish()
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_spectral_selection():
+    """Spectral-selection-only progression (DC scan + three AC band
+    scans, Ah=Al=0) decodes identically to the full-coefficient
+    reference — multi-scan store accumulation, EOB runs, band logic."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import jpeg_pixels
+
+    rng = np.random.default_rng(19)
+    q = {0: ((np.arange(64) * 7) % 29 + 1).astype(np.int64)}
+    for (w, h) in [(16, 16), (24, 10), (7, 13)]:
+        rows, cols = -(-h // 8), -(-w // 8)
+        blocks = [_rand_blocks(rng, rows, cols)]
+        comps = [(1, 1, 0)]
+        scans = [
+            ([0], 0, 0, 0, 0),
+            ([0], 1, 5, 0, 0),
+            ([0], 6, 20, 0, 0),
+            ([0], 21, 63, 0, 0),
+        ]
+        jb = _encode_test_jpeg_progressive(w, h, comps, blocks, q, scans)
+        px = jpeg_pixels(jb)
+        want = _reference_reconstruct(w, h, comps, blocks, q)
+        assert px is not None and (px == want).all(), (w, h)
+
+
+def test_jpeg_progressive_successive_approximation():
+    """Full progressive decode with successive approximation: DC and
+    AC first passes at Al=1 followed by refinement passes at Al=0 —
+    the correction-bit and EOB-run-with-corrections paths — equals
+    the full-precision reference."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import jpeg_pixels
+
+    rng = np.random.default_rng(23)
+    q = {0: np.full(64, 8, np.int64)}
+    for (w, h) in [(16, 16), (21, 11)]:
+        rows, cols = -(-h // 8), -(-w // 8)
+        blocks = [_rand_blocks(rng, rows, cols, density=0.25, max_ac=60)]
+        comps = [(1, 1, 0)]
+        scans = [
+            ([0], 0, 0, 0, 1),   # DC first, reduced precision
+            ([0], 1, 63, 0, 1),  # AC first, reduced precision
+            ([0], 0, 0, 1, 0),   # DC refinement bit
+            ([0], 1, 63, 1, 0),  # AC refinement bits
+        ]
+        jb = _encode_test_jpeg_progressive(w, h, comps, blocks, q, scans)
+        px = jpeg_pixels(jb)
+        want = _reference_reconstruct(w, h, comps, blocks, q)
+        assert px is not None and (px == want).all(), (w, h)
+
+
+def test_jpeg_progressive_color_420_and_restarts():
+    """3-component 4:2:0 progressive: interleaved DC scan over the
+    MCU-padded grid, per-component AC scans over each NATURAL grid
+    (luma natural 3×2 < padded 4×2 at 20×14 — the off-grid case),
+    with restart intervals resetting DC predictors and EOB runs."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import jpeg_pixels
+
+    rng = np.random.default_rng(29)
+    q = {
+        0: ((np.arange(64) * 5) % 23 + 1).astype(np.int64),
+        1: ((np.arange(64) * 3) % 17 + 2).astype(np.int64),
+    }
+    w, h = 20, 14
+    comps = [(2, 2, 0), (1, 1, 1), (1, 1, 1)]
+    hmax, vmax = 2, 2
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    blocks = []
+    for hs, vs, _tq in comps:
+        bl = _rand_blocks(rng, mcuy * vs, mcux * hs, density=0.12, max_ac=50)
+        # AC scans cover only the natural grid; zero pad-block ACs so
+        # the encoder's omission matches the reference's input
+        cw, ch_ = -(-(w * hs) // hmax), -(-(h * vs) // vmax)
+        bw, bh = -(-cw // 8), -(-ch_ // 8)
+        bl[:, bw:, 1:] = 0
+        bl[bh:, :, 1:] = 0
+        blocks.append(bl)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    for ri in (0, 3):
+        jb = _encode_test_jpeg_progressive(w, h, comps, blocks, q, scans, ri=ri)
+        px = jpeg_pixels(jb)
+        want = _reference_reconstruct(w, h, comps, blocks, q)
+        assert px is not None and px.shape == (h, w, 3)
+        assert (px == want).all(), ri
+
+
+def test_jpeg_progressive_fuzz():
+    """Progressive files obey the corrupt-rows-are-data contract:
+    truncations and seeded byte flips return None or a valid array."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import jpeg_pixels
+
+    rng = np.random.default_rng(31)
+    q = {0: np.full(64, 16, np.int64)}
+    blocks = [_rand_blocks(rng, 2, 3)]
+    scans = [([0], 0, 0, 0, 1), ([0], 1, 63, 0, 1),
+             ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    base = _encode_test_jpeg_progressive(18, 12, [(1, 1, 0)], blocks, q, scans)
+    assert jpeg_pixels(base) is not None  # the fixture itself decodes
+    for cut in range(0, len(base), 5):
+        r = jpeg_pixels(base[:cut])
+        assert r is None or isinstance(r, np.ndarray)
+    for _ in range(120):
+        bb = bytearray(base)
+        for _f in range(int(rng.integers(1, 4))):
+            bb[int(rng.integers(0, len(bb)))] = int(rng.integers(0, 256))
+        r = jpeg_pixels(bytes(bb))
+        assert r is None or isinstance(r, np.ndarray)

@@ -22,6 +22,8 @@ import shutil
 import sys
 import time
 
+import pandas as pd  # module scope: pandas_udf type-hint resolution
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)  # runnable from any cwd
 
@@ -70,7 +72,6 @@ def main() -> None:
 
     # bench-style warmup: JVM/codegen plus the Arrow python-worker
     # pool, so the first sf's lines aren't billed session setup
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
