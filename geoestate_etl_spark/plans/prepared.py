@@ -82,21 +82,49 @@ def prepared_frame(
     return spark.read.parquet(path)
 
 
+#: artifact name → registry queries whose PREPARED PLANS list its
+#: files. Invalidation must drop both: a rebuilt artifact reuses the
+#: same directory with fresh part-file names, so a cached plan's
+#: pinned file listing would read deleted paths (r6 full-suite
+#: finding: drift tests invalidating smoke-scale artifacts crashed
+#: the later determinism tests' cached plans).
+ARTIFACT_QUERIES = {
+    "bfs_supplier_order": ("graph_bfs",),
+    "pagerank_supplier_nation": ("pagerank_suppliers",),
+    "text_grams": ("text_metrics",),
+}
+
+
+def _drop_dependent_plans(name: str | None) -> None:
+    from geoestate_etl_spark.plans.registry import invalidate_prepared
+
+    if name is None:
+        for queries in ARTIFACT_QUERIES.values():
+            for q in queries:
+                invalidate_prepared(q)
+    else:
+        for q in ARTIFACT_QUERIES.get(name, ()):
+            invalidate_prepared(q)
+
+
 def invalidate_artifact_key(
     sf_dir: str, name: str, sources: list[str], version: int = 1
 ) -> None:
     """Delete ONE (name, source-stats, version) artifact — the scoped
     form tests use so drilling one scale never forces other scales to
-    rebuild their (expensive) prepare state."""
+    rebuild their (expensive) prepare state. Also drops this
+    session's prepared plans over the artifact (see
+    :data:`ARTIFACT_QUERIES`)."""
     shutil.rmtree(prepared_path(sf_dir, name, sources, version), ignore_errors=True)
+    _drop_dependent_plans(name)
 
 
 def invalidate_artifacts(name: str | None = None) -> None:
     """Delete prepared artifacts (all, or one name's every key) so the
-    next call rebuilds. Callers that do this while a session holds
-    prepared PLANS over the artifact must also call
-    ``registry.invalidate_prepared`` — a cached plan's file listing
-    would otherwise point at deleted paths."""
+    next call rebuilds; dependent prepared PLANS are dropped too — a
+    cached plan's file listing would otherwise point at deleted
+    paths."""
     root = _warehouse_root()
     target = root if name is None else os.path.join(root, name)
     shutil.rmtree(target, ignore_errors=True)
+    _drop_dependent_plans(name)
