@@ -1352,3 +1352,91 @@ def test_jpeg_progressive_fuzz():
             bb[int(rng.integers(0, len(bb)))] = int(rng.integers(0, 256))
         r = jpeg_pixels(bytes(bb))
         assert r is None or isinstance(r, np.ndarray)
+
+
+# --- r6: MP4 Motion-JPEG sample-table extraction -----------------------------
+
+
+def test_mp4_mjpeg_sample_table_pure():
+    """mp4_frames walks stsd/stsz/stsc/stco for real: single- and
+    multi-chunk layouts decode to the per-frame closed form; the
+    header-only make_mp4 (no sample table) and truncations stay None;
+    a non-decodable codec fourcc returns None even with a valid map."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import (
+        jpeg_pixels,
+        make_jpeg,
+        make_mp4,
+        make_mp4_mjpeg,
+        mp4_frames,
+        sniff_media,
+    )
+
+    for n_chunks in (1, 2, 3):
+        b = make_mp4_mjpeg(24, 16, 5, n_chunks=n_chunks)
+        meta = sniff_media(b)
+        assert (meta["format"], meta["width"], meta["height"]) == ("mp4", 24, 16)
+        fr = mp4_frames(b)
+        assert fr is not None and fr.shape == (5, 16, 24, 3)
+        for f in range(5):
+            exp = jpeg_pixels(make_jpeg(24, 16, dc_offset=f))
+            assert (fr[f] == exp[:, :, None]).all()
+
+    assert mp4_frames(make_mp4(32, 24, 1000, 500)) is None  # no samples
+    # an avc1 (H.264) stsd entry: sample TABLE parses, codec honest None
+    avc = make_mp4_mjpeg(24, 16, 3).replace(b"jpeg", b"avc1")
+    assert mp4_frames(avc) is None
+    base = make_mp4_mjpeg(17, 9, 3, n_chunks=2)
+    rng = np.random.default_rng(37)
+    for cut in range(0, len(base), 5):
+        r = mp4_frames(base[:cut])
+        assert r is None or isinstance(r, np.ndarray)
+    for _ in range(100):
+        bb = bytearray(base)
+        for _f in range(int(rng.integers(1, 4))):
+            bb[int(rng.integers(0, len(bb)))] = int(rng.integers(0, 256))
+        r = mp4_frames(bytes(bb))
+        assert r is None or isinstance(r, np.ndarray)
+
+
+def test_mp4_mjpeg_feeds_video_and_content_tiers(spark):
+    """MP4 MJPEG payloads flow through sample_video_frames and
+    decode_media_content exactly like AVI video: sampled frames carry
+    exact stats + image-tier PNGs, content stats span every frame,
+    and header-only MP4s keep NULL stats (oracle k=3 unchanged)."""
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import (
+        decode_media_content,
+        make_mp4,
+        make_mp4_mjpeg,
+        mp4_frames,
+        png_pixels,
+        sample_video_frames,
+    )
+
+    w, h, nf = 20, 12, 6
+    b = make_mp4_mjpeg(w, h, nf, n_chunks=2)
+    frames = mp4_frames(b)
+    df = spark.createDataFrame(
+        [(1, bytearray(b)), (2, bytearray(make_mp4(32, 24, 1000, 500)))],
+        "media_id: long, content: binary",
+    )
+    stats = {r.media_id: r for r in decode_media_content(df).collect()}
+    assert stats[1].n_px == nf * h * w * 3
+    assert stats[1].px_sum == int(frames.astype(np.int64).sum())
+    assert stats[1].px_max == int(frames.max())
+    assert stats[2].n_px is None  # header-only mp4: honest NULL
+
+    sampled = {
+        r.frame_idx: r
+        for r in sample_video_frames(df, every_nth=2).collect()
+        if r.media_id == 1
+    }
+    assert set(sampled) == {0, 2, 4}
+    for fi, r in sampled.items():
+        fr = frames[fi].astype(np.int64)
+        assert (r.px_sum, r.px_max) == (int(fr.sum()), int(fr.max()))
+        px = png_pixels(bytes(r.content))
+        assert px is not None and px.shape == (h, w, 1)
