@@ -58,12 +58,14 @@ NOTES = {
     "text_metrics": (
         "Per-doc stats/quality/lang-id AND the frozen-literal classifier "
         "margin (mq_margin_micro: literal-map fold, zero extra shuffle) "
-        "are one codegen'd/map-side projection; the r4 repetition columns "
-        "add two explode→hash-agg chains (2- and 3-gram) and the char-3-"
-        "gram LM score adds one model explode→agg plus one scoring "
-        "explode→join→agg — all left-joined back by id, map-side "
-        "combinable, no corpus windows. The gram builds are interpreted "
-        "HOFs, so each spreads an under-partitioned source first (the "
+        "are one codegen'd/map-side projection; since r6 the gram-derived "
+        "columns (2-/3-gram repetition + char-3-gram LM score) come from "
+        "ONE disk-backed prepared artifact (plans/prepared.py — built "
+        "once per source table, merged on doc_id), so the serving plan "
+        "is base projection + one parquet-scan left join instead of "
+        "three explode→hash-agg chains per session. The gram BUILDS "
+        "remain interpreted HOFs, so each spreads an under-partitioned "
+        "source first (the "
         "single-file trap: 13s serialized vs ~1s spread, TUNING.md)."
     ),
     "components_suite": (
@@ -96,7 +98,10 @@ NOTES = {
         "bounded broadcast relation probed by equi-join + mask test — "
         "the corpus side is never shuffled before the per-doc count), "
         "and the semantic tier (unit-normalized bench side broadcasts, "
-        "corpus streams once)."
+        "corpus streams once). r6: the eval side is CAPPED (first 500 "
+        "doc ids / 200 vec ids — eval suites are O(1) in production); "
+        "the uncapped corpus/7 framing scaled superlinearly (exponent "
+        "1.33 -> 0.79 after the cap, sf1.0 line 21.2s -> 6.6s)."
     ),
     "geo_distance_radius": (
         "Six geo shapes; the late-r4 nn variant is the two-phase exact "
@@ -135,8 +140,11 @@ NOTES = {
         "(frontier x persisted symmetrized edges) + node-bounded "
         "anti-join against the visited set, with per-level "
         "localCheckpoint lineage truncation and empty-frontier early "
-        "stop. The loop-invariant edge relation is persisted once and "
-        "unpersisted on return (11.2s -> ~4.4s warm at sf0.1)."
+        "stop; the edge relation is persisted once per build. Since r6 "
+        "the LABEL FRAME is disk-backed (plans/prepared.py): the level "
+        "iteration runs once per source table and the serving plan — "
+        "shown below — is a parquet scan of the prepared labels + one "
+        "histogram aggregate (fresh-session cold 8.65s -> 2.1s)."
     ),
     "string_suite": (
         "String-function melt + the former urls_chunks_suite branches "
