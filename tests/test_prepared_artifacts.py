@@ -115,3 +115,36 @@ def test_key_rotates_with_source_stats_and_version(spark, tmp_path):
     assert os.path.exists(prepared_path(str(sf2), "x", ["region"], 1))
     invalidate_artifacts("x")
     assert not os.path.exists(prepared_path(str(sf2), "x", ["region"], 1))
+
+
+def test_build_race_loses_gracefully(spark, tmp_path, monkeypatch):
+    """Two sessions racing the same build: the loser's os.rename hits
+    an existing destination, discards its temp output, and serves the
+    winner's (equivalent) artifact — no crash, no torn directory."""
+    import geoestate_etl_spark.plans.prepared as P
+
+    sf2 = tmp_path / "sf"
+    sf2.mkdir()
+    shutil.copy("/root/testdata/sf0.001/region.parquet", str(sf2 / "region.parquet"))
+    path = prepared_path(str(sf2), "race", ["region"], 1)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def rename_with_race(src, dst):
+        # the "other session" lands its artifact first, exactly once
+        if dst == path and calls["n"] == 0:
+            calls["n"] += 1
+            spark.range(7).write.mode("overwrite").parquet(dst)
+            raise OSError("destination exists")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(P.os, "rename", rename_with_race)
+    df = prepared_frame(
+        spark, str(sf2), "race", lambda: spark.range(7), sources=["region"]
+    )
+    assert df.count() == 7  # served the winner's artifact
+    assert calls["n"] == 1
+    # loser's temp directory was cleaned up
+    leftovers = [d for d in os.listdir(os.path.dirname(path)) if ".tmp-" in d]
+    assert leftovers == []
