@@ -444,7 +444,13 @@ def png_pixels(b: bytes):
     if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS or ctype == 3:
         return None
     ch = _PNG_CHANNELS[ctype]
-    raw = zlib.decompress(b"".join(idat))
+    if w * h * ch > _MAX_DECODE_PIXELS:  # forged-dimension guard
+        return None
+    # bounded inflate: a deflate bomb must not expand past what the
+    # declared dimensions can consume (+1 filter byte per row)
+    raw = zlib.decompressobj().decompress(
+        b"".join(idat), h * (w * ch + 1) + 1
+    )
     stride = w * ch
     if len(raw) < h * (stride + 1):
         return None
@@ -609,6 +615,8 @@ def gif_pixels(b: bytes):
                 pos += 3 * n
             if table is None or pos >= len(b) or w == 0 or h == 0:
                 return None
+            if w * h * 3 > _MAX_DECODE_PIXELS:  # forged-dimension guard
+                return None
             min_code_size = b[pos]
             pos += 1
             data = bytearray()
@@ -712,6 +720,11 @@ def avi_frames(b: bytes):
         return None
     top_down = h < 0
     h = abs(h)
+    # adversarial-dimension guard (see _MAX_DECODE_PIXELS): a forged
+    # header must not allocate a giant frame tensor before the span
+    # length check can reject it
+    if w * h * max(len(spans), 1) > _MAX_DECODE_PIXELS:
+        return None
     row_bytes = (w * 3 + 3) & ~3
     out = np.empty((len(spans), h, w, 3), np.uint8)
     for i, (lo, hi) in enumerate(spans):
@@ -1097,8 +1110,18 @@ def jpeg_pixels(b: bytes):
     return _jpeg_assemble(frame, stores, qt)
 
 
+#: adversarial-dimension guard: a 100-byte crawl payload claiming
+#: 65535×65535 would otherwise allocate gigabytes of coefficient
+#: stores per ROW before its (absent) entropy data could fail — at
+#: Arrow-batch scale that is a memory DoS, not a decode error. 100 MP
+#: comfortably covers real images.
+_MAX_DECODE_PIXELS = 100_000_000
+
+
 def _jpeg_geometry(frame):
     h, w, comps = frame
+    if h * w > _MAX_DECODE_PIXELS:
+        raise ValueError("claimed dimensions exceed the decode guard")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if not (1 <= hmax <= 4 and 1 <= vmax <= 4):

@@ -1440,3 +1440,74 @@ def test_mp4_mjpeg_feeds_video_and_content_tiers(spark):
         assert (r.px_sum, r.px_max) == (int(fr.sum()), int(fr.max()))
         px = png_pixels(bytes(r.content))
         assert px is not None and px.shape == (h, w, 1)
+
+
+def test_forged_dimension_guards():
+    """Adversarial-scale guard (r6): a tiny payload claiming enormous
+    dimensions must return None FAST without allocating the claimed
+    pixel buffers — at Arrow-batch scale a 100-byte header driving a
+    17 GB coefficient store is a memory DoS, not a decode error."""
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+
+    from geoestate_etl_spark.operators.multimodal import (
+        avi_frames,
+        gif_pixels,
+        jpeg_pixels,
+        make_avi,
+        make_jpeg,
+        png_pixels,
+    )
+
+    t0 = time.perf_counter()
+    # JPEG claiming 50000x50000 (2.5 GP): SOF dims patched into a real file
+    jb = bytearray(make_jpeg(8, 8))
+    i = bytes(jb).index(b"\xff\xc0")
+    jb[i + 5 : i + 9] = struct.pack(">HH", 50000, 50000)
+    assert jpeg_pixels(bytes(jb)) is None
+
+    # PNG: forged IHDR dims; and a deflate bomb behind honest dims
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100)) + chunk(b"IEND", b"")
+    )
+    assert png_pixels(png) is None
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)  # ~48 KB compressed
+    ihdr2 = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    png2 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr2)
+        + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    px = png_pixels(png2)  # bounded inflate: decodes the 4x3 it needs
+    assert px is not None and px.shape == (3, 4, 1)
+
+    # GIF logical screen forged to 60000x60000
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 60000, 60000) + bytes([0x80, 0, 0])
+        + b"\x00" * 6  # 2-entry palette
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 60000, 60000) + b"\x00"
+        + b"\x02\x01\x00\x00" + b"\x3b"
+    )
+    assert gif_pixels(gif) is None
+
+    # AVI strf forged to 60000x60000 over one tiny frame chunk — the
+    # (8, 6) pair appears first in avih (dwWidth/dwHeight), but the
+    # decoder reads the strf BITMAPINFOHEADER, which follows 'strf'
+    ab = bytearray(make_avi(8, 6, 2, 5))
+    j = bytes(ab).index(b"strf") + 8 + 4  # strf tag + size + biSize
+    assert ab[j : j + 8] == struct.pack("<ii", 8, 6)
+    ab[j : j + 8] = struct.pack("<ii", 60000, 60000)
+    assert avi_frames(bytes(ab)) is None
+
+    # the whole adversarial family must be fast — no giant allocations
+    assert time.perf_counter() - t0 < 10
