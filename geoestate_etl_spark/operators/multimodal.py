@@ -804,6 +804,15 @@ def _mp4_trak_samples(b: bytes, tlo: int, thi: int):
     sizes: list | None = None
     chunk_offsets: list | None = None
     stsc: list | None = None
+    # forged-count guard (r7, ADVICE r6): the uniform-stsz branch used
+    # to allocate `[uniform] * count` with an attacker-controlled
+    # 32-bit count — a ~100-byte MP4 claiming 0xFFFFFFFF samples
+    # allocated ~34 GB before any decode could fail. Every real sample
+    # occupies ≥1 byte of the file, so a sample/chunk/run count can
+    # never legitimately exceed the file length (and a real video
+    # never exceeds _MAX_SAMPLE_COUNT frames); bound ALL table counts
+    # by both before expanding anything.
+    max_count = min(len(b), _MAX_SAMPLE_COUNT)
     for typ, lo, hi in _mp4_walk(b, tlo, thi):
         if typ == b"stsd" and hi - lo >= 16:
             # version/flags + entry_count, then the first sample entry:
@@ -811,6 +820,8 @@ def _mp4_trak_samples(b: bytes, tlo: int, thi: int):
             codec = b[lo + 12 : lo + 16]
         elif typ == b"stsz" and hi - lo >= 12:
             uniform, count = struct.unpack(">II", b[lo + 4 : lo + 12])
+            if count > max_count:
+                return None
             if uniform:
                 sizes = [uniform] * count
             else:
@@ -819,16 +830,22 @@ def _mp4_trak_samples(b: bytes, tlo: int, thi: int):
                 )
         elif typ == b"stco" and hi - lo >= 8:
             (count,) = struct.unpack(">I", b[lo + 4 : lo + 8])
+            if count > max_count:
+                return None
             chunk_offsets = list(
                 struct.unpack(f">{count}I", b[lo + 8 : lo + 8 + 4 * count])
             )
         elif typ == b"co64" and hi - lo >= 8:
             (count,) = struct.unpack(">I", b[lo + 4 : lo + 8])
+            if count > max_count:
+                return None
             chunk_offsets = list(
                 struct.unpack(f">{count}Q", b[lo + 8 : lo + 8 + 8 * count])
             )
         elif typ == b"stsc" and hi - lo >= 8:
             (count,) = struct.unpack(">I", b[lo + 4 : lo + 8])
+            if count > max_count:
+                return None
             stsc = [
                 struct.unpack(">III", b[lo + 8 + 12 * i : lo + 20 + 12 * i])
                 for i in range(count)
@@ -1116,6 +1133,12 @@ def jpeg_pixels(b: bytes):
 #: Arrow-batch scale that is a memory DoS, not a decode error. 100 MP
 #: comfortably covers real images.
 _MAX_DECODE_PIXELS = 100_000_000
+
+#: forged-count guard companion for container SAMPLE TABLES (MP4
+#: stsz/stco/co64/stsc): table counts are additionally bounded by the
+#: actual file length, so this absolute cap only matters for
+#: multi-GB payloads — 1M frames ≈ 9+ hours of 30 fps video.
+_MAX_SAMPLE_COUNT = 1_000_000
 
 
 def _jpeg_geometry(frame):

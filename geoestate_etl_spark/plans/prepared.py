@@ -13,12 +13,25 @@ index``): the prepared frame is written ONCE per (source table stats,
 builder version) under ``spark-warehouse/prepared/<name>/<key>/`` and
 every later session pays a parquet scan instead of the iteration.
 
-Keying: md5 over each source parquet's absolute path + size + mtime,
-plus a per-name builder ``version`` — a regenerated source table or a
-changed builder gets a fresh key and rebuilds; nothing can serve
-stale state silently. Writes are atomic (write to a pid-tagged temp
-dir, ``os.rename`` into place) so a concurrent second session never
-observes a half-written artifact.
+Keying (r7): the key directory is ``<srcid>-<statskey>`` — ``srcid``
+hashes the source tables' absolute paths (stable identity across
+regeneration), ``statskey`` hashes each source's size + ``mtime_ns``
+(nanosecond resolution, ADVICE r6: whole-second ``st_mtime`` let a
+same-second same-size regeneration serve stale state) plus the
+per-name builder ``version``. A regenerated source table or a changed
+builder gets a fresh ``statskey`` and rebuilds; nothing can serve
+stale state silently. Writes are atomic (write to a pid+uuid-tagged
+temp dir, ``os.rename`` into place, temp removed on any failure) so a
+concurrent second session — same-process thread or separate process —
+never observes a half-written artifact.
+
+Retention (r7 — VERDICT r6 #2): a successful build garbage-collects
+every SUPERSEDED sibling key — same ``srcid`` (same source identity,
+older stats/version) — so a regenerated source leaves exactly one
+live key per (name, source identity); artifacts for OTHER sf dirs
+(different ``srcid``) coexist untouched. In-flight ``.tmp-`` dirs are
+never GC'd. Dependent prepared plans are dropped whenever GC removes
+anything, keeping the ARTIFACT_QUERIES invalidation coupling honest.
 
 Correctness does not depend on the cache: every builder is the same
 deterministic computation the query ran inline before, and
@@ -36,6 +49,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,16 +60,50 @@ def _warehouse_root() -> str:
     return os.path.join(root, "spark-warehouse", "prepared")
 
 
+def _source_paths(sf_dir: str, sources: list[str]) -> list[str]:
+    return [
+        os.path.abspath(os.path.join(sf_dir, f"{t}.parquet")) for t in sources
+    ]
+
+
 def prepared_path(sf_dir: str, name: str, sources: list[str], version: int) -> str:
-    """Cache directory for one prepared frame: keyed by the stats of
-    every source table it derives from plus the builder version."""
+    """Cache directory for one prepared frame: ``<srcid>-<statskey>``.
+    ``srcid`` is the stable identity of the source tables (paths
+    only); ``statskey`` rotates with any source's size/mtime_ns or the
+    builder version, so regeneration or a builder change rebuilds."""
+    paths = _source_paths(sf_dir, sources)
+    srcid = hashlib.md5("||".join(paths).encode()).hexdigest()[:10]
     parts = [f"v{version}"]
-    for t in sources:
-        src = os.path.join(sf_dir, f"{t}.parquet")
+    for src in paths:
         st = os.stat(src)
-        parts.append(f"{os.path.abspath(src)}|{st.st_size}|{int(st.st_mtime)}")
-    key = hashlib.md5("||".join(parts).encode()).hexdigest()[:16]
-    return os.path.join(_warehouse_root(), name, key)
+        parts.append(f"{src}|{st.st_size}|{st.st_mtime_ns}")
+    statskey = hashlib.md5("||".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(_warehouse_root(), name, f"{srcid}-{statskey}")
+
+
+def _gc_superseded(path: str, name: str) -> None:
+    """Delete superseded sibling keys of a just-built artifact: same
+    ``srcid`` (source identity), different stats/version — plus any
+    legacy pre-r7 key (no ``srcid-`` prefix), which the new keying can
+    never serve again. In-flight ``.tmp-`` build dirs are left alone.
+    Bounds the store at one live key per (name, source identity)."""
+    parent = os.path.dirname(path)
+    key = os.path.basename(path)
+    srcid = key.split("-", 1)[0]
+    removed = False
+    try:
+        siblings = os.listdir(parent)
+    except OSError:
+        return
+    for d in siblings:
+        if d == key or ".tmp-" in d:
+            continue
+        if d.startswith(f"{srcid}-") or "-" not in d:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+            removed = True
+    if removed:
+        # a cached plan may pin the deleted files (ARTIFACT_QUERIES)
+        _drop_dependent_plans(name)
 
 
 def prepared_frame(
@@ -72,13 +120,20 @@ def prepared_frame(
     fresh session is a file read, not the prepare iteration."""
     path = prepared_path(sf_dir, name, sources, version)
     if not os.path.exists(path):
-        tmp = f"{path}.tmp-{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
+        # uuid component: two threaded builders in ONE process must not
+        # share a temp dir (ADVICE r6); try/finally: a build() that
+        # raises must not strand its temp output forever
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         try:
-            os.rename(tmp, path)
-        except OSError:
-            # another session won the race; its artifact is equivalent
+            build().write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # another session won the race; its artifact is equivalent
+                pass
+        finally:
             shutil.rmtree(tmp, ignore_errors=True)
+        _gc_superseded(path, name)
     return spark.read.parquet(path)
 
 

@@ -1511,3 +1511,37 @@ def test_forged_dimension_guards():
 
     # the whole adversarial family must be fast — no giant allocations
     assert time.perf_counter() - t0 < 10
+
+
+def test_forged_mp4_sample_count_guard():
+    """ADVICE r6 (medium): the uniform-stsz branch expanded
+    `[uniform] * count` with an attacker-controlled 32-bit count — a
+    ~100-byte MP4 claiming 0xFFFFFFFF samples allocated ~34 GB and
+    hung the executor. Every sample-table count (stsz/stco/co64/stsc)
+    must now be bounded by file length before any expansion."""
+    import struct
+    import time
+
+    from geoestate_etl_spark.operators.multimodal import (
+        make_mp4_mjpeg,
+        mp4_frames,
+    )
+
+    base = make_mp4_mjpeg(8, 8, 2)
+    assert mp4_frames(base) is not None  # sanity: the honest file decodes
+
+    def patched(tag: str, payload: bytes) -> bytes:
+        bb = bytearray(base)
+        i = bytes(bb).index(tag.encode())
+        bb[i + 4 : i + 4 + len(payload)] = payload
+        return bytes(bb)
+
+    t0 = time.perf_counter()
+    # uniform stsz: sample_size=64, sample_count=0xFFFFFFFF
+    forged = patched("stsz", struct.pack(">III", 0, 64, 0xFFFFFFFF))
+    assert mp4_frames(forged) is None
+    # stco / stsc entry counts forged to 0xFFFFFFFF
+    assert mp4_frames(patched("stco", struct.pack(">II", 0, 0xFFFFFFFF))) is None
+    assert mp4_frames(patched("stsc", struct.pack(">II", 0, 0xFFFFFFFF))) is None
+    # guard must reject BEFORE allocating, i.e. instantly
+    assert time.perf_counter() - t0 < 2
