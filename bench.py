@@ -323,19 +323,42 @@ def main() -> None:
         for k, v in cold.items()
         if k in timings and v - timings[k] > 0.25
     }
+    full = {
+        "metric": "total_query_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "variants": variants,
+        "cold_first_run": cold_material,
+        "prepare_artifacts_build": prepare_build,
+        "houses_pipeline_330k_detail": houses_detail,
+    }
+    print(json.dumps(full))
+    # r7 (VERDICT r6 #1): the full line above is large enough that the
+    # driver's tail-capture truncates it, leaving BENCH_r{N} with
+    # "parsed": null. Persist the complete record to a committed file
+    # and END stdout with a compact self-contained JSON summary line
+    # small enough to always survive tail capture.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_query_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "variants": variants,
-                "cold_first_run": cold_material,
+                "sf": full["sf"],
+                "n_queries": len(timings),
+                "queries": {k: round(v, 3) for k, v in top10.items()},
+                "queries_note": "top-10 by time; full record in bench_out.json",
                 "prepare_artifacts_build": prepare_build,
-                "houses_pipeline_330k_detail": houses_detail,
-            }
+                "full_record": "bench_out.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -1,4 +1,5 @@
-"""Transactional table formats (Delta Lake), probed at runtime.
+"""Transactional table formats (Delta Lake, Apache Iceberg), probed at
+runtime.
 
 ROADMAP #8 / r3 verdict #9: ``operators/merge.py`` emulates MERGE/SCD2
 relationally over plain parquet because this container ships no format
@@ -96,22 +97,32 @@ def merge_upsert(
             .execute()
         )
         return "delta"
+    _parquet_upsert_swap(spark, target_path, updates, keys)
+    return "parquet"
+
+
+def _parquet_upsert_swap(
+    spark: SparkSession, target_path: str, updates: DataFrame, keys: list[str]
+) -> None:
+    """Relational upsert emulation over a plain parquet directory,
+    shared by the Delta and Iceberg fallbacks.
+
+    Write-then-swap (ADVICE r4): the merged frame lands in a temp
+    sibling FIRST, so the old files survive until the new write has
+    fully committed — a failure mid-write leaves the target intact.
+    The previous localCheckpoint+overwrite broke lineage through
+    executor-LOCAL, non-replicated blocks: on a real cluster, losing
+    an executor after the overwrite truncated the directory but
+    before completion lost the table (classic read-modify-overwrite).
+    os.replace/rename is atomic on POSIX; on object stores the swap
+    step would become the store's atomic rename/commit primitive."""
+    import shutil
+    import uuid
+
     from geoestate_etl_spark.operators.merge import upsert
 
     target = spark.read.parquet(target_path)
     merged = upsert(target, updates, keys)
-    # Write-then-swap (ADVICE r4): the merged frame lands in a temp
-    # sibling FIRST, so the old files survive until the new write has
-    # fully committed — a failure mid-write leaves the target intact.
-    # The previous localCheckpoint+overwrite broke lineage through
-    # executor-LOCAL, non-replicated blocks: on a real cluster, losing
-    # an executor after the overwrite truncated the directory but
-    # before completion lost the table (classic read-modify-overwrite).
-    # os.replace/rename is atomic on POSIX; on object stores the swap
-    # step would become the store's atomic rename/commit primitive.
-    import shutil
-    import uuid
-
     tmp_path = f"{target_path.rstrip('/')}__merge_tmp_{uuid.uuid4().hex[:8]}"
     old_path = f"{target_path.rstrip('/')}__merge_old_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp_path)
@@ -122,7 +133,6 @@ def merge_upsert(
         os.replace(old_path, target_path.rstrip("/"))  # roll back
         raise
     shutil.rmtree(old_path, ignore_errors=True)
-    return "parquet"
 
 
 def read_version(
@@ -153,3 +163,154 @@ def write_table(spark: SparkSession, df: DataFrame, path: str) -> str:
         return "delta"
     df.write.mode("overwrite").parquet(path)
     return "parquet"
+
+
+# --- Apache Iceberg (r7 — VERDICT r6 #5) ------------------------------------
+#
+# Same conditional contract as Delta above: probe catalog classes on
+# the JVM AND the session conf, run the real transactional path when
+# both hold, fall back to the relational parquet emulation otherwise,
+# and make impossible asks (time travel without a log) an explicit
+# error. Iceberg differs from Delta in addressing — tables live in a
+# CATALOG (``catalog.db.table``), not at a bare path — so this surface
+# takes (warehouse-relative) table names and maps the fallback to a
+# ``<warehouse>/<table>`` parquet directory.
+
+_ICEBERG_CATALOG = "ice"
+
+
+def iceberg_session_conf(warehouse: str, catalog: str = _ICEBERG_CATALOG) -> dict[str, str]:
+    """Session conf enabling an Iceberg Hadoop catalog rooted at
+    ``warehouse`` — apply via ``get_spark(extra_conf=...)`` when the
+    jars exist (harmless but useless without them)."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def iceberg_available(
+    spark: SparkSession | None = None, catalog: str = _ICEBERG_CATALOG
+) -> bool:
+    """True iff the Iceberg Spark runtime classes are on the JVM
+    classpath AND this session was built with the Iceberg SQL
+    extension + a configured ``catalog`` (:func:`iceberg_session_conf`).
+    Mirrors :func:`delta_available`'s "can THIS session run it" rule —
+    jars without the extension conf would make ``MERGE INTO`` fail at
+    analysis. Unlike Delta there is no Python package to import; the
+    probe is entirely JVM-side."""
+    if spark is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+    except Exception:
+        return False
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        cat = spark.conf.get(f"spark.sql.catalog.{catalog}", "") or ""
+    except Exception:
+        return False
+    return "IcebergSparkSessionExtensions" in ext and "SparkCatalog" in cat
+
+
+def _iceberg_fallback_path(warehouse: str, table: str) -> str:
+    return os.path.join(warehouse, *table.split("."))
+
+
+def iceberg_write_table(
+    spark: SparkSession,
+    df: DataFrame,
+    warehouse: str,
+    table: str,
+    catalog: str = _ICEBERG_CATALOG,
+) -> str:
+    """Create/replace ``table`` under ``warehouse``. Real path: an
+    Iceberg table via ``writeTo(...).createOrReplace()`` (snapshot
+    isolation, hidden-partition metadata, manifest-pruned scans — the
+    100 TB-correct layout). Fallback: ``<warehouse>/<table>`` parquet.
+    Returns the format used (``"iceberg"`` | ``"parquet"``)."""
+    if iceberg_available(spark, catalog):
+        df.writeTo(f"{catalog}.{table}").using("iceberg").createOrReplace()
+        return "iceberg"
+    df.write.mode("overwrite").parquet(_iceberg_fallback_path(warehouse, table))
+    return "parquet"
+
+
+def iceberg_merge_upsert(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    catalog: str = _ICEBERG_CATALOG,
+) -> str:
+    """Upsert ``updates`` into ``table`` by key. Real path: ANSI
+    ``MERGE INTO`` against the Iceberg catalog table — copy-on-write
+    rewrites only matched data files (manifest-level skipping), and
+    concurrent readers keep the previous snapshot until commit.
+    Fallback: the shared relational emulation + atomic parquet swap.
+    Returns which path ran (``"iceberg"`` | ``"parquet"``)."""
+    if iceberg_available(spark, catalog):
+        import uuid
+
+        view = f"iceberg_updates_{uuid.uuid4().hex[:8]}"
+        updates.createOrReplaceTempView(view)
+        try:
+            cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+            spark.sql(
+                f"MERGE INTO {catalog}.{table} t USING {view} s ON {cond} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+        return "iceberg"
+    _parquet_upsert_swap(
+        spark, _iceberg_fallback_path(warehouse, table), updates, keys
+    )
+    return "parquet"
+
+
+def iceberg_read_version(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    version: int | None = None,
+    catalog: str = _ICEBERG_CATALOG,
+) -> DataFrame:
+    """Time-travel read. Real path: Iceberg serves any committed
+    snapshot (``version`` indexes the snapshot history oldest-first,
+    the analogue of a Delta version number). Plain parquet keeps no
+    history — asking for it is an explicit, actionable error, never a
+    silent latest-read."""
+    if iceberg_available(spark, catalog):
+        if version is None:
+            return spark.read.table(f"{catalog}.{table}")
+        snaps = (
+            spark.read.table(f"{catalog}.{table}.snapshots")
+            .orderBy("committed_at")
+            .select("snapshot_id")
+            .collect()
+        )
+        if not 0 <= version < len(snaps):
+            raise ValueError(
+                f"table {table} has {len(snaps)} snapshots; "
+                f"version {version} does not exist"
+            )
+        return (
+            spark.read.option("snapshot-id", snaps[version].snapshot_id)
+            .table(f"{catalog}.{table}")
+        )
+    if version not in (None, 0):
+        raise ValueError(
+            f"time travel to version {version} requires a transactional "
+            "table format (Iceberg jars + iceberg_session_conf); plain "
+            "parquet keeps no history"
+        )
+    return spark.read.parquet(_iceberg_fallback_path(warehouse, table))

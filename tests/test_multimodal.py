@@ -1513,6 +1513,38 @@ def test_forged_dimension_guards():
     assert time.perf_counter() - t0 < 10
 
 
+def test_avc1_honest_none_contract():
+    """Permanent pin for the r7 boundary decision (VERDICT r6 #6):
+    entropy-coded H.264/H.265 sample bodies (avc1/hvc1/hev1 in MP4,
+    H264 fourcc in AVI) return None from frame decode — never garbage
+    pixels, never an exception — while container METADATA and the
+    sample-table walk still parse. The cost/benefit rationale lives in
+    ``pixel_decode_unavailable``'s docstring; a production deployment
+    swaps a codec library into the same mapInPandas batch fn."""
+    import struct
+
+    from geoestate_etl_spark.operators.multimodal import (
+        avi_frames,
+        make_avi,
+        make_mp4_mjpeg,
+        mp4_frames,
+        sniff_media,
+    )
+
+    base = make_mp4_mjpeg(24, 16, 3)
+    for fourcc in (b"avc1", b"hvc1", b"hev1"):
+        clip = base.replace(b"jpeg", fourcc)
+        assert mp4_frames(clip) is None  # honest None, no exception
+        meta = sniff_media(clip)  # container metadata still real
+        assert meta is not None and meta["format"] == "mp4"
+
+    # AVI with an H264 biCompression: strf parses, frames honest None
+    ab = bytearray(make_avi(8, 6, 2, 5))
+    j = bytes(ab).index(b"strf") + 8 + 16  # biSize..biBitCount, then biCompression
+    ab[j : j + 4] = struct.pack("<I", 0x34363248)  # 'H264'
+    assert avi_frames(bytes(ab)) is None
+
+
 def test_forged_mp4_sample_count_guard():
     """ADVICE r6 (medium): the uniform-stsz branch expanded
     `[uniform] * count` with an attacker-controlled 32-bit count — a
