@@ -162,8 +162,16 @@ def generate(sf_tag: str, k: int, seed: int) -> str:
     return out_dir
 
 
+#: every synthesizable scale (r7 adds sf3.0 — VERDICT r6 #3: one more
+#: decade of x for the corpus-proportional lines' knee check)
+SCALES = {"sf0.3": (3, 63), "sf1.0": (10, 64), "sf3.0": (30, 65)}
+
 if __name__ == "__main__":
-    for tag, k, seed in (("sf0.3", 3, 63), ("sf1.0", 10, 64)):
+    import sys
+
+    tags = sys.argv[1:] or ["sf0.3", "sf1.0"]
+    for tag in tags:
+        k, seed = SCALES[tag]
         d = generate(tag, k, seed)
         total = sum(
             os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)

@@ -33,6 +33,20 @@ SFS = [
     (os.path.join(REPO, "data", "scale", "sf1.0"), 1.0),
 ]
 
+#: r7 (VERDICT r6 #3): `python tools/scale_sweep.py sf3` extends the
+#: sweep one more decade for the corpus-proportional lines (the ones
+#: whose r6 exponents were ~1 by nature) — four points sf0.1→sf3.0,
+#: restricted to these lines so the run stays bounded. Also runs the
+#: corpus_pipeline e2e at every point with the sf3 funnel RE-PREDICTED
+#: from the generator's planted near-dup density (see _funnel_check).
+SF3_DIR = os.path.join(REPO, "data", "scale", "sf3.0")
+SF3_LINES = [
+    "text_metrics",
+    "near_dup_pairs",
+    "string_suite",
+    "dedup_exact_suite",
+]
+
 LINES = [
     "near_dup_pairs",
     "basket_pairs",
@@ -57,6 +71,90 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _funnel_check(spark, sf_dir: str, res) -> dict:
+    """Re-predict the sf3 corpus funnel from the generator's planted
+    structure (tools/gen_scale.py) and compare to the observed counts.
+
+    The generator plants, per 10 ids: id%10==7 = one-word mutation of
+    id-7, id%10==9 = prefix-token duplicate of id-9 (both bases are
+    id%10==0 docs; no chains). No embeddings/benchmark are passed and
+    span dedup is off, so the funnel prediction is:
+
+    - n_input exact;
+    - EXACT drops = planted mutations whose random replacement word
+      drew the ORIGINAL word (P = 1/|vocab| per mutation — the first
+      sf3 run measured 480 such docs in 150k, matching ~15k/30), i.e.
+      gated planted docs whose text EQUALS the base's text;
+    - NEAR drops = gated planted pairs whose TRUE shingle-Jaccard
+      clears the rescore threshold (computed with the engine's own
+      shingle_ids expression — the same definition the pipeline
+      rescore uses) MINUS the text-equal ones (those already left at
+      the exact tier), discounted by LSH band recall (>= 0.97 at
+      j = 0.7 for 24 hashes in 8 bands)."""
+    from pyspark.sql import functions as F
+
+    from geoestate_etl_spark.operators.dedup import shingle_ids
+    from geoestate_etl_spark.plans.corpus_pipeline import quality_gate
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_input = docs.count()
+    gated = docs.filter(quality_gate("text")).select(
+        "doc_id", "text", shingle_ids("text").alias("sh")
+    )
+    planted = gated.filter(F.col("doc_id") % 10 == 0).alias("b")
+    pairs = None
+    for off in (7, 9):
+        m = (
+            gated.filter((F.col("doc_id") % 10 == off) & (F.col("doc_id") >= off))
+            .withColumn("base_id", F.col("doc_id") - off)
+            .alias("m")
+        )
+        j = m.join(planted, F.col("m.base_id") == F.col("b.doc_id")).select(
+            F.col("m.doc_id").alias("id"),
+            F.col("b.doc_id").alias("base"),
+            (F.col("m.text") == F.col("b.text")).alias("equal"),
+            (
+                F.size(F.array_intersect("m.sh", "b.sh"))
+                / F.greatest(F.size(F.array_union("m.sh", "b.sh")), F.lit(1))
+            ).alias("jac"),
+        )
+        pairs = j if pairs is None else pairs.unionByName(j)
+    agg = pairs.agg(
+        F.count(F.when(F.col("equal"), 1)).alias("n_equal"),
+        F.count(F.when((~F.col("equal")) & (F.col("jac") >= 0.7), 1)).alias(
+            "n_near"
+        ),
+    ).collect()[0]
+    predicted_exact, predicted_near = agg.n_equal, agg.n_near
+    observed_near = res.n_exact_unique - res.n_near_unique
+    exact_drops = res.n_gated - res.n_exact_unique
+    report = {
+        "n_input": n_input,
+        "n_gated": res.n_gated,
+        "exact_drops_observed": exact_drops,
+        "exact_drops_predicted": predicted_exact,
+        "near_drops_observed": observed_near,
+        "near_drops_predicted": predicted_near,
+        "near_recall_vs_prediction": round(
+            observed_near / max(predicted_near, 1), 4
+        ),
+    }
+    assert res.n_input == n_input, report
+    # exact tier: text-equal planted docs, plus vanishingly-rare
+    # random collisions (two 8-word docs from a ~30-word vocab)
+    assert abs(exact_drops - predicted_exact) <= 5, report
+    # near tier: rescore kills every band false-positive, so observed
+    # can exceed the base-pair prediction only via sibling edges
+    # (mutation ~ prefix-dup of one base, a <=2-shingle delta: tiny
+    # margin); banding recall at j>=0.7 is >=0.97
+    assert (
+        0.9 * predicted_near - 5
+        <= observed_near
+        <= 1.02 * predicted_near + 5
+    ), report
+    return report
+
+
 def main() -> None:
     from geoestate_etl_spark.plans.corpus_pipeline import run_corpus
     from geoestate_etl_spark.plans.prepared import invalidate_artifact_key
@@ -66,6 +164,10 @@ def main() -> None:
     )
     from geoestate_etl_spark.plans.registry import all_queries, invalidate_prepared
     from geoestate_etl_spark.session import get_spark
+
+    sf3_mode = len(sys.argv) > 1 and sys.argv[1] == "sf3"
+    sfs = SFS + [(SF3_DIR, 3.0)] if sf3_mode else SFS
+    lines = SF3_LINES if sf3_mode else LINES
 
     spark = get_spark("scale-sweep")
     specs = all_queries()
@@ -92,27 +194,34 @@ def main() -> None:
     def put(line: str, sf: float, secs: float) -> None:
         results.setdefault(line, {})[str(sf)] = round(secs, 3)
 
-    for sf_dir, sf in SFS:
-        # lifecycle builds, timed per sf like the bench does
-        shutil.rmtree(_ivf_index_path(sf_dir, 16), ignore_errors=True)
-        t0 = time.perf_counter()
-        ensure_warehouse_index(spark, sf_dir, 16)
-        put("similarity_index_build", sf, time.perf_counter() - t0)
+    funnel_report = None
+    for sf_dir, sf in sfs:
+        if not sf3_mode:
+            # lifecycle builds, timed per sf like the bench does
+            shutil.rmtree(_ivf_index_path(sf_dir, 16), ignore_errors=True)
+            t0 = time.perf_counter()
+            ensure_warehouse_index(spark, sf_dir, 16)
+            put("similarity_index_build", sf, time.perf_counter() - t0)
 
-        for name, srcs in (
-            ("bfs_supplier_order", ["lineitem"]),
-            ("pagerank_supplier_nation", ["supplier"]),
-            ("text_grams", ["documents"]),
-        ):
+        prep = (
+            (("text_grams", ["documents"], "text_metrics"),)
+            if sf3_mode
+            else (
+                ("bfs_supplier_order", ["lineitem"], "graph_bfs"),
+                ("pagerank_supplier_nation", ["supplier"], "pagerank_suppliers"),
+                ("text_grams", ["documents"], "text_metrics"),
+            )
+        )
+        for name, srcs, _q in prep:
             invalidate_artifact_key(sf_dir, name, srcs)
         t0 = time.perf_counter()
-        for qn in ("graph_bfs", "pagerank_suppliers", "text_metrics"):
+        for _n, _s, qn in prep:
             force(specs[qn].fn(spark, sf_dir))
         put("prepare_artifacts_build", sf, time.perf_counter() - t0)
-        for qn in ("graph_bfs", "pagerank_suppliers", "text_metrics"):
+        for _n, _s, qn in prep:
             invalidate_prepared(qn)
 
-        for name in LINES:
+        for name in lines:
             t0 = time.perf_counter()
             force(specs[name].fn(spark, sf_dir))
             cold = time.perf_counter() - t0
@@ -124,20 +233,31 @@ def main() -> None:
         t0 = time.perf_counter()
         res = run_corpus(docs, id_col="doc_id", text_col="text")
         force(res.packed)
-        res.unpersist()
         put("corpus_pipeline", sf, time.perf_counter() - t0)
+        if sf3_mode and sf == 3.0:
+            # funnel re-predicted from the generator's planted density
+            funnel_report = _funnel_check(spark, sf_dir, res)
+        res.unpersist()
 
-    xs = [math.log(sf) for _, sf in SFS]
     out = {}
     for line, by_sf in results.items():
-        ys = [math.log(max(by_sf[str(sf)], 1e-3)) for _, sf in SFS]
+        pts = [
+            (math.log(sf), math.log(max(by_sf[str(sf)], 1e-3)))
+            for _, sf in sfs
+            if str(sf) in by_sf
+        ]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
         n = len(xs)
         mx, my = sum(xs) / n, sum(ys) / n
         b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
             (x - mx) ** 2 for x in xs
         )
         out[line] = {"times": by_sf, "exponent": round(b, 2)}
-    print(json.dumps({"scale_sweep": out, "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32")}))
+    blob = {"scale_sweep": out, "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32")}
+    if funnel_report is not None:
+        blob["sf3_corpus_funnel"] = funnel_report
+    print(json.dumps(blob))
 
 
 if __name__ == "__main__":
