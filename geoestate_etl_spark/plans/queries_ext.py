@@ -481,9 +481,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer pixel/sample statistics over every decoded byte, video
     stats spanning every frame; r6: baseline-JPEG entropy decode and
     Motion-JPEG AVI frames, so the jpeg rows and the odd avi ids now
-    carry real pixel stats too). Every decoded field is a pure
-    function of doc_id, so a SQL oracle predicts the exact output —
-    both decode tiers are hash-match-gated, not rows-only."""
+    carry real pixel stats too; r7: avc1 H.264 I_PCM tracks on
+    doc_id%14==10 decode through the real bitstream layer in
+    operators/h264.py). Every decoded field is a pure function of
+    doc_id, so a SQL oracle predicts the exact output — both decode
+    tiers are hash-match-gated, not rows-only."""
     docs = _t(spark, sf_dir, "documents")
     # persisted: the header tier and the pixel/sample tier both decode
     # the same synthesized payloads; without this the Arrow-batched
@@ -807,6 +809,14 @@ SPECS = [
         # flat value 128 + 2·(((m+f)%11)−5) replicated to 3 channels
         # (the jpeg closed form per frame) — summed over the frame×MCU
         # grid via UNNEST(range(vf·nb)) with f = i//nb, m = i%nb.
+        # mp4 (k=3) codec alternates (r7): doc_id%14==3 →
+        # metadata-only container (NULL pixel stats — no track);
+        # doc_id%14==10 → avc1 H.264 I_PCM track, REAL bitstream
+        # decode (operators/h264.py): frame f's pixel (x,y) is gray
+        # (x + 2y + 5f) on 3 channels, < 256 at wa≤48/ha≤32/vfa≤4 so
+        # the sum is 3·(F·h·Σx + 2·F·w·Σy + 5·h·w·Σf) in triangle
+        # numbers; metadata n_frames stays DURATION TICKS (vfa·100),
+        # the mvhd-tier semantics every mp4 row reports.
         # jpeg (k=4, r6 — real baseline entropy decode): MCU m
         # (row-major over a ceil(w/8)×ceil(h/8) grid) is DC-only with
         # coefficient (m%11)-5 and flat q=16, so every sample in block
@@ -817,7 +827,9 @@ SPECS = [
         "doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h, "
         "doc_id % 2 + 1 AS ch, doc_id % 100 + 1 AS fr, "
         "doc_id % 16 + 4 AS w2, doc_id % 12 + 4 AS h2, "
-        "doc_id % 8 + 2 AS vf, doc_id % 10 + 5 AS fps FROM documents), "
+        "doc_id % 8 + 2 AS vf, doc_id % 10 + 5 AS fps, "
+        "2 * (doc_id % 17) + 16 AS wa, 2 * (doc_id % 9) + 16 AS ha, "
+        "doc_id % 3 + 2 AS vfa FROM documents), "
         "wavs AS (SELECT doc_id, "
         "CAST(sum(s * s) AS BIGINT) AS sq, CAST(max(abs(s)) AS INT) AS pk "
         "FROM (SELECT doc_id, ((i * 257) % 32768) - 16384 AS s "
@@ -845,21 +857,27 @@ SPECS = [
         "WHEN 3 THEN 'mp4' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'gif' "
         "ELSE 'avi' END AS format, "
         "CASE WHEN k IN (0, 1, 4, 5) THEN CAST(w AS INT) "
-        "WHEN k = 3 THEN CAST(m.doc_id % 128 + 16 AS INT) "
+        "WHEN k = 3 THEN CAST(CASE WHEN m.doc_id % 14 = 10 THEN wa "
+        "ELSE m.doc_id % 128 + 16 END AS INT) "
         "WHEN k = 6 THEN CAST(w2 AS INT) END AS width, "
         "CASE WHEN k IN (0, 1, 4, 5) THEN CAST(h AS INT) "
-        "WHEN k = 3 THEN CAST(m.doc_id % 96 + 16 AS INT) "
+        "WHEN k = 3 THEN CAST(CASE WHEN m.doc_id % 14 = 10 THEN ha "
+        "ELSE m.doc_id % 96 + 16 END AS INT) "
         "WHEN k = 6 THEN CAST(h2 AS INT) END AS height, "
         "CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 5 THEN 3 "
         "WHEN 6 THEN 3 WHEN 2 THEN ch ELSE 1 END AS INT) AS n_channels, "
         "CASE WHEN k = 2 THEN CAST(8000 + (m.doc_id % 8) * 1000 AS INT) "
-        "WHEN k = 3 THEN CAST(1000 * (m.doc_id % 5 + 1) AS INT) "
+        "WHEN k = 3 THEN CAST(CASE WHEN m.doc_id % 14 = 10 THEN 1000 "
+        "ELSE 1000 * (m.doc_id % 5 + 1) END AS INT) "
         "WHEN k = 6 THEN CAST(fps AS INT) END AS sample_rate, "
         "CAST(CASE k WHEN 2 THEN fr "
-        "WHEN 3 THEN m.doc_id % 5000 + 1 WHEN 6 THEN vf "
+        "WHEN 3 THEN (CASE WHEN m.doc_id % 14 = 10 THEN vfa * 100 "
+        "ELSE m.doc_id % 5000 + 1 END) WHEN 6 THEN vf "
         "ELSE 1 END AS INT) AS n_frames, "
         "CASE WHEN k IN (0, 4) THEN CAST(w * h AS BIGINT) "
         "WHEN k IN (1, 5) THEN CAST(w * h * 3 AS BIGINT) "
+        "WHEN k = 3 AND m.doc_id % 14 = 10 "
+        "THEN CAST(vfa * wa * ha * 3 AS BIGINT) "
         "WHEN k = 6 THEN CAST(vf * w2 * h2 * 3 AS BIGINT) END AS n_px, "
         "CASE WHEN k = 0 THEN CAST(w * h * (w + h - 2) / 2 AS BIGINT) "
         "WHEN k = 1 THEN CAST(h * (3 * w) * (3 * w - 1) / 2 "
@@ -870,6 +888,10 @@ SPECS = [
         "ELSE CAST(3 * (h2 * w2 * (vf * (vf - 1) / 2) "
         "+ vf * h2 * (w2 * (w2 - 1) / 2) "
         "+ vf * w2 * (h2 * (h2 - 1) / 2)) AS BIGINT) END) "
+        "WHEN k = 3 AND m.doc_id % 14 = 10 "
+        "THEN CAST(3 * (vfa * ha * (wa * (wa - 1) / 2) "
+        "+ 2 * vfa * wa * (ha * (ha - 1) / 2) "
+        "+ 5 * ha * wa * (vfa * (vfa - 1) / 2)) AS BIGINT) "
         "WHEN k = 4 THEN jpegs.psum "
         "END AS px_sum, "
         "CASE WHEN k = 0 THEN CAST(w + h - 2 AS INT) "
@@ -877,6 +899,8 @@ SPECS = [
         "WHEN k = 5 THEN CAST(30 * LEAST(3, w - 1) AS INT) "
         "WHEN k = 6 THEN (CASE WHEN m.doc_id % 14 = 13 THEN mjp.pmax "
         "ELSE CAST(vf + w2 + h2 - 3 AS INT) END) "
+        "WHEN k = 3 AND m.doc_id % 14 = 10 "
+        "THEN CAST(wa - 1 + 2 * (ha - 1) + 5 * (vfa - 1) AS INT) "
         "WHEN k = 4 THEN jpegs.pmax END AS px_max, "
         "CASE WHEN k = 2 THEN CAST(ch * fr AS BIGINT) END AS n_samples, "
         "wavs.sq AS pcm_sq_sum, wavs.pk AS pcm_peak "
@@ -893,6 +917,9 @@ SPECS = [
         "IDCT], jpeg rows now carry hash-oracled pixel stats, and "
         "odd avi ids are Motion-JPEG — compressed video entropy-"
         "decoded frame by frame, oracled over the frame×MCU grid; "
+        "r7: doc_id%14==10 mp4 rows carry avc1 H.264 I_PCM tracks — "
+        "real NAL/Exp-Golomb/SPS/PPS/slice-header bitstream decode "
+        "with closed-form pixel sums; "
         "exact integer pixel/sample stats vs closed-form/UNNEST "
         "oracle)",
     ),

@@ -162,9 +162,16 @@ def test_decode_media_real_roundtrip(spark):
                 "wav", i % 2 + 1, 8000 + (i % 8) * 1000, i % 100 + 1,
             )
         elif i % 7 == 3:
-            assert (
-                r.format, r.width, r.height, r.sample_rate, r.n_frames
-            ) == ("mp4", i % 128 + 16, i % 96 + 16, 1000 * (i % 5 + 1), i % 5000 + 1)
+            if i % 14 == 10:  # r7: avc1 I_PCM track (operators/h264.py)
+                assert (
+                    r.format, r.width, r.height, r.sample_rate, r.n_frames
+                ) == ("mp4", 2 * (i % 17) + 16, 2 * (i % 9) + 16, 1000,
+                      (i % 3 + 2) * 100)
+            else:
+                assert (
+                    r.format, r.width, r.height, r.sample_rate, r.n_frames
+                ) == ("mp4", i % 128 + 16, i % 96 + 16, 1000 * (i % 5 + 1),
+                      i % 5000 + 1)
         elif i % 7 == 4:
             assert (r.format, r.width, r.height, r.n_channels, r.n_frames) == (
                 "jpeg", i % 64 + 1, i % 48 + 1, 1, 1,
@@ -336,8 +343,9 @@ def test_png_bmp_wav_content_decoders_pure():
 def test_decode_media_content_roundtrip(spark):
     """attach_real_media → decode_media_content recovers the exact
     planted pixel/sample statistics for every decodable row — since r6
-    that includes baseline JPEG (real entropy decode); MP4 rows carry
-    NULL stats (the honest codec boundary)."""
+    that includes baseline JPEG (real entropy decode); since r7 the
+    doc_id%14==10 MP4 rows decode too (avc1 I_PCM bitstream); the
+    metadata-only MP4 rows keep NULL stats (entropy codecs closed)."""
     from geoestate_etl_spark.operators.multimodal import (
         attach_real_media,
         decode_media_content,
@@ -411,7 +419,18 @@ def test_decode_media_content_roundtrip(spark):
                 want_max = max(want_max, v)
             assert (r.n_px, r.px_sum, r.px_max) == (w * h, want_sum, want_max)
             assert r.n_samples is None
-        else:  # mp4: container metadata only (no ffmpeg)
+        elif i % 14 == 10:  # mp4 avc1 I_PCM (r7): gray (x + 2y + 5f)
+            wa, ha, vfa = 2 * (i % 17) + 16, 2 * (i % 9) + 16, i % 3 + 2
+            sx, sy, sf = (
+                wa * (wa - 1) // 2, ha * (ha - 1) // 2, vfa * (vfa - 1) // 2,
+            )
+            assert (r.n_px, r.px_sum, r.px_max) == (
+                vfa * wa * ha * 3,
+                3 * (vfa * ha * sx + 2 * vfa * wa * sy + 5 * ha * wa * sf),
+                wa - 1 + 2 * (ha - 1) + 5 * (vfa - 1),
+            )
+            assert r.n_samples is None
+        else:  # mp4 metadata-only container (entropy codecs closed)
             assert r.n_px is None and r.n_samples is None
 
 
@@ -498,9 +517,26 @@ def test_sample_video_frames_real(spark):
     for r in sample_video_frames(media, every_nth=2).collect():
         got.setdefault(r.media_id, {})[r.frame_idx] = r
     # every AVI row (id % 7 == 6) is decodable video since r6 —
-    # DIB for even ids, Motion-JPEG for odd (id % 14 == 13)
-    assert set(got) == {i for i in range(21) if i % 7 == 6}
+    # DIB for even ids, Motion-JPEG for odd (id % 14 == 13); since r7
+    # the id % 14 == 10 MP4 rows (avc1 I_PCM) sample frames too
+    assert set(got) == {
+        i for i in range(21) if i % 7 == 6 or i % 14 == 10
+    }
     for i in sorted(got):
+        if i % 14 == 10:  # mp4 avc1 I_PCM (r7): gray (x + 2y + 5f)
+            wa, ha, vfa = 2 * (i % 17) + 16, 2 * (i % 9) + 16, i % 3 + 2
+            assert set(got[i]) == set(range(0, vfa, 2))
+            for fi, r in got[i].items():
+                assert (r.width, r.height) == (wa, ha)
+                sx, sy = wa * (wa - 1) // 2, ha * (ha - 1) // 2
+                assert r.px_sum == 3 * (
+                    ha * sx + 2 * wa * sy + 5 * fi * wa * ha
+                )
+                assert r.px_max == (wa - 1) + 2 * (ha - 1) + 5 * fi
+                px = png_pixels(bytes(r.content))
+                assert px is not None and px.shape == (ha, wa, 1)
+                assert int(px[0, 0, 0]) == 5 * fi  # corner pixel
+            continue
         w2, h2, vf = i % 16 + 4, i % 12 + 4, i % 8 + 2
         assert set(got[i]) == set(range(0, vf, 2))
         mk = make_avi_mjpeg if i % 14 == 13 else make_avi
@@ -1515,10 +1551,12 @@ def test_forged_dimension_guards():
 
 def test_avc1_honest_none_contract():
     """Permanent pin for the r7 boundary decision (VERDICT r6 #6):
-    entropy-coded H.264/H.265 sample bodies (avc1/hvc1/hev1 in MP4,
-    H264 fourcc in AVI) return None from frame decode — never garbage
-    pixels, never an exception — while container METADATA and the
-    sample-table walk still parse. The cost/benefit rationale lives in
+    ENTROPY-CODED H.264/H.265 sample bodies (avc1 without valid I_PCM
+    NALs, hvc1/hev1 in MP4, H264 fourcc in AVI) return None from frame
+    decode — never garbage pixels, never an exception — while
+    container METADATA and the sample-table walk still parse. (avc1
+    I_PCM raw-sample streams DO decode for real — operators/h264.py,
+    tests/test_h264.py.) The cost/benefit rationale lives in
     ``pixel_decode_unavailable``'s docstring; a production deployment
     swaps a codec library into the same mapInPandas batch fn."""
     import struct
