@@ -34,7 +34,6 @@ from geoestate_etl_spark.functions.validation import houses_valid_predicate
 from geoestate_etl_spark.operators.aggregates import (
     global_mean,
     global_median,
-    group_count,
     group_min_max,
     histogram_by_bucket,
 )
