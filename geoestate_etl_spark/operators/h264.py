@@ -189,20 +189,33 @@ def _parse_sps(rbsp: bytes) -> dict | None:
     if chroma_format != 1:
         return None  # only 4:2:0
     log2_max_frame_num = r.ue() + 4
+    if log2_max_frame_num > 16:  # spec bound (§7.4.2.1.1): forged SPS
+        return None
     poc_type = r.ue()
     log2_max_poc_lsb = 0
     if poc_type == 0:
         log2_max_poc_lsb = r.ue() + 4
+        if log2_max_poc_lsb > 16:
+            return None
     elif poc_type == 1:
         r.u(1)  # delta_pic_order_always_zero
         r.se()
         r.se()
-        for _ in range(r.ue()):
+        n_ref = r.ue()
+        if n_ref > 255:  # spec bound on num_ref_frames_in_pic_order_cnt_cycle
+            return None
+        for _ in range(n_ref):
             r.se()
     r.ue()  # max_num_ref_frames
     r.u(1)  # gaps_in_frame_num_value_allowed
     w_mbs = r.ue() + 1
     h_map_units = r.ue() + 1
+    # forged-dimension guard (the ADVICE-r6 class): the slice decoder
+    # allocates the full frame BEFORE reading samples, so a ~100-byte
+    # SPS claiming 2^16 x 2^16 macroblocks must be rejected here —
+    # 100 MP matches the media tier's _MAX_DECODE_PIXELS budget
+    if w_mbs * h_map_units * 256 > 100_000_000:
+        return None
     frame_mbs_only = r.u(1)
     if not frame_mbs_only:
         return None  # interlace out of scope
@@ -210,6 +223,11 @@ def _parse_sps(rbsp: bytes) -> dict | None:
     crop = (0, 0, 0, 0)
     if r.u(1):  # frame_cropping_flag — offsets in 2-sample units (4:2:0)
         crop = (r.ue(), r.ue(), r.ue(), r.ue())  # left right top bottom
+        if (
+            2 * (crop[0] + crop[1]) >= 16 * w_mbs
+            or 2 * (crop[2] + crop[3]) >= 16 * h_map_units
+        ):
+            return None  # crop exceeds the coded frame: malformed
     return {
         "sps_id": sps_id,
         "w_mbs": w_mbs,

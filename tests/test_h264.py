@@ -183,6 +183,54 @@ def test_h264_roundtrip_property():
     check()
 
 
+def test_forged_sps_dimension_guard():
+    """The ADVICE-r6 class applied to H.264: the slice decoder
+    allocates the full frame from SPS geometry BEFORE reading any
+    sample byte, so a tiny stream claiming 65535x65535 macroblocks
+    (or absurd log2 fields / crops) must return None fast, without
+    the allocation."""
+    import time
+
+    sc = b"\x00\x00\x00\x01"
+
+    def sps_stream(w_mbs, h_mbs, log2fn_m4=0, crop=None):
+        w = _BitWriter()
+        w.u(66, 8)
+        w.u(0, 8)
+        w.u(30, 8)
+        w.ue(0)
+        w.ue(log2fn_m4)
+        w.ue(2)
+        w.ue(0)
+        w.u(0, 1)
+        w.ue(w_mbs - 1)
+        w.ue(h_mbs - 1)
+        w.u(1, 1)
+        w.u(1, 1)
+        if crop:
+            w.u(1, 1)
+            for c in crop:
+                w.ue(c)
+        else:
+            w.u(0, 1)
+        w.u(0, 1)
+        w.trailing()
+        good = make_h264_annexb(32, 32, 1)
+        idr = good[good.rindex(sc) :]
+        return (
+            sc + _nal(3, 7, w.to_rbsp()) + sc + _nal(3, 8, _pps_rbsp()) + idr
+        )
+
+    t0 = time.perf_counter()
+    # 65535x65535 MBs ≈ 1.1 PB of claimed luma
+    assert h264_frames(sps_stream(65535, 65535)) is None
+    # forged log2_max_frame_num (would spin the bit reader)
+    assert h264_frames(sps_stream(2, 2, log2fn_m4=2_000_000_000)) is None
+    # crop larger than the coded frame (negative output geometry)
+    assert h264_frames(sps_stream(2, 2, crop=(500, 500, 0, 0))) is None
+    assert time.perf_counter() - t0 < 2
+
+
 def test_fuzz_truncation_and_bitflips():
     """Honest-None contract under damage: any truncation or bit flip
     yields None or a valid ndarray — never an exception (the
