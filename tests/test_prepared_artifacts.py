@@ -148,6 +148,9 @@ def test_build_race_loses_gracefully(spark, tmp_path, monkeypatch):
     # loser's temp directory was cleaned up
     leftovers = [d for d in os.listdir(os.path.dirname(path)) if ".tmp-" in d]
     assert leftovers == []
+    # tmp_path sources get a fresh srcid per session: clean up so the
+    # store doesn't accumulate one orphan key per pytest run
+    invalidate_artifacts("race")
 
 
 def test_failed_build_cleans_temp(spark, tmp_path):
