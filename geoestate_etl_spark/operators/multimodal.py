@@ -1501,9 +1501,14 @@ def decode_media_content(df: DataFrame) -> DataFrame:
                 }
             )
 
-    parallelism = min(df.sparkSession.sparkContext.defaultParallelism, 8)
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    # .rdd is a batch-only API (raises on streaming frames); a
+    # streaming micro-batch inherits the file source's packing, which
+    # is already the parallelism the trigger admitted (r7 —
+    # streaming/media_ingest.py runs this kernel inside readStream)
+    if not df.isStreaming:
+        parallelism = min(df.sparkSession.sparkContext.defaultParallelism, 8)
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
     return df.mapInPandas(_decode, MEDIA_CONTENT_SCHEMA)
 
 
