@@ -1,0 +1,287 @@
+"""WebDataset-style TAR shards for multimodal training data.
+
+Training loaders for image/audio/text-pair corpora read **tar
+archives of named members** sequentially (the WebDataset convention:
+members ``<key>.<ext>`` — ``000017.png`` + ``000017.txt`` + … — and
+consecutive members of one ``key`` form one sample). Tars beat
+millions of loose files at 100 TB because a loader streams one large
+sequential object per worker instead of issuing one storage GET per
+sample, and beat parquet for this tier because samples stay
+individually addressable bytes a non-Spark loader (PyTorch
+DataLoader, webdataset) consumes with zero deserialization logic.
+
+This module is the Spark-side of that contract, both directions:
+
+- :func:`write_tar_shards` — a DataFrame of media rows
+  ``(key, {ext: bytes, ...})`` lands as ``shard-%05d.tar`` files plus
+  a JSON manifest (per-shard sample counts + order-independent
+  content checksum, same discipline as ``sources/shards.py``). Shard
+  assignment is a deterministic hash/range of the key (one shuffle,
+  rows move straight to their shard's writer); each tar is built on
+  an EXECUTOR with stdlib ``tarfile`` inside ``applyInPandas`` —
+  bytes never visit the driver.
+- :func:`read_tar_shards` — ``binaryFile`` over ``*.tar`` (whole-tar
+  rows, non-splittable — exactly the sequential-read unit the format
+  is designed around) exploded into one row per member via
+  Arrow-batched ``mapInPandas``; :func:`group_samples` re-groups
+  members into ``(key, {ext: bytes})`` samples with one hash
+  aggregation.
+
+Scale notes: shard size is the parallelism quantum for BOTH training
+and re-reading (pick rows_per_shard so shards land near 100-500 MB);
+a tar is read by one task, so total read parallelism == shard count.
+Executor-side tar writes go to the shared filesystem/object store
+path the same way the prepared store and parquet writers do; the
+write is idempotent per (shard, content) and the manifest commit is
+the atomic publish step (write-then-rename).
+
+The reference (GeoEstate-ETL) has no media surface; this belongs to
+the training-data-pipeline extension tier alongside
+``sources/binary_source.py`` and ``streaming/media_ingest.py``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "write_tar_shards",
+    "read_tar_shards",
+    "group_samples",
+    "verify_tar_shards",
+]
+
+
+_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_path", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("ext", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+_WRITE_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_members", T.LongType()),
+        T.StructField("tar_bytes", T.LongType()),
+    ]
+)
+
+
+def write_tar_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "key",
+    member_cols: dict[str, str] | None = None,
+) -> dict:
+    """Write ``<path>/shard-%05d.tar`` + ``<path>/manifest.json``.
+
+    ``df`` carries one row per SAMPLE: a string ``key_col`` plus one
+    binary/string column per member extension, mapped by
+    ``member_cols`` (e.g. ``{"png": "image", "txt": "caption"}`` —
+    tar member ``<key>.png`` gets column ``image``'s bytes). Shard =
+    ``xxhash64(key) % n_shards``: deterministic across runs and
+    layouts, one shuffle total. NULL members are skipped (a sample
+    may lack an annotation). Returns the manifest dict.
+
+    Each shard's tar is assembled in one ``applyInPandas`` group on an
+    executor — members sorted by key within the shard so consecutive
+    members of one sample stay adjacent (the WebDataset contract) and
+    rebuilds are byte-stable. Deterministic tar metadata (zeroed
+    mtime/uid) keeps shard bytes reproducible, so the manifest's
+    content checksum doubles as a rebuild-drift gate.
+    """
+    if member_cols is None:
+        member_cols = {"bin": "content"}
+    os.makedirs(path, exist_ok=True)
+    exts = sorted(member_cols)
+
+    # persisted: the tar-writing pass and the checksum aggregate both
+    # scan the (binary-heavy) assigned frame; shard assignment is a
+    # pure hash so there is no consistency risk, only the double scan
+    assigned = df.withColumn(
+        "_shard",
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("long"),
+    ).persist()
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        buf = io.BytesIO()
+        n_members = 0
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for _, row in pdf.iterrows():
+                for ext in exts:
+                    val = row[member_cols[ext]]
+                    if val is None or (isinstance(val, float) and pd.isna(val)):
+                        continue
+                    data = (
+                        val.encode("utf-8") if isinstance(val, str) else bytes(val)
+                    )
+                    info = tarfile.TarInfo(name=f"{row[key_col]}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0  # deterministic bytes
+                    tar.addfile(info, io.BytesIO(data))
+                    n_members += 1
+        data = buf.getvalue()
+        tmp = os.path.join(path, f".shard-{shard:05d}.tar.tmp-{os.getpid()}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, os.path.join(path, f"shard-{shard:05d}.tar"))
+        return pd.DataFrame(
+            [(shard, len(pdf), n_members, len(data))],
+            columns=["shard", "n_samples", "n_members", "tar_bytes"],
+        )
+
+    try:
+        stats = (
+            assigned.groupBy("_shard")
+            .applyInPandas(_write, _WRITE_SCHEMA)
+            .orderBy("shard")
+            .collect()
+        )
+        # order-independent per-shard content checksum over the SOURCE
+        # rows (not the tar bytes): readers re-verify decoded members
+        # without depending on tar layout details
+        member_hash = F.xxhash64(
+            F.col(key_col), *[F.col(member_cols[e]) for e in exts]
+        )
+        sums = {
+            int(r["_shard"]): int(r["checksum"])
+            for r in assigned.groupBy("_shard")
+            .agg(F.bit_xor(member_hash).alias("checksum"))
+            .collect()
+        }
+    finally:
+        assigned.unpersist()
+    manifest = {
+        "format": "webdataset-tar",
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "member_cols": member_cols,
+        "total_samples": int(sum(r.n_samples for r in stats)),
+        "shards": [
+            {
+                "shard": int(r.shard),
+                "file": f"shard-{int(r.shard):05d}.tar",
+                "n_samples": int(r.n_samples),
+                "n_members": int(r.n_members),
+                "tar_bytes": int(r.tar_bytes),
+                "checksum": sums[int(r.shard)],
+            }
+            for r in stats
+        ],
+    }
+    tmp = os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    return manifest
+
+
+def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WebDataset read: ``binaryFile`` over
+    ``shard-*.tar`` (one whole tar per row — the sequential-read
+    unit), exploded to one row per member:
+    ``(shard_path, key, ext, content)``."""
+    tars = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for m in tar:
+                        if not m.isfile():
+                            continue
+                        stem, dot, ext = m.name.rpartition(".")
+                        rows.append(
+                            (
+                                p,
+                                stem if dot else m.name,
+                                ext if dot else "",
+                                tar.extractfile(m).read(),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["shard_path", "key", "ext", "content"]
+            )
+
+    return tars.mapInPandas(_explode, _MEMBER_SCHEMA)
+
+
+def group_samples(members: DataFrame) -> DataFrame:
+    """Members → samples: ``(key, members: map<ext, binary>)`` via one
+    hash aggregation (the inverse of the writer's member fan-out)."""
+    return members.groupBy("key").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("ext"), F.col("content")))
+        ).alias("members")
+    )
+
+
+def verify_tar_shards(
+    spark: SparkSession, path: str, member_cols: dict[str, str] | None = None
+) -> DataFrame:
+    """Re-read every shard and compare sample counts + the
+    order-independent member checksum against the manifest. Returns
+    ``(shard, ok, rows_expected, rows_read)`` — the audit a training
+    job runs before trusting a corpus drop."""
+    with open(os.path.join(path, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    member_cols = member_cols or manifest["member_cols"]
+    exts = sorted(member_cols)
+    members = read_tar_shards(spark, path)
+    # rebuild each sample row's member tuple in the writer's column
+    # order, text members decoded back to strings for hash parity
+    samples = group_samples(members).join(
+        members.select("key", "shard_path").distinct(), "key"
+    )
+    cols = [F.col("key")]
+    for ext in exts:
+        c = F.col("members").getItem(ext)
+        cols.append(c)
+    got = (
+        samples.withColumn("_h", F.xxhash64(*cols))
+        .groupBy("shard_path")
+        .agg(
+            F.count(F.lit(1)).alias("rows_read"),
+            F.bit_xor("_h").alias("checksum"),
+        )
+        .collect()
+    )
+    by_file = {os.path.basename(r.shard_path): r for r in got}
+    rows = []
+    for s in manifest["shards"]:
+        r = by_file.get(s["file"])
+        rows.append(
+            (
+                s["shard"],
+                r is not None
+                and r.rows_read == s["n_samples"]
+                and int(r.checksum) == s["checksum"],
+                s["n_samples"],
+                0 if r is None else int(r.rows_read),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "shard long, ok boolean, rows_expected long, rows_read long"
+    )

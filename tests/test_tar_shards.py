@@ -1,0 +1,111 @@
+"""WebDataset-style tar shards (r7): executor-built tar archives of
+(image, caption) samples with a checksummed manifest, distributed
+re-read via binaryFile + member explode, sample regrouping, and the
+manifest audit. Roundtrip is byte-exact and shard bytes are
+deterministic across rebuilds."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tarfile
+
+from geoestate_etl_spark.operators.multimodal import make_png
+from geoestate_etl_spark.sources.tar_shards import (
+    group_samples,
+    read_tar_shards,
+    verify_tar_shards,
+    write_tar_shards,
+)
+
+MEMBERS = {"png": "image", "txt": "caption"}
+
+
+def _rows(n):
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                f"{i:06d}",
+                bytearray(make_png(4 + i % 5, 3 + i % 4)),
+                None if i % 7 == 3 else f"caption for sample {i}",
+            )
+        )
+    return rows
+
+
+def _df(spark, n):
+    return spark.createDataFrame(
+        _rows(n), "key string, image binary, caption string"
+    )
+
+
+def test_write_read_roundtrip_and_manifest(spark, tmp_path):
+    out = str(tmp_path / "wds")
+    manifest = write_tar_shards(_df(spark, 40), out, 3, member_cols=MEMBERS)
+
+    assert manifest["total_samples"] == 40
+    assert sorted(os.listdir(out)) == [
+        "manifest.json", "shard-00000.tar", "shard-00001.tar", "shard-00002.tar",
+    ]
+    disk = json.load(open(os.path.join(out, "manifest.json")))
+    assert disk == manifest
+    assert sum(s["n_samples"] for s in manifest["shards"]) == 40
+    # every sample has a png member; 34 have captions (i%7==3 skipped)
+    assert sum(s["n_members"] for s in manifest["shards"]) == 40 + 34
+
+    # the tars are REAL webdataset shards a non-Spark loader can open:
+    # members of one key adjacent, sorted by key within the shard
+    with tarfile.open(os.path.join(out, "shard-00000.tar")) as tar:
+        names = [m.name for m in tar]
+    stems = [n.rsplit(".", 1)[0] for n in names]
+    assert stems == sorted(stems, key=lambda s: (s, ))  # non-decreasing
+    for a, b in zip(names, names[1:]):
+        if a.rsplit(".", 1)[0] == b.rsplit(".", 1)[0]:
+            continue  # same sample: adjacent ✓
+
+    # distributed re-read → regroup → byte-exact against the source
+    members = read_tar_shards(spark, out)
+    samples = {
+        r.key: dict(r.members) for r in group_samples(members).collect()
+    }
+    assert len(samples) == 40
+    for key, image, caption in _rows(40):
+        got = samples[key]
+        assert bytes(got["png"]) == bytes(image)
+        if caption is None:
+            assert "txt" not in got
+        else:
+            assert bytes(got["txt"]).decode() == caption
+
+    # manifest audit passes for every shard
+    ok = verify_tar_shards(spark, out)
+    assert [(r.shard, r.ok) for r in ok.orderBy("shard").collect()] == [
+        (0, True), (1, True), (2, True),
+    ]
+
+
+def test_shard_bytes_deterministic_and_audit_catches_tamper(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_tar_shards(_df(spark, 25), a, 2, member_cols=MEMBERS)
+    write_tar_shards(_df(spark, 25), b, 2, member_cols=MEMBERS)
+
+    def digests(d):
+        return {
+            f: hashlib.sha256(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".tar")
+        }
+
+    assert digests(a) == digests(b)  # rebuild-stable bytes
+
+    # tamper one member inside one shard: the audit must flag exactly it
+    target = os.path.join(a, "shard-00001.tar")
+    blob = bytearray(open(target, "rb").read())
+    # flip a byte inside the first png member's payload (tar header is
+    # 512 bytes; payload follows)
+    blob[512 + 40] ^= 0xFF
+    open(target, "wb").write(bytes(blob))
+    ok = {r.shard: r.ok for r in verify_tar_shards(spark, a).collect()}
+    assert ok[0] is True and ok[1] is False
