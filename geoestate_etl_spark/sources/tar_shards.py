@@ -56,6 +56,7 @@ from pyspark.sql import types as T
 __all__ = [
     "write_tar_shards",
     "read_tar_shards",
+    "stream_tar_shards",
     "group_samples",
     "verify_tar_shards",
 ]
@@ -203,7 +204,30 @@ def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("path", "content")
     )
+    return _explode_members(tars)
 
+
+def stream_tar_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_tar_shards`: tail a shard
+    landing directory with ``readStream`` — each NEW tar that a
+    producer publishes becomes one micro-batch unit and explodes into
+    member rows (the member explode is a stateless row transform, so
+    it runs inside the stream). Compose with a file-sink writeStream
+    for an exactly-once shard-to-table loader, or with
+    ``streaming/media_ingest``-style decode stages."""
+    from geoestate_etl_spark.streaming.media_ingest import BINARY_FILE_SCHEMA
+
+    tars = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    return _explode_members(tars)
+
+
+def _explode_members(tars: DataFrame) -> DataFrame:
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

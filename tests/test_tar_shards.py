@@ -86,6 +86,58 @@ def test_write_read_roundtrip_and_manifest(spark, tmp_path):
     ]
 
 
+def test_stream_tar_shards_incremental(spark, tmp_path):
+    """Streaming WebDataset consumption: a producer publishes shards
+    into a landing dir; each AvailableNow pass explodes ONLY the tars
+    that arrived since the checkpoint — the exactly-once shard loader
+    shape."""
+    from geoestate_etl_spark.sources.tar_shards import stream_tar_shards
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "members")
+    cp = str(tmp_path / "cp")
+    os.makedirs(land)
+
+    # producer drop 1: shards 0..1 of a 12-sample corpus
+    write_tar_shards(_df(spark, 12), land, 2, member_cols=MEMBERS)
+    q = (
+        stream_tar_shards(spark, land)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    assert first.select("key").distinct().count() == 12
+
+    # producer drop 2: a NEW shard file (different corpus slice under
+    # new names so it lands as shard-00002)
+    extra = spark.createDataFrame(
+        [("zz0001", bytearray(make_png(6, 6)), "late sample")],
+        "key string, image binary, caption string",
+    )
+    write_tar_shards(extra, land + "/late", 1, member_cols=MEMBERS)
+    os.replace(
+        os.path.join(land, "late", "shard-00000.tar"),
+        os.path.join(land, "shard-00002.tar"),
+    )
+    q2 = (
+        stream_tar_shards(spark, land)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+    after = spark.read.parquet(out)
+    assert after.count() == n_first + 2  # png + txt of the late sample only
+    assert after.filter("key = 'zz0001'").count() == 2
+
+
 def test_shard_bytes_deterministic_and_audit_catches_tamper(spark, tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     write_tar_shards(_df(spark, 25), a, 2, member_cols=MEMBERS)
