@@ -56,6 +56,7 @@ from pyspark.sql import types as T
 __all__ = [
     "write_tar_shards",
     "read_tar_shards",
+    "read_tar_samples",
     "stream_tar_shards",
     "group_samples",
     "verify_tar_shards",
@@ -254,12 +255,71 @@ def _explode_members(tars: DataFrame) -> DataFrame:
 
 def group_samples(members: DataFrame) -> DataFrame:
     """Members → samples: ``(key, members: map<ext, binary>)`` via one
-    hash aggregation (the inverse of the writer's member fan-out)."""
+    hash aggregation (the inverse of the writer's member fan-out).
+
+    Scale note: this SHUFFLES every member's bytes by key. When the
+    members came from :func:`read_tar_shards` that shuffle is pure
+    waste — one key's members are adjacent inside one tar by the
+    WebDataset contract — so prefer :func:`read_tar_samples`, which
+    assembles samples during the sequential tar walk with ZERO
+    shuffle. This aggregation remains the right tool for member
+    frames from other origins (filtered/unioned member tables)."""
     return members.groupBy("key").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("ext"), F.col("content")))
         ).alias("members")
     )
+
+
+_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_path", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField(
+            "members", T.MapType(T.StringType(), T.BinaryType())
+        ),
+    ]
+)
+
+
+def read_tar_samples(spark: SparkSession, path: str) -> DataFrame:
+    """Shuffle-free sample read: ``(shard_path, key, members:
+    map<ext, binary>)`` assembled DURING the sequential tar walk —
+    consecutive members of one key form one sample (the WebDataset
+    contract the writer enforces by sorting), so no exchange ever
+    moves the media bytes. At 100 TB this is the difference between
+    a scan and a full-corpus shuffle; the plan is asserted
+    Exchange-free in ``tests/test_tar_shards.py``."""
+    tars = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _samples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                cur_key, cur = None, {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for m in tar:
+                        if not m.isfile():
+                            continue
+                        stem, dot, ext = m.name.rpartition(".")
+                        key = stem if dot else m.name
+                        if key != cur_key and cur_key is not None:
+                            rows.append((p, cur_key, cur))
+                            cur = {}
+                        cur_key = key
+                        cur[ext if dot else ""] = tar.extractfile(m).read()
+                if cur_key is not None:
+                    rows.append((p, cur_key, cur))
+            yield pd.DataFrame(
+                rows, columns=["shard_path", "key", "members"]
+            )
+
+    return tars.mapInPandas(_samples, _SAMPLE_SCHEMA)
 
 
 def verify_tar_shards(

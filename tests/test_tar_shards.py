@@ -85,6 +85,16 @@ def test_write_read_roundtrip_and_manifest(spark, tmp_path):
         (0, True), (1, True), (2, True),
     ]
 
+    # shuffle-free sample read: identical samples, ZERO exchanges —
+    # the media bytes never move (keys are tar-adjacent by contract)
+    from geoestate_etl_spark.sources.tar_shards import read_tar_samples
+
+    direct = read_tar_samples(spark, out)
+    plan = direct._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r.key: dict(r.members) for r in direct.collect()}
+    assert got == samples
+
 
 def test_stream_tar_shards_incremental(spark, tmp_path):
     """Streaming WebDataset consumption: a producer publishes shards
