@@ -283,7 +283,7 @@ def _decode_idr_slice(rbsp: bytes, sps: dict, pps: dict):
     slice_type = r.ue()
     if slice_type % 5 != 2:  # I slice only
         return None
-    r.ue()  # pic_parameter_set_id (single-PPS streams)
+    r.ue()  # pic_parameter_set_id (already paired via _slice_pps_id)
     r.u(sps["log2_max_frame_num"])  # frame_num
     r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
@@ -356,6 +356,21 @@ def _annexb_nals(b: bytes):
         yield b[s:end]
 
 
+def _slice_pps_id(rbsp: bytes) -> int | None:
+    """Peek the slice header's ``pic_parameter_set_id`` (third ue(v)
+    field, after first_mb_in_slice and slice_type) so a multi-PPS
+    stream pairs each slice with ITS PPS — a valid avcC may carry
+    several, and pairing with an arbitrary one silently misreads the
+    cabac/deblock flags (ADVICE r7)."""
+    try:
+        r = _Bits(rbsp)
+        r.ue()
+        r.ue()
+        return r.ue()
+    except (ValueError, IndexError):
+        return None
+
+
 def _decode_nal_stream(nals, sps_map: dict, pps_map: dict) -> list | None:
     frames = []
     for nal in nals:
@@ -374,9 +389,10 @@ def _decode_nal_stream(nals, sps_map: dict, pps_map: dict) -> list | None:
                 return None
             pps_map[pps["pps_id"]] = pps
         elif nal_type == 5:  # IDR slice
-            if not sps_map or not pps_map:
+            pps_id = _slice_pps_id(body)
+            pps = None if pps_id is None else pps_map.get(pps_id)
+            if pps is None:
                 return None
-            pps = next(iter(pps_map.values()))
             sps = sps_map.get(pps["sps_id"])
             if sps is None:
                 return None
@@ -501,11 +517,11 @@ def _sps_rbsp(w_mbs: int, h_mbs: int, crop: tuple[int, int, int, int]) -> bytes:
     return w.to_rbsp()
 
 
-def _pps_rbsp() -> bytes:
+def _pps_rbsp(pps_id: int = 0, cabac: bool = False) -> bytes:
     w = _BitWriter()
-    w.ue(0)  # pps_id
+    w.ue(pps_id)
     w.ue(0)  # sps_id
-    w.u(0, 1)  # entropy_coding_mode: CAVLC
+    w.u(1 if cabac else 0, 1)  # entropy_coding_mode: CAVLC/CABAC
     w.u(0, 1)  # bottom_field_poc
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0
@@ -537,13 +553,15 @@ def ipcm_frame_planes(width: int, height: int, f: int, flat: int | None = None):
     return y, cb, cb.copy()
 
 
-def _idr_rbsp(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, f: int) -> bytes:
+def _idr_rbsp(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, f: int, pps_id: int = 0
+) -> bytes:
     h_pad, w_pad = y.shape
     w_mbs, h_mbs = w_pad // 16, h_pad // 16
     w = _BitWriter()
     w.ue(0)  # first_mb_in_slice
     w.ue(7)  # slice_type: I (all slices of the picture)
-    w.ue(0)  # pps_id
+    w.ue(pps_id)
     w.u(0, 4)  # frame_num (log2_max_frame_num = 4)
     w.ue(f & 1)  # idr_pic_id: alternates between consecutive IDRs
     w.u(0, 1)  # no_output_of_prior_pics

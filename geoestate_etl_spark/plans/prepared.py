@@ -81,12 +81,30 @@ def prepared_path(sf_dir: str, name: str, sources: list[str], version: int) -> s
     return os.path.join(_warehouse_root(), name, f"{srcid}-{statskey}")
 
 
+#: GC grace period (seconds): a superseded sibling key younger than
+#: this is left alone. Two reasons (ADVICE r7): (a) a builder that
+#: statted the source BEFORE a regeneration can finish after the
+#: regenerated build and would otherwise GC the newer key — rebuild
+#: churn; (b) a concurrent session's lazily-evaluated DataFrame may
+#: still pin the superseded key's files, and deleting them fails that
+#: session at action time. The window covers both: in-flight reads of
+#: a just-superseded key survive, and a racing stale-stat build's
+#: output survives long enough for the next build to reap it. The
+#: store stays bounded — a superseded key older than the grace is
+#: reaped by ANY later successful build of the same (name, srcid).
+GC_GRACE_SECONDS = 300.0
+
+
 def _gc_superseded(path: str, name: str) -> None:
     """Delete superseded sibling keys of a just-built artifact: same
     ``srcid`` (source identity), different stats/version — plus any
     legacy pre-r7 key (no ``srcid-`` prefix), which the new keying can
-    never serve again. In-flight ``.tmp-`` build dirs are left alone.
+    never serve again. In-flight ``.tmp-`` build dirs and siblings
+    younger than :data:`GC_GRACE_SECONDS` are left alone (see the
+    constant's note on concurrent readers and stale-stat racers).
     Bounds the store at one live key per (name, source identity)."""
+    import time
+
     parent = os.path.dirname(path)
     key = os.path.basename(path)
     srcid = key.split("-", 1)[0]
@@ -95,11 +113,18 @@ def _gc_superseded(path: str, name: str) -> None:
         siblings = os.listdir(parent)
     except OSError:
         return
+    now = time.time()
     for d in siblings:
         if d == key or ".tmp-" in d:
             continue
         if d.startswith(f"{srcid}-") or "-" not in d:
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+            full = os.path.join(parent, d)
+            try:
+                if now - os.stat(full).st_mtime < GC_GRACE_SECONDS:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
             removed = True
     if removed:
         # a cached plan may pin the deleted files (ARTIFACT_QUERIES)

@@ -111,6 +111,15 @@ def write_tar_shards(
     os.makedirs(path, exist_ok=True)
     exts = sorted(member_cols)
 
+    # ADVICE r7: a sample whose member columns are ALL NULL would be
+    # counted in n_samples + the checksum yet emit zero tar members —
+    # readers could never reproduce the manifest and verify would
+    # report the shard tampered forever. Drop them before assignment.
+    any_present = F.lit(False)
+    for e in exts:
+        any_present = any_present | F.col(member_cols[e]).isNotNull()
+    df = df.where(any_present)
+
     # persisted: the tar-writing pass and the checksum aggregate both
     # scan the (binary-heavy) assigned frame; shard assignment is a
     # pure hash so there is no consistency risk, only the double scan
@@ -191,6 +200,22 @@ def write_tar_shards(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
     os.replace(tmp, os.path.join(path, "manifest.json"))
+    # ADVICE r7: rewriting a corpus to the same path with fewer shards
+    # (or a shard drawing zero rows this run) must not leave stale
+    # shard-*.tar files the glob readers would silently mix with the
+    # new corpus. Sweep AFTER the manifest publish so the live
+    # manifest never references a deleted file.
+    produced = {s["file"] for s in manifest["shards"]}
+    for fname in os.listdir(path):
+        if (
+            fname.startswith("shard-")
+            and fname.endswith(".tar")
+            and fname not in produced
+        ):
+            try:
+                os.remove(os.path.join(path, fname))
+            except OSError:
+                pass
     return manifest
 
 
@@ -335,7 +360,10 @@ def verify_tar_shards(
     exts = sorted(member_cols)
     members = read_tar_shards(spark, path)
     # rebuild each sample row's member tuple in the writer's column
-    # order, text members decoded back to strings for hash parity
+    # order; hash parity with the writer's source-row checksum holds
+    # because xxhash64 hashes a string's UTF-8 bytes and a binary's
+    # raw bytes identically, so a text member read back as binary
+    # still matches the string column it was written from
     samples = group_samples(members).join(
         members.select("key", "shard_path").distinct(), "key"
     )
@@ -366,6 +394,12 @@ def verify_tar_shards(
                 0 if r is None else int(r.rows_read),
             )
         )
+    # ADVICE r7: an on-disk shard-*.tar the manifest does NOT list
+    # (stale from an earlier write, or planted) is itself an audit
+    # failure — the glob readers would serve it. shard=-1, ok=false.
+    expected = {s["file"] for s in manifest["shards"]}
+    for fname in sorted(set(by_file) - expected):
+        rows.append((-1, False, 0, int(by_file[fname].rows_read)))
     return spark.createDataFrame(
         rows, "shard long, ok boolean, rows_expected long, rows_read long"
     )

@@ -66,6 +66,41 @@ def test_annexb_ipcm_roundtrip_exact():
         assert (fr[f] == y[:, :, None]).all()
 
 
+def test_multi_pps_slice_pairs_with_its_pps():
+    """ADVICE r7: a valid stream/avcC can carry several PPS; the slice
+    header's pic_parameter_set_id must select which one applies —
+    pairing with an arbitrary PPS silently misreads the cabac/deblock
+    flags (here the decoy PPS 0 is CABAC, so the old arbitrary pairing
+    returned None for a perfectly decodable CAVLC I_PCM slice)."""
+    from geoestate_etl_spark.operators.h264 import _idr_rbsp, _pad_planes
+
+    y, cb, cr = ipcm_frame_planes(32, 32, 0)
+    yp, cbp, crp, crop, w_mbs, h_mbs = _pad_planes(32, 32, y, cb, cr)
+    sc = b"\x00\x00\x00\x01"
+    stream = b"".join(
+        [
+            sc, _nal(3, 7, _sps_rbsp(w_mbs, h_mbs, crop)),
+            sc, _nal(3, 8, _pps_rbsp(pps_id=0, cabac=True)),  # decoy
+            sc, _nal(3, 8, _pps_rbsp(pps_id=1, cabac=False)),
+            sc, _nal(3, 5, _idr_rbsp(yp, cbp, crp, 0, pps_id=1)),
+        ]
+    )
+    fr = h264_frames(stream)
+    assert fr is not None and fr.shape == (1, 32, 32, 3)
+    assert (fr[0] == y[:, :, None]).all()
+
+    # a slice referencing an ABSENT pps_id is honest-None, not a
+    # fallback to whatever PPS happens to exist
+    bad = b"".join(
+        [
+            sc, _nal(3, 7, _sps_rbsp(w_mbs, h_mbs, crop)),
+            sc, _nal(3, 8, _pps_rbsp(pps_id=0)),
+            sc, _nal(3, 5, _idr_rbsp(yp, cbp, crp, 0, pps_id=2)),
+        ]
+    )
+    assert h264_frames(bad) is None
+
+
 def test_frame_cropping_non_mb_dims():
     """50×34 needs edge padding to 64×48 MBs + SPS frame cropping —
     the decoder must recover the exact original geometry."""

@@ -216,18 +216,41 @@ def test_gc_superseded_keys(spark, tmp_path):
     os.makedirs(os.path.join(parent, "deadbeef-cafe.tmp-999-abc"), exist_ok=True)
     os.makedirs(os.path.join(parent, "0123456789abcdef"), exist_ok=True)
 
-    # regenerate source A → new statskey; old A-key must be GC'd,
-    # B-key and the tmp dir must survive, legacy key swept
+    old_a_key = os.path.basename(prepared_path(str(sf_a), "gcdemo", ["region"], 1))
+
+    # regenerate source A → new statskey
     dst = str(sf_a / "region.parquet")
     st = os.stat(dst)
     os.utime(dst, ns=(st.st_mtime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+
+    # ADVICE r7: a superseded key YOUNGER than the grace period must
+    # survive one build — a concurrent session's lazily-evaluated plan
+    # may still pin its files, and a racing stale-stat build must not
+    # be reaped the instant it lands
+    df = prepared_frame(
+        spark, str(sf_a), "gcdemo", lambda: spark.range(5), ["region"]
+    )
+    assert df.count() == 5
+    assert old_a_key in os.listdir(parent)  # grace: young key survives
+
+    # age the superseded + legacy keys past the grace window, rebuild
+    # the key dir to trigger GC again (delete the new key so the build
+    # re-runs), then assert the aged keys are reaped
+    import time as _time
+
+    from geoestate_etl_spark.plans.prepared import GC_GRACE_SECONDS
+
+    aged = _time.time() - GC_GRACE_SECONDS - 60
+    for d in (old_a_key, "0123456789abcdef"):
+        os.utime(os.path.join(parent, d), (aged, aged))
+    a_key = os.path.basename(prepared_path(str(sf_a), "gcdemo", ["region"], 1))
+    shutil.rmtree(os.path.join(parent, a_key))
     df = prepared_frame(
         spark, str(sf_a), "gcdemo", lambda: spark.range(5), ["region"]
     )
     assert df.count() == 5
     names = os.listdir(parent)
     live = [d for d in names if ".tmp-" not in d]
-    a_key = os.path.basename(prepared_path(str(sf_a), "gcdemo", ["region"], 1))
     b_key = os.path.basename(prepared_path(str(sf_b), "gcdemo", ["region"], 1))
     assert sorted(live) == sorted({a_key, b_key})  # exactly one per identity
     assert "deadbeef-cafe.tmp-999-abc" in names  # in-flight build untouched

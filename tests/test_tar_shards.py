@@ -148,6 +148,63 @@ def test_stream_tar_shards_incremental(spark, tmp_path):
     assert after.filter("key = 'zz0001'").count() == 2
 
 
+def test_rewrite_same_path_sweeps_stale_shards(spark, tmp_path):
+    """ADVICE r7 (medium): rewriting a corpus to the same path with
+    FEWER shards must not leave stale shard files for the glob readers
+    to mix in — the writer sweeps non-manifest shard-*.tar after the
+    manifest publish, and a fresh read serves exactly the new corpus."""
+    out = str(tmp_path / "wds")
+    write_tar_shards(_df(spark, 40), out, 5, member_cols=MEMBERS)
+    assert len([f for f in os.listdir(out) if f.endswith(".tar")]) == 5
+
+    # second corpus: different rows, fewer shards, same path
+    small = spark.createDataFrame(
+        [(f"n{i:04d}", bytearray(make_png(5, 5)), f"v2 {i}") for i in range(8)],
+        "key string, image binary, caption string",
+    )
+    manifest = write_tar_shards(small, out, 2, member_cols=MEMBERS)
+    tars = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert tars == ["shard-00000.tar", "shard-00001.tar"]  # stale swept
+    assert manifest["total_samples"] == 8
+    # readers see ONLY the new corpus
+    got = {r.key for r in read_tar_shards(spark, out).select("key").distinct().collect()}
+    assert got == {f"n{i:04d}" for i in range(8)}
+    ok = verify_tar_shards(spark, out)
+    assert all(r.ok for r in ok.collect())
+
+
+def test_all_null_sample_dropped_and_planted_shard_flagged(spark, tmp_path):
+    """ADVICE r7 (low): a sample whose member columns are all NULL
+    emits no tar member, so it must not count toward the manifest
+    (it would make the shard unverifiable forever). And an on-disk
+    shard file the manifest does not list is an audit failure."""
+    out = str(tmp_path / "wds")
+    rows = [
+        ("a01", bytearray(make_png(4, 4)), "hello"),
+        ("a02", None, None),  # all-NULL: dropped
+        ("a03", None, "text only"),  # partial: kept
+    ]
+    df = spark.createDataFrame(rows, "key string, image binary, caption string")
+    manifest = write_tar_shards(df, out, 1, member_cols=MEMBERS)
+    assert manifest["total_samples"] == 2
+    ok = verify_tar_shards(spark, out)
+    assert [(r.shard, r.ok) for r in ok.collect()] == [(0, True)]
+
+    # plant a shard file (distinct keys) the manifest does not list
+    planted = spark.createDataFrame(
+        [("zz01", bytearray(make_png(4, 4)), "planted")],
+        "key string, image binary, caption string",
+    )
+    side = str(tmp_path / "side")
+    write_tar_shards(planted, side, 1, member_cols=MEMBERS)
+    os.replace(
+        os.path.join(side, "shard-00000.tar"),
+        os.path.join(out, "shard-00099.tar"),
+    )
+    rows = verify_tar_shards(spark, out).orderBy("shard").collect()
+    assert [(r.shard, r.ok) for r in rows] == [(-1, False), (0, True)]
+
+
 def test_shard_bytes_deterministic_and_audit_catches_tamper(spark, tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     write_tar_shards(_df(spark, 25), a, 2, member_cols=MEMBERS)
