@@ -31,7 +31,7 @@ def force(df) -> None:
 
 
 def bench_houses_pipeline(
-    spark, n_rows: int = 330_000, reps: int = 3
+    spark, n_rows: int = 330_000, reps: int = 3, n_files: int = 8
 ) -> tuple[float, dict]:
     """The reference's own e2e workload at its full-dataset scale
     (~329k valid rows, README.md:95): dirty-CSV ingest → validate →
@@ -43,24 +43,37 @@ def bench_houses_pipeline(
     on a single cold execution that the repo could not reproduce
     (r3 profiling: warm reps 9.7-12.0s vs 42s session-cold), so one
     sample of this line is noise-dominated.
+
+    r8 (VERDICT r7 #1): the single-file layout is a MEASURED scan
+    cliff — multiLine CSV is unsplittable, so the whole 330k-row
+    UTF-16 parse runs as ONE task (~80% of the line). The same rows
+    sharded into ``n_files`` CSVs (the realistic at-scale feed layout)
+    run the identical pipeline with file-count parse parallelism; both
+    layouts are benched, parity of the outputs is asserted, and the
+    headline stays the single-file median for round-over-round
+    comparability. The sharded numbers live in the detail record.
     """
     import statistics
     import sys
     import tempfile
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tests.houses_fixture import generate
+    from tests.houses_fixture import generate, generate_sharded
 
     from geoestate_etl_spark.plans.pipeline import run_pipeline
 
     d = tempfile.mkdtemp(prefix="bench_houses_")
     fx = generate(os.path.join(d, "houses.csv"), n_rows=n_rows, seed=42)
-    runs: list[dict] = []
-    for rep in range(reps):
+    fx_m = generate_sharded(
+        os.path.join(d, "sharded"), n_rows=n_rows, seed=42, n_files=n_files
+    )
+    tops: dict[str, list] = {}
+
+    def one_rep(path: str, tag: str, rep: int) -> dict:
         spark.catalog.clearCache()  # comparable reps: no carryover cache
         t0 = time.perf_counter()
         res = run_pipeline(
-            spark, fx.path, serving_path=os.path.join(d, f"serving{rep}")
+            spark, path, serving_path=os.path.join(d, f"serving_{tag}{rep}")
         )  # actions inside: validate counts + serving write (materializes clean)
         t1 = time.perf_counter()
         # force every analytics output (the reference's four queries + top25)
@@ -70,20 +83,82 @@ def bench_houses_pipeline(
             res.top_localities,
             res.min_max_square,
             res.decade_histogram,
-            res.top25_by_square,
         ):
             df.collect()
+        top25 = res.top25_by_square.collect()
         t2 = time.perf_counter()
         assert res.n_valid + res.n_invalid == n_rows
-        runs.append(
-            {
-                "ingest_validate_write": round(t1 - t0, 3),
-                "analytics": round(t2 - t1, 3),
-                "total": round(t2 - t0, 3),
-            }
-        )
+        assert res.n_valid == fx.n_valid
+        tops.setdefault(tag, []).append(top25)
+        return {
+            "ingest_validate_write": round(t1 - t0, 3),
+            "analytics": round(t2 - t1, 3),
+            "total": round(t2 - t0, 3),
+        }
+
+    runs = [one_rep(fx.path, "one", r) for r in range(reps)]
+    runs_m = [one_rep(fx_m.path, "many", r) for r in range(max(2, reps - 1))]
+    # identical results from both layouts — the parallel parse is the
+    # same pipeline, not a different one
+    assert tops["one"][0] == tops["many"][0]
     median = round(statistics.median(r["total"] for r in runs), 3)
-    return median, {"reps": runs, "median": median}
+    median_m = round(statistics.median(r["total"] for r in runs_m), 3)
+    detail = {
+        "reps": runs,
+        "median": median,
+        "sharded": {
+            "n_files": n_files,
+            "reps": runs_m,
+            "median": median_m,
+            "note": (
+                "same 330k rows sharded into n_files CSVs; multiLine "
+                "CSV parses one task per FILE, so this layout is the "
+                "at-scale feed and the single-file reps above are the "
+                "measured unsplittable-scan cliff (VERDICT r7 #1)"
+            ),
+        },
+    }
+    return median, detail
+
+
+def calibration(spark) -> dict:
+    """Fixed CPU-bound microbenchmark (VERDICT r7 #5): identical work
+    every round, so round-over-round bench deltas can be normalized
+    for host drift (totals swung 52-67s across IDENTICAL code, larger
+    than a round's real improvement). Two probes, best-of-3 each:
+
+    - ``jvm_range_agg``: 200M-row whole-stage-codegen aggregate across
+      all cores — tracks JVM throughput + scheduling under the host's
+      current thermal/throttle state.
+    - ``numpy_matmul``: a fixed 3000² matmul (~54 GFLOP) — tracks the
+      Python/BLAS side the Arrow-batched kernels run on.
+
+    To drift-normalize a per-line delta between rounds, scale by the
+    ratio of the rounds' calibration numbers (BENCH_HISTORY does this
+    for the headline comparison).
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    jvm = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000).select(
+            F.sum((F.col("id") % 1000003) * 2 + 1).alias("s")
+        ).collect()
+        jvm.append(time.perf_counter() - t0)
+    rng = np.random.default_rng(42)
+    a = rng.random((3000, 3000))
+    b = rng.random((3000, 3000))
+    py = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float((a @ b)[0, 0])
+        py.append(time.perf_counter() - t0)
+    return {
+        "jvm_range_agg": round(min(jvm), 3),
+        "numpy_matmul": round(min(py), 3),
+    }
 
 
 def bench_corpus_pipeline(spark) -> float:
@@ -122,6 +197,10 @@ def main() -> None:
         .repartition(spark.sparkContext.defaultParallelism)
         .select(_warm("id"))
     )
+
+    # host-drift calibration AFTER warmup (JVM up, workers spawned) so
+    # it measures the host, not session startup
+    cal = calibration(spark)
 
     timings: dict[str, float] = {}
 
@@ -299,6 +378,13 @@ def main() -> None:
     for name, (tag, tags) in VARIANT_SUITES.items():
         if name not in specs or name in SKIP:
             continue
+        # Warm the suite's prepared plan before sampling (VERDICT r7
+        # #6): similarity_ann's plan was invalidated by the index
+        # rebuild above, so its FIRST variant (lsh) absorbed the whole
+        # 7-branch union's plan-build + eager-checkpoint cost (5.3s
+        # recorded for a 0.3s serving path). One untimed force makes
+        # every variant sample the tag-filtered SERVING cost.
+        force(specs[name].fn(spark, SF_DIR))
         variants[name] = {}
         for v in tags:
             t0 = time.perf_counter()
@@ -333,6 +419,14 @@ def main() -> None:
         "cold_first_run": cold_material,
         "prepare_artifacts_build": prepare_build,
         "houses_pipeline_330k_detail": houses_detail,
+        "calibration": cal,
+        "variants_note": (
+            "each variant sample times the tag-filtered PREPARED suite "
+            "plan (plan warmed untimed before the loop); suites with "
+            "eager fn()-time builds (vocab_suite, similarity_ann "
+            "certify) still include that shared cost as a common "
+            "additive term"
+        ),
     }
     print(json.dumps(full))
     # r7 (VERDICT r6 #1): the full line above is large enough that the
@@ -356,6 +450,7 @@ def main() -> None:
                 "queries": {k: round(v, 3) for k, v in top10.items()},
                 "queries_note": "top-10 by time; full record in bench_out.json",
                 "prepare_artifacts_build": prepare_build,
+                "calibration": cal,
                 "full_record": "bench_out.json",
             },
             separators=(",", ":"),

@@ -37,8 +37,46 @@ def _fmt_square(value: float, rng: random.Random) -> str:
 
 
 def generate(path: str, n_rows: int = 2000, seed: int = 42) -> HousesFixture:
+    lines, valid_rows = _generate_records(n_rows, seed)
+    payload = "\r\n".join([HEADER, *lines]) + "\r\n"
+    with codecs.open(path, "w", encoding="utf-16") as f:
+        f.write(payload)
+    return HousesFixture(
+        path=path, n_rows=n_rows, n_valid=len(valid_rows), valid_rows=valid_rows
+    )
+
+
+def generate_sharded(
+    dir_path: str, n_rows: int = 2000, seed: int = 42, n_files: int = 8
+) -> HousesFixture:
+    """The SAME rows as :func:`generate` (same seed → byte-identical
+    records) laid out as ``n_files`` CSV files in a directory, each
+    with its own header — the realistic at-scale feed layout. multiLine
+    CSV is unsplittable (one parse task per FILE), so this layout is
+    what gives the ingest stage file-count parallelism; the single-file
+    layout is the measured cliff (VERDICT r7 #1). Records are split
+    contiguously (not round-robin) so each file is a clean slice of
+    the feed, like a date-partitioned export."""
+    import os
+
+    lines, valid_rows = _generate_records(n_rows, seed)
+    os.makedirs(dir_path, exist_ok=True)
+    per = -(-len(lines) // n_files)
+    for k in range(n_files):
+        chunk = lines[k * per : (k + 1) * per]
+        payload = "\r\n".join([HEADER, *chunk]) + "\r\n"
+        with codecs.open(
+            os.path.join(dir_path, f"houses-{k:03d}.csv"), "w", encoding="utf-16"
+        ) as f:
+            f.write(payload)
+    return HousesFixture(
+        path=dir_path, n_rows=n_rows, n_valid=len(valid_rows), valid_rows=valid_rows
+    )
+
+
+def _generate_records(n_rows: int, seed: int) -> tuple[list[str], list[dict]]:
     rng = random.Random(seed)
-    lines = [HEADER]
+    lines: list[str] = []
     valid_rows: list[dict] = []
 
     for i in range(n_rows):
@@ -135,9 +173,4 @@ def generate(path: str, n_rows: int = 2000, seed: int = 42) -> HousesFixture:
                 }
             )
 
-    payload = "\r\n".join(lines) + "\r\n"
-    with codecs.open(path, "w", encoding="utf-16") as f:
-        f.write(payload)
-    return HousesFixture(
-        path=path, n_rows=n_rows, n_valid=len(valid_rows), valid_rows=valid_rows
-    )
+    return lines, valid_rows
