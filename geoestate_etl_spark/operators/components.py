@@ -36,26 +36,85 @@ def connected_components(
     are trivially their own component; callers union them in if
     needed).
     """
+    # symmetrize in ONE pass over the pair plan: explode each pair into
+    # both directions instead of `pairs UNION pairs-reversed`, which
+    # executes the (often expensive, e.g. full MinHash-LSH) pair plan
+    # TWICE on first materialization — measured as the dominant fixed
+    # cost of corpus_pipeline's CC stage at sf0.1 (r8)
     edges = (
         pairs.select(
-            F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(left_col).alias("src"),
+                        F.col(right_col).alias("dst"),
+                    ),
+                    F.struct(
+                        F.col(right_col).alias("src"),
+                        F.col(left_col).alias("dst"),
+                    ),
+                )
+            ).alias("_e")
         )
-        .union(
-            pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
-        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .persist()
     )
 
-    # start: every node labeled with the min of itself and its neighbors
+    # Materialize the (possibly expensive) pair plan into the cache
+    # now and size the ITERATION's shuffles from the measured edge
+    # count: localCheckpoint bypasses AQE (docs/TUNING.md §traps), so
+    # without this every tiny iteration round pays the session's full
+    # shuffle-partition fan-out in empty-task scheduling — measured as
+    # ~3s of corpus_pipeline's fixed cost at sf0.1 (r8). At scale the
+    # clamp leaves the session setting untouched (≥100k edges per
+    # partition keeps npart == default long before memory matters).
+    n_edges = edges.count()
+    # Truncate the edge lineage AFTER the cache is materialized: the
+    # checkpoint scans cached partitions (cheap, and the expensive
+    # upstream already executed WITH AQE via the count above), and the
+    # iteration plans stop embedding the whole upstream logical tree —
+    # Catalyst re-analyzed the full MinHash-LSH lineage once per round
+    # otherwise, the other measured fixed cost of corpus_pipeline's CC
+    # stage (r8).
+    cached = edges
+    edges = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    sess = pairs.sparkSession
+    old_parts = sess.conf.get("spark.sql.shuffle.partitions")
+    try:
+        npart = max(1, min(int(old_parts), n_edges // 100_000 + 1))
+    except ValueError:  # non-numeric conf (e.g. "auto")
+        npart = None
+
+    # start: every node labeled with the min of itself and its
+    # neighbors. NOT checkpointed — it is one hash-agg over the cached
+    # edges, so iteration 0's checkpoint materializes it along with its
+    # own work (one fewer action/barrier per call)
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
-        .withColumnRenamed("src", "id")
+        .select(
+            F.col("src").alias("id"),
+            F.least("src", "component").alias("component"),
+        )
     )
-    labels = labels.select(
-        "id", F.least("id", "component").alias("component")
-    ).localCheckpoint()
+
+    if npart is not None:
+        # session-scoped conf: restored in the finally below. The loop
+        # plans (and eagerly executes) each round inside this window,
+        # so only the iteration's own exchanges are affected.
+        sess.conf.set("spark.sql.shuffle.partitions", str(npart))
+    try:
+        labels = _cc_iterate(edges, labels, max_iter)
+    finally:
+        if npart is not None:
+            sess.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return labels
+
+
+def _cc_iterate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+    from pyspark.sql import Observation
 
     for _ in range(max_iter):
         # propagate: each node adopts min(own label, neighbors' labels)
@@ -67,6 +126,7 @@ def connected_components(
         )
         propagated = labels.join(neighbor_labels, "id", "left").select(
             "id",
+            F.col("component").alias("_old"),
             F.least("component", F.coalesce("n_comp", "component")).alias(
                 "component"
             ),
@@ -78,28 +138,43 @@ def connected_components(
         parents = propagated.select(
             F.col("id").alias("component"), F.col("component").alias("parent")
         )
+        # convergence check rides the checkpoint's materialization via
+        # the Observation API — no separate join+count job per round
+        obs = Observation()
         new_labels = (
             propagated.join(parents, "component", "left")
             .select(
                 "id",
+                "_old",
                 F.least(
                     "component", F.coalesce("parent", "component")
                 ).alias("component"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
+            .drop("_old")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        try:
+            changed = int(obs.get["changed"] or 0)
+        except Exception:
+            # Spark 4.1 quirk: metrics rows over driver-local relations
+            # trip PythonSQLUtils.toPyRow (see corpus_pipeline); such
+            # inputs are tiny test frames, so the direct join costs ~0
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
         labels = new_labels
         if changed == 0:
             break
-
-    edges.unpersist()
     return labels
 
 

@@ -105,17 +105,21 @@ def pack_sequences(
     id_col: str,
     token_col: str,
     budget: int,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Assign each document a chunk of a fixed token ``budget`` by
     concat-and-chunk order (see module docstring).
 
     Output adds: ``chunk_id`` (0-based), ``chunk_offset`` (token
     position of the document's first token within its chunk).
-    Deterministic — a pure function of (ids, token counts, budget).
+    Deterministic — a pure function of (ids, token counts, budget);
+    ``num_partitions`` only shapes the cumsum's bucketing (callers
+    that know the row count pass a small value for small inputs,
+    skipping the boundary-sampling job entirely at ``1``).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    cum = scalable_cumsum(df, id_col, token_col, "_cum")
+    cum = scalable_cumsum(df, id_col, token_col, "_cum", num_partitions)
     start = F.col("_cum") - F.col(token_col)  # tape position of first token
     return (
         cum.withColumn("chunk_id", F.floor(start / budget).cast(T.LongType()))

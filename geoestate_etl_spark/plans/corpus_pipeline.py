@@ -263,6 +263,7 @@ def run_corpus(
     # sf0.1, r5)
     from pyspark.sql import Window
 
+    obs_exact = Observation()
     exact = (
         with_fp.withColumn(
             "_keep", F.min(id_col).over(Window.partitionBy("_fp"))
@@ -270,6 +271,9 @@ def run_corpus(
         .filter(F.col(id_col) == F.col("_keep"))
         .withColumnRenamed("_fp", "fp")  # raw-text content address, kept
         .drop("_keep")
+        # funnel count rides the first materialization (same
+        # Observation discipline as the gate counts above)
+        .observe(obs_exact, F.count(F.lit(1)).alias("n_exact"))
         # persisted: feeds the LSH pair generator, the survivor
         # anti-join, and the funnel count — three consumers, one
         # materialization
@@ -384,7 +388,14 @@ def run_corpus(
         "n_tokens", token_count(text_col)
     )
     clean = clean.persist()
-    n_exact = exact.count()
+    # n_exact rides the cache materialization the CC stage already
+    # forced (exact is persisted and fully computed by the time the
+    # survivor anti-join ran) — obs_exact delivers without a dedicated
+    # count job; the direct count is the tiny-driver-relation fallback
+    try:
+        n_exact = int(obs_exact.get["n_exact"])
+    except Exception:
+        n_exact = exact.count()
     n_near = clean.count()
     # clean is materialized now, so every upstream cache can go: the
     # drop-list persists only existed to keep their counts and the
@@ -412,7 +423,14 @@ def run_corpus(
             clean, mix_domain_col, "n_tokens", mix_budgets, id_col=id_col
         ).drop("domain_start")
 
-    packed = pack_sequences(to_pack, id_col, "n_tokens", token_budget)
+    # cumsum bucketing sized from the MEASURED survivor count: at
+    # bench/test scale one bucket packs in a single cheap window (and
+    # skips the boundary-sampling job); growth re-engages the
+    # distributed two-phase path at ~50k rows per bucket
+    pack_parts = max(1, min(parallelism, n_near // 50_000 + 1))
+    packed = pack_sequences(
+        to_pack, id_col, "n_tokens", token_budget, num_partitions=pack_parts
+    )
     totals = packed.agg(
         F.sum("n_tokens").alias("toks"),
         (F.countDistinct("chunk_id")).alias("chunks"),
