@@ -1,0 +1,223 @@
+"""End-to-end multimodal training-data pipeline (r8 — VERDICT r7 #4):
+the media twin of ``plans/corpus_pipeline``.
+
+Composition, landing zone to training shards, one engine:
+
+1. **Streaming ingest** (``streaming/media_ingest.media_stats_stream``,
+   ``Trigger.AvailableNow``): the landing directory's NEW files are
+   decoded exactly once through the Arrow-batched media kernels and
+   land as a per-file content-stats parquet behind the file sink's
+   atomic manifest. Re-running with the same checkpoint decodes only
+   files that arrived since — the incremental catch-up deployment.
+2. **Decodability gate**: the batch listing (``binaryFile`` +
+   ``sources/binary_source.media_table``) joins the decoded stats on
+   ``media_id``; files every kernel refused (no pixel AND no sample
+   stats) are dropped — crawl junk never reaches the dedup tiers.
+3. **Exact dedup**: min-``media_id`` keeper per ``xxhash64(content)``
+   — byte-identical copies land under different paths all the time
+   (mirrors, re-crawls). One window over the content hash.
+4. **Decoded-content dedup** (the media near-dup tier): keeper per
+   fingerprint of the DECODED statistics (pixel count/sum/max, sample
+   count/energy/peak). Catches re-encodes — same image, different
+   bytes (chunking, compression level) — the way text span/near-dup
+   tiers catch boilerplate. Exact integers end to end, so the
+   fingerprint is deterministic and engine-portable.
+5. **Semantic dedup**: ``embed_media_stub`` (deterministic
+   content-derived pseudo-embeddings — the model forward pass is the
+   documented stub, the Spark plumbing is production-shaped) →
+   ``cluster_embeddings`` → ``semantic_dedup``. With the stub,
+   byte-distinct survivors give independent unit vectors, so this
+   stage is a verified NEGATIVE control (predicted drop count: 0);
+   with a real encoder the same plan drops perceptual twins.
+6. **Shard write + audit**: survivors land as WebDataset tar shards
+   (``sources/tar_shards.write_tar_shards`` — payload bytes plus a
+   JSON meta member per sample) and the checksummed manifest is
+   immediately re-verified (``verify_tar_shards``), the audit a
+   training job runs before trusting a corpus drop.
+
+The funnel counts are exact integers a fixture can PREDICT before the
+run (``tests/media_corpus_fixture.py`` does, and
+``tests/test_media_pipeline_e2e.py`` pins prediction == observation).
+
+The reference (GeoEstate-ETL) has no media surface; this composes the
+engine's training-data extension tier. Scale shape: every dedup
+decision runs on a SKINNY (id, content-hash, stats) relation — the
+payload bytes are scanned to hash and embed them but never enter a
+dedup shuffle; they re-enter through one keeper equi-join and cross
+exactly one wide exchange (the shard writer's by-shard hash). No
+cartesian anywhere; the cell self-join is capped.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class MediaCorpusResult:
+    n_files: int
+    n_decodable: int
+    n_exact_unique: int
+    n_content_unique: int
+    n_semantic_dropped: int
+    n_final: int
+    shard_manifest: dict
+    audit_ok: bool
+    survivors: DataFrame
+
+    def unpersist(self) -> None:
+        self.survivors.unpersist()
+
+
+def run_media_corpus(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    n_shards: int = 2,
+    semantic_threshold: float = 0.92,
+    semantic_cells: int = 8,
+    embed_dim: int = 64,
+    glob: str | None = None,
+    stream_timeout_s: int = 300,
+) -> MediaCorpusResult:
+    """Run the full media pipeline; see module docstring for stages."""
+    from geoestate_etl_spark.operators.multimodal import embed_media_stub
+    from geoestate_etl_spark.operators.semantic_dedup import (
+        cluster_embeddings,
+        semantic_dedup,
+    )
+    from geoestate_etl_spark.sources.binary_source import media_table
+    from geoestate_etl_spark.sources.tar_shards import (
+        verify_tar_shards,
+        write_tar_shards,
+    )
+    from geoestate_etl_spark.streaming.media_ingest import media_stats_stream
+
+    stats_path = os.path.join(work_dir, "stats")
+    checkpoint = os.path.join(work_dir, "_checkpoint")
+    shards_path = os.path.join(work_dir, "shards")
+
+    # 1. streaming ingest: exactly-once decode of files not yet seen
+    #    by this checkpoint (AvailableNow = catch-up then stop)
+    q = media_stats_stream(
+        spark, landing_dir, stats_path, checkpoint, glob=glob,
+        available_now=True,
+    )
+    if not q.awaitTermination(stream_timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"media ingest stream did not drain in {stream_timeout_s}s"
+        )
+    stats = spark.read.parquet(stats_path)
+
+    # 2. decodability gate over the batch listing + decoded stats.
+    #    DEDUP DECISIONS RUN ON A SKINNY RELATION: (media_id, content
+    #    hash, decoded stats) — the payload bytes are scanned once to
+    #    hash them but NEVER enter a dedup shuffle. At 100 TB, moving
+    #    media bytes through groupBy exchanges is the scale-killer;
+    #    bytes re-enter only at the end, via one keeper equi-join
+    #    feeding the shard writer's single by-shard exchange.
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    media = media_table(reader.option("recursiveFileLookup", "true").load(landing_dir))
+    n_files = media.count()
+    stat_cols = ["n_px", "px_sum", "px_max", "n_samples", "pcm_sq_sum", "pcm_peak"]
+    skinny = media.select(
+        "media_id",
+        "source_path",
+        "n_bytes",
+        F.xxhash64("content").alias("_chash"),
+    ).join(stats, "media_id")
+    decodable = skinny.filter(
+        F.greatest(*[F.col(c).isNotNull() for c in stat_cols])
+    ).persist()
+    n_decodable = decodable.count()
+
+    # 3. exact dedup: min-id keeper per content hash (skinny groupBy;
+    #    the stats are byte-determined, so min() per group is exact)
+    meta_cols = ["source_path", "n_bytes", "format", *stat_cols]
+    exact = decodable.groupBy("_chash").agg(
+        F.min("media_id").alias("media_id"),
+        *[F.min_by(c, "media_id").alias(c) for c in meta_cols],
+    )
+
+    # 4. decoded-content dedup (re-encode tier): keeper per fingerprint
+    #    of the exact decoded statistics. NULLs are coalesced to a
+    #    sentinel — xxhash64 SKIPS null inputs, so an image row
+    #    (a,b,c,∅,∅,∅) and an audio row (∅,∅,∅,a,b,c) would otherwise
+    #    hash identically
+    fp = F.xxhash64(*[F.coalesce(F.col(c), F.lit(-1)) for c in stat_cols])
+    content_unique = (
+        exact.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(
+            F.min("media_id").alias("media_id"),
+            *[F.min_by(c, "media_id").alias(c) for c in meta_cols],
+        )
+        .drop("_fp")
+        .persist()
+    )
+    n_exact_unique = exact.count()
+    n_content_unique = content_unique.count()
+    decodable.unpersist()
+
+    # bytes rejoin for the embed + shard stages: one keeper equi-join
+    # (AQE broadcasts the skinny side at small scale)
+    with_bytes = content_unique.join(
+        media.select("media_id", "content"), "media_id"
+    ).persist()
+
+    # 5. semantic dedup over survivor embeddings. The embed kernel's
+    #    output is persisted: the k-means build ITERATES over it (5
+    #    rounds) and the cell self-join reads it twice — without the
+    #    cache every round re-runs the Arrow embed pass over the
+    #    payload bytes
+    emb = embed_media_stub(
+        with_bytes, dim=embed_dim, id_col="media_id"
+    ).persist()
+    clustered = cluster_embeddings(
+        emb, n_cells=semantic_cells, id_col="media_id"
+    ).join(emb, "media_id")
+    _, decisions = semantic_dedup(
+        clustered, semantic_threshold, id_col="media_id"
+    )
+    sem_dropped = decisions.filter(~F.col("kept")).select("media_id").persist()
+    n_semantic_dropped = sem_dropped.count()
+    emb.unpersist()
+    survivors = with_bytes.join(sem_dropped, "media_id", "left_anti").persist()
+
+    # 6. training shards + audit readback
+    to_shard = survivors.select(
+        F.format_string("%016x", F.col("media_id")).alias("key"),
+        "content",
+        F.to_json(
+            F.struct("source_path", "format", "n_bytes", *stat_cols)
+        ).alias("meta"),
+    )
+    manifest = write_tar_shards(
+        to_shard, shards_path, n_shards,
+        member_cols={"bin": "content", "json": "meta"},
+    )
+    audit = verify_tar_shards(spark, shards_path)
+    audit_ok = audit.filter(~F.col("ok")).limit(1).count() == 0
+
+    n_final = survivors.count()
+    content_unique.unpersist()
+    with_bytes.unpersist()
+    sem_dropped.unpersist()
+    return MediaCorpusResult(
+        n_files=n_files,
+        n_decodable=n_decodable,
+        n_exact_unique=n_exact_unique,
+        n_content_unique=n_content_unique,
+        n_semantic_dropped=n_semantic_dropped,
+        n_final=n_final,
+        shard_manifest=manifest,
+        audit_ok=audit_ok,
+        survivors=survivors,
+    )
