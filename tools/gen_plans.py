@@ -171,6 +171,16 @@ NOTES = {
         "array_join renders the transcript — no window, no Python, "
         "one shuffle on user_id."
     ),
+    "multimodal_meta": (
+        "The media decode surface (r7 adds REAL H.264: avc1 I_PCM "
+        "tracks decode through operators/h264.py — NAL unescape, "
+        "Exp-Golomb, SPS/PPS with per-slice pic_parameter_set_id "
+        "pairing, BT.601 RGB — and their pixel sums ride the hash "
+        "oracle). One Arrow-batched mapInPandas over the synthesized "
+        "payload frame, then a plain projection melt: binary bytes "
+        "cross into Python once per batch, never per row, and nothing "
+        "shuffles except the final tagged-union ordering."
+    ),
 }
 
 
@@ -193,6 +203,38 @@ def main() -> None:
             df._jdf.queryExecution(), "simple"
         )
         out.append(f"## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
+
+    # non-registry flagship: the WebDataset shuffle-free sample reader
+    # (r7, sources/tar_shards.py) — written against a real shard dir so
+    # the binaryFile scan resolves, then explained like the rest
+    import tempfile
+
+    from geoestate_etl_spark.operators.multimodal import make_png
+    from geoestate_etl_spark.sources.tar_shards import (
+        read_tar_samples,
+        write_tar_shards,
+    )
+
+    d = tempfile.mkdtemp(prefix="plans_tar_")
+    demo = spark.createDataFrame(
+        [(f"{i:06d}", bytearray(make_png(4, 4)), f"cap {i}") for i in range(8)],
+        "key string, image binary, caption string",
+    )
+    write_tar_shards(demo, d, 2, member_cols={"png": "image", "txt": "caption"})
+    df = read_tar_samples(spark, d)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    out.append(
+        "## read_tar_samples (WebDataset shard reader — not a registry "
+        "entry)\n\n"
+        "Zero Exchange anywhere: samples are assembled DURING the "
+        "sequential tar walk (consecutive members of one key form one "
+        "sample — the WebDataset contract the writer enforces by "
+        "sorting), so the media bytes never move between executors. "
+        "Plan-asserted Exchange-free in tests/test_tar_shards.py.\n\n"
+        f"```\n{plan.strip()}\n```\n"
+    )
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
 
