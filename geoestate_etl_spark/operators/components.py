@@ -19,8 +19,54 @@ lineage each iteration, which keeps deep iterative plans compilable.
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Guard for the iteration's shuffle-partition window: callers run CC
+#: on CONCURRENT driver threads (components_suite builds its variants
+#: that way), and a naive per-call save/set/restore races — the second
+#: thread can save the first thread's temporary value and "restore"
+#: the session to 1 shuffle partition permanently. Depth-counted: the
+#: first entrant saves+sets, the last exit restores; concurrent loops
+#: share the first entrant's sizing (they are all in the tiny-edges
+#: regime whenever the window is active at all).
+_conf_lock = threading.Lock()
+_conf_depth = 0
+_conf_saved: str | None = None
+
+
+@contextmanager
+def _iteration_shuffle_window(sess, n_edges: int):
+    """Temporarily size ``spark.sql.shuffle.partitions`` from the
+    measured edge count (≥100k edges per partition; never raised above
+    the session setting — at scale this is a no-op)."""
+    global _conf_depth, _conf_saved
+    key = "spark.sql.shuffle.partitions"
+    with _conf_lock:
+        try:
+            current = int(sess.conf.get(key))
+        except ValueError:  # non-numeric conf (e.g. "auto")
+            yield_noop = True
+        else:
+            npart = max(1, min(current, n_edges // 100_000 + 1))
+            yield_noop = npart == current
+            if not yield_noop:
+                if _conf_depth == 0:
+                    _conf_saved = str(current)
+                    sess.conf.set(key, str(npart))
+                _conf_depth += 1
+    try:
+        yield
+    finally:
+        if not yield_noop:
+            with _conf_lock:
+                _conf_depth -= 1
+                if _conf_depth == 0 and _conf_saved is not None:
+                    sess.conf.set(key, _conf_saved)
+                    _conf_saved = None
 
 
 def connected_components(
@@ -80,12 +126,6 @@ def connected_components(
     cached = edges
     edges = cached.localCheckpoint(eager=True)
     cached.unpersist()
-    sess = pairs.sparkSession
-    old_parts = sess.conf.get("spark.sql.shuffle.partitions")
-    try:
-        npart = max(1, min(int(old_parts), n_edges // 100_000 + 1))
-    except ValueError:  # non-numeric conf (e.g. "auto")
-        npart = None
 
     # start: every node labeled with the min of itself and its
     # neighbors. NOT checkpointed — it is one hash-agg over the cached
@@ -100,17 +140,10 @@ def connected_components(
         )
     )
 
-    if npart is not None:
-        # session-scoped conf: restored in the finally below. The loop
-        # plans (and eagerly executes) each round inside this window,
-        # so only the iteration's own exchanges are affected.
-        sess.conf.set("spark.sql.shuffle.partitions", str(npart))
-    try:
-        labels = _cc_iterate(edges, labels, max_iter)
-    finally:
-        if npart is not None:
-            sess.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return labels
+    # the loop plans (and eagerly executes) each round inside the
+    # sized-shuffle window (thread-safe, see _iteration_shuffle_window)
+    with _iteration_shuffle_window(pairs.sparkSession, n_edges):
+        return _cc_iterate(edges, labels, max_iter)
 
 
 def _cc_iterate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
@@ -232,12 +265,17 @@ def connected_components_star(
     Prefer this for very large / skewed pair graphs; the label-prop
     variant keeps singleton bookkeeping simpler for modest inputs.
     """
-    raw = pairs.select(F.col(left_col).alias("u"), F.col(right_col).alias("v"))
+    # One materialization of the (possibly expensive) pair plan: the
+    # node set and the edge set both derive from the checkpointed raw
+    # frame instead of each re-executing the pair lineage (same
+    # double-compute fix as connected_components' symmetrize, r8)
+    raw = pairs.select(
+        F.col(left_col).alias("u"), F.col(right_col).alias("v")
+    ).localCheckpoint()
     # node set from the RAW pairs: a self-loop-only node is its own
     # (singleton) component and must still get a label
     all_nodes = (
-        raw.select(F.col("u").alias("id"))
-        .union(raw.select(F.col("v").alias("id")))
+        raw.select(F.explode(F.array("u", "v")).alias("id"))
         .distinct()
         .localCheckpoint()
     )
