@@ -112,9 +112,16 @@ def bench_houses_pipeline(
             "median": median_m,
             "note": (
                 "same 330k rows sharded into n_files CSVs; multiLine "
-                "CSV parses one task per FILE, so this layout is the "
-                "at-scale feed and the single-file reps above are the "
-                "measured unsplittable-scan cliff (VERDICT r7 #1)"
+                "CSV parses one task per FILE. Measured (r8, idle "
+                "host, noop-forced raw parse): single-file ~0.98s vs "
+                "8-file ~0.27s — so at THIS scale the unsplittable "
+                "parse is ~1s of the ~6.5s ingest segment (r7's "
+                "'~80%' was a hypothesis; the segment is dominated by "
+                "validate+renumber+cast+write, which parallelize in "
+                "both layouts). The cliff is the SCALING term: one "
+                "task grows linearly with file bytes (100x file -> "
+                "~100s serial) while the sharded layout rides file-"
+                "count parallelism (VERDICT r7 #1)."
             ),
         },
     }
@@ -435,18 +442,21 @@ def main() -> None:
     # best-of-2, same rationale as the query loop (cold-run codegen +
     # host throttle dominate a single sample; warm steady-state is the
     # honest pipeline cost) — second run under the same time guard
-    timings["corpus_pipeline"] = bench_corpus_pipeline(spark)
-    if time.perf_counter() - t_pass0 < 360:
-        timings["corpus_pipeline"] = min(
-            timings["corpus_pipeline"], bench_corpus_pipeline(spark)
-        )
-    # r8: the media e2e line (predicted-funnel-verified). Best-of-2
-    # under the same budget guard; each run pays a cold checkpoint.
-    timings["media_pipeline"] = bench_media_pipeline(spark)
-    if time.perf_counter() - t_pass0 < 420:
-        timings["media_pipeline"] = min(
-            timings["media_pipeline"], bench_media_pipeline(spark)
-        )
+    # UNCONDITIONAL best-of-2 for the two e2e lines (r8): the old
+    # time-budget guard measured elapsed time from pass-1's start,
+    # which the two passes + variants always exhaust by now — so both
+    # lines silently degraded to one cold sample (media_pipeline
+    # recorded 31.4s for a ~14s line). The second sample costs ~20s
+    # of bench wall and removes the single-cold-sample noise the
+    # best-of-2 design exists to remove.
+    timings["corpus_pipeline"] = min(
+        bench_corpus_pipeline(spark), bench_corpus_pipeline(spark)
+    )
+    # r8: the media e2e line (predicted-funnel-verified); each run
+    # pays a cold checkpoint by design.
+    timings["media_pipeline"] = min(
+        bench_media_pipeline(spark), bench_media_pipeline(spark)
+    )
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
