@@ -27,15 +27,21 @@ from pyspark.sql import functions as F
 
 #: Guard for the iteration's shuffle-partition window: callers run CC
 #: on CONCURRENT driver threads (components_suite builds its variants
-#: that way), and a naive per-call save/set/restore races — the second
-#: thread can save the first thread's temporary value and "restore"
-#: the session to 1 shuffle partition permanently. Depth-counted: the
-#: first entrant saves+sets, the last exit restores; concurrent loops
-#: share the first entrant's sizing (they are all in the tiny-edges
-#: regime whenever the window is active at all).
+#: that way), and a naive per-call save/set/restore races two ways —
+#: the second thread can save the first's TEMPORARY value and
+#: "restore" the session to 1 partition permanently, or size its own
+#: window from that temporary value and run a large iteration
+#: single-task. Every entrant therefore sizes from the ORIGINAL value
+#: (saved once by the first entrant), the session conf holds the MAX
+#: over all active windows (a big concurrent CC is never shrunk by a
+#: tiny one), and the last exit restores the original. Residual,
+#: documented: a concurrent NON-CC query planned inside someone
+#: else's active window sees the reduced setting — performance-only,
+#: bounded by the window's duration, and impossible at scale (a big
+#: edge set sizes to the original, making the window a no-op).
 _conf_lock = threading.Lock()
-_conf_depth = 0
 _conf_saved: str | None = None
+_conf_active: list[int] = []
 
 
 @contextmanager
@@ -43,28 +49,36 @@ def _iteration_shuffle_window(sess, n_edges: int):
     """Temporarily size ``spark.sql.shuffle.partitions`` from the
     measured edge count (≥100k edges per partition; never raised above
     the session setting — at scale this is a no-op)."""
-    global _conf_depth, _conf_saved
+    global _conf_saved
     key = "spark.sql.shuffle.partitions"
+    entered = False
     with _conf_lock:
         try:
-            current = int(sess.conf.get(key))
+            original = int(
+                sess.conf.get(key) if _conf_saved is None else _conf_saved
+            )
         except ValueError:  # non-numeric conf (e.g. "auto")
-            yield_noop = True
-        else:
-            npart = max(1, min(current, n_edges // 100_000 + 1))
-            yield_noop = npart == current
-            if not yield_noop:
-                if _conf_depth == 0:
-                    _conf_saved = str(current)
-                    sess.conf.set(key, str(npart))
-                _conf_depth += 1
+            original = None
+        if original is not None:
+            # enter even when npart == original: a LARGE concurrent CC
+            # must push its full size into the active set so a tiny
+            # window running beside it cannot hold the conf at 1 while
+            # the large iteration plans its rounds
+            npart = max(1, min(original, n_edges // 100_000 + 1))
+            if _conf_saved is None:
+                _conf_saved = str(original)
+            _conf_active.append(npart)
+            sess.conf.set(key, str(max(_conf_active)))
+            entered = True
     try:
         yield
     finally:
-        if not yield_noop:
+        if entered:
             with _conf_lock:
-                _conf_depth -= 1
-                if _conf_depth == 0 and _conf_saved is not None:
+                _conf_active.remove(npart)
+                if _conf_active:
+                    sess.conf.set(key, str(max(_conf_active)))
+                elif _conf_saved is not None:
                     sess.conf.set(key, _conf_saved)
                     _conf_saved = None
 

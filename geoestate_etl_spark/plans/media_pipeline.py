@@ -112,7 +112,14 @@ def run_media_corpus(
         raise TimeoutError(
             f"media ingest stream did not drain in {stream_timeout_s}s"
         )
-    stats = spark.read.parquet(stats_path)
+    # explicit schema: a catch-up pass that found NOTHING new (empty
+    # landing dir, or every file already consumed by this checkpoint
+    # into this stats table) leaves a data-file-less sink dir that
+    # schema inference cannot read — the nothing-new case must yield a
+    # zero funnel, not an AnalysisException (r8 review finding)
+    from geoestate_etl_spark.operators.multimodal import MEDIA_CONTENT_SCHEMA
+
+    stats = spark.read.schema(MEDIA_CONTENT_SCHEMA).parquet(stats_path)
 
     # 2. decodability gate over the batch listing + decoded stats.
     #    DEDUP DECISIONS RUN ON A SKINNY RELATION: (media_id, content
@@ -139,12 +146,18 @@ def run_media_corpus(
     n_decodable = decodable.count()
 
     # 3. exact dedup: min-id keeper per content hash (skinny groupBy;
-    #    the stats are byte-determined, so min() per group is exact)
+    #    the stats are byte-determined, so min() per group is exact).
+    #    The tier's funnel count rides content_unique's materialization
+    #    via the Observation API — no dedicated count job (the same
+    #    discipline as corpus_pipeline's n_exact)
+    from pyspark.sql import Observation
+
     meta_cols = ["source_path", "n_bytes", "format", *stat_cols]
+    obs_exact = Observation()
     exact = decodable.groupBy("_chash").agg(
         F.min("media_id").alias("media_id"),
         *[F.min_by(c, "media_id").alias(c) for c in meta_cols],
-    )
+    ).observe(obs_exact, F.count(F.lit(1)).alias("n_exact"))
 
     # 4. decoded-content dedup (re-encode tier): keeper per fingerprint
     #    of the exact decoded statistics. NULLs are coalesced to a
@@ -162,8 +175,13 @@ def run_media_corpus(
         .drop("_fp")
         .persist()
     )
-    n_exact_unique = exact.count()
     n_content_unique = content_unique.count()
+    try:
+        n_exact_unique = int(obs_exact.get["n_exact"])
+    except Exception:
+        # driver-local-relation quirk (see corpus_pipeline): tiny test
+        # inputs fall back to the direct count
+        n_exact_unique = exact.count()
     decodable.unpersist()
 
     # bytes rejoin for the embed + shard stages: one keeper equi-join
@@ -176,20 +194,30 @@ def run_media_corpus(
     #    output is persisted: the k-means build ITERATES over it (5
     #    rounds) and the cell self-join reads it twice — without the
     #    cache every round re-runs the Arrow embed pass over the
-    #    payload bytes
-    emb = embed_media_stub(
-        with_bytes, dim=embed_dim, id_col="media_id"
-    ).persist()
-    clustered = cluster_embeddings(
-        emb, n_cells=semantic_cells, id_col="media_id"
-    ).join(emb, "media_id")
-    _, decisions = semantic_dedup(
-        clustered, semantic_threshold, id_col="media_id"
-    )
-    sem_dropped = decisions.filter(~F.col("kept")).select("media_id").persist()
-    n_semantic_dropped = sem_dropped.count()
-    emb.unpersist()
-    survivors = with_bytes.join(sem_dropped, "media_id", "left_anti").persist()
+    #    payload bytes. Skipped on an empty survivor set (the
+    #    nothing-new catch-up case): k-means needs ≥1 vector.
+    if n_content_unique > 0:
+        emb = embed_media_stub(
+            with_bytes, dim=embed_dim, id_col="media_id"
+        ).persist()
+        clustered = cluster_embeddings(
+            emb, n_cells=semantic_cells, id_col="media_id"
+        ).join(emb, "media_id")
+        _, decisions = semantic_dedup(
+            clustered, semantic_threshold, id_col="media_id"
+        )
+        sem_dropped = (
+            decisions.filter(~F.col("kept")).select("media_id").persist()
+        )
+        n_semantic_dropped = sem_dropped.count()
+        emb.unpersist()
+        survivors = with_bytes.join(
+            sem_dropped, "media_id", "left_anti"
+        ).persist()
+    else:
+        sem_dropped = None
+        n_semantic_dropped = 0
+        survivors = with_bytes
 
     # 6. training shards + audit readback
     to_shard = survivors.select(
@@ -209,7 +237,8 @@ def run_media_corpus(
     n_final = survivors.count()
     content_unique.unpersist()
     with_bytes.unpersist()
-    sem_dropped.unpersist()
+    if sem_dropped is not None:
+        sem_dropped.unpersist()
     return MediaCorpusResult(
         n_files=n_files,
         n_decodable=n_decodable,

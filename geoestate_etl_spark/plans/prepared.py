@@ -81,28 +81,31 @@ def prepared_path(sf_dir: str, name: str, sources: list[str], version: int) -> s
     return os.path.join(_warehouse_root(), name, f"{srcid}-{statskey}")
 
 
-#: GC grace period (seconds): a superseded sibling key younger than
-#: this is left alone. Two reasons (ADVICE r7): (a) a builder that
-#: statted the source BEFORE a regeneration can finish after the
-#: regenerated build and would otherwise GC the newer key — rebuild
-#: churn; (b) a concurrent session's lazily-evaluated DataFrame may
-#: still pin the superseded key's files, and deleting them fails that
-#: session at action time. The window covers both: in-flight reads of
-#: a just-superseded key survive, and a racing stale-stat build's
-#: output survives long enough for the next build to reap it. The
-#: store stays bounded — a superseded key older than the grace is
-#: reaped by ANY later successful build of the same (name, srcid).
+#: GC grace period (seconds) measured FROM SUPERSESSION, not from the
+#: key's build time: when a build finds a superseded sibling it first
+#: drops a ``_SUPERSEDED`` tombstone inside it (Spark readers ignore
+#: underscore-prefixed files) and deletes only keys whose tombstone is
+#: older than the grace. Two protections (ADVICE r7, sharpened by the
+#: r8 review): (a) a racing stale-stat build's fresh output survives
+#: one cycle; (b) a concurrent session's lazily-evaluated DataFrame
+#: over a key that was just superseded — however OLD that key is —
+#: gets a full grace window before its files vanish. The store stays
+#: bounded: any later successful build of the same (name, srcid)
+#: reaps tombstoned keys past the grace.
 GC_GRACE_SECONDS = 300.0
+
+_TOMBSTONE = "_SUPERSEDED"
 
 
 def _gc_superseded(path: str, name: str) -> None:
-    """Delete superseded sibling keys of a just-built artifact: same
-    ``srcid`` (source identity), different stats/version — plus any
-    legacy pre-r7 key (no ``srcid-`` prefix), which the new keying can
-    never serve again. In-flight ``.tmp-`` build dirs and siblings
-    younger than :data:`GC_GRACE_SECONDS` are left alone (see the
-    constant's note on concurrent readers and stale-stat racers).
-    Bounds the store at one live key per (name, source identity)."""
+    """Two-phase GC of superseded sibling keys of a just-built
+    artifact — same ``srcid`` (source identity), different
+    stats/version, plus legacy pre-r7 keys (no ``srcid-`` prefix):
+    phase 1 tombstones a newly-noticed superseded key; phase 2 (a
+    later build) deletes keys tombstoned longer than
+    :data:`GC_GRACE_SECONDS` ago. In-flight ``.tmp-`` build dirs are
+    left alone. Bounds the store at one live key per (name, source
+    identity), eventually."""
     import time
 
     parent = os.path.dirname(path)
@@ -119,8 +122,13 @@ def _gc_superseded(path: str, name: str) -> None:
             continue
         if d.startswith(f"{srcid}-") or "-" not in d:
             full = os.path.join(parent, d)
+            marker = os.path.join(full, _TOMBSTONE)
             try:
-                if now - os.stat(full).st_mtime < GC_GRACE_SECONDS:
+                if not os.path.exists(marker):
+                    with open(marker, "w") as fh:
+                        fh.write(str(now))
+                    continue  # phase 1: grace starts now
+                if now - os.stat(marker).st_mtime < GC_GRACE_SECONDS:
                     continue
             except OSError:
                 continue
@@ -144,6 +152,14 @@ def prepared_frame(
     version). Returns a plain parquet-scan DataFrame — cold cost in a
     fresh session is a file read, not the prepare iteration."""
     path = prepared_path(sf_dir, name, sources, version)
+    if os.path.exists(path):
+        # a source that reverted to earlier stats can make a
+        # tombstoned key CURRENT again — clear the marker so a later
+        # sibling GC never reaps the live key
+        try:
+            os.remove(os.path.join(path, _TOMBSTONE))
+        except OSError:
+            pass
     if not os.path.exists(path):
         # uuid component: two threaded builders in ONE process must not
         # share a temp dir (ADVICE r6); try/finally: a build() that

@@ -253,24 +253,34 @@ def stream_tar_shards(spark: SparkSession, path: str) -> DataFrame:
     return _explode_members(tars)
 
 
-def _explode_members(tars: DataFrame) -> DataFrame:
+def _explode_members(tars: DataFrame, lenient: bool = False) -> DataFrame:
+    """``lenient`` is for the AUDIT path only: a structurally corrupt
+    tar yields zero member rows (so verify reports its shard
+    ok=false via the count/checksum mismatch) instead of failing the
+    whole job. Readers keep the honest-error default — a training
+    loader must stop on corrupt input, not silently skip it."""
+
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
-                    for m in tar:
-                        if not m.isfile():
-                            continue
-                        stem, dot, ext = m.name.rpartition(".")
-                        rows.append(
-                            (
-                                p,
-                                stem if dot else m.name,
-                                ext if dot else "",
-                                tar.extractfile(m).read(),
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                        for m in tar:
+                            if not m.isfile():
+                                continue
+                            stem, dot, ext = m.name.rpartition(".")
+                            rows.append(
+                                (
+                                    p,
+                                    stem if dot else m.name,
+                                    ext if dot else "",
+                                    tar.extractfile(m).read(),
+                                )
                             )
-                        )
+                except (tarfile.TarError, OSError, EOFError):
+                    if not lenient:
+                        raise
             yield pd.DataFrame(
                 rows, columns=["shard_path", "key", "ext", "content"]
             )
@@ -358,7 +368,16 @@ def verify_tar_shards(
         manifest = json.load(fh)
     member_cols = member_cols or manifest["member_cols"]
     exts = sorted(member_cols)
-    members = read_tar_shards(spark, path)
+    # lenient explode: the audit must REPORT a corrupt shard, not die
+    # on it (r8 review) — zero rows from a listed shard fails its
+    # count check below
+    tars = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    members = _explode_members(tars, lenient=True)
     # rebuild each sample row's member tuple in the writer's column
     # order; hash parity with the writer's source-row checksum holds
     # because xxhash64 hashes a string's UTF-8 bytes and a binary's
@@ -396,10 +415,19 @@ def verify_tar_shards(
         )
     # ADVICE r7: an on-disk shard-*.tar the manifest does NOT list
     # (stale from an earlier write, or planted) is itself an audit
-    # failure — the glob readers would serve it. shard=-1, ok=false.
+    # failure — the glob readers would serve it. Detected from the
+    # DIRECTORY LISTING, not the parsed rows (r8 review: an empty or
+    # unparseable planted tar yields no rows and would evade a
+    # rows-based check). shard=-1, ok=false.
     expected = {s["file"] for s in manifest["shards"]}
-    for fname in sorted(set(by_file) - expected):
-        rows.append((-1, False, 0, int(by_file[fname].rows_read)))
+    on_disk = {
+        f
+        for f in os.listdir(path)
+        if f.startswith("shard-") and f.endswith(".tar")
+    }
+    for fname in sorted(on_disk - expected):
+        r = by_file.get(fname)
+        rows.append((-1, False, 0, 0 if r is None else int(r.rows_read)))
     return spark.createDataFrame(
         rows, "shard long, ok boolean, rows_expected long, rows_read long"
     )

@@ -116,6 +116,24 @@ def test_incremental_catchup_decodes_only_new_files(spark, run, landing):
         res2.unpersist()
 
 
+def test_empty_landing_yields_zero_funnel(spark, tmp_path):
+    """r8 review: the nothing-new catch-up case (empty landing dir)
+    must return a zero funnel, not die on schema inference over a
+    data-file-less stats sink."""
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    res = run_media_corpus(spark, land, str(tmp_path / "work"), n_shards=1)
+    try:
+        assert (
+            res.n_files, res.n_decodable, res.n_exact_unique,
+            res.n_content_unique, res.n_semantic_dropped, res.n_final,
+        ) == (0, 0, 0, 0, 0, 0)
+        assert res.shard_manifest["total_samples"] == 0
+        assert res.audit_ok
+    finally:
+        res.unpersist()
+
+
 def test_semantic_negative_control_is_a_real_stage(spark, run):
     """The 0 semantic drops are a verified prediction, not a skipped
     stage: byte-identical payloads produce IDENTICAL stub embeddings

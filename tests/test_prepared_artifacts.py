@@ -223,26 +223,31 @@ def test_gc_superseded_keys(spark, tmp_path):
     st = os.stat(dst)
     os.utime(dst, ns=(st.st_mtime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
 
-    # ADVICE r7: a superseded key YOUNGER than the grace period must
-    # survive one build — a concurrent session's lazily-evaluated plan
-    # may still pin its files, and a racing stale-stat build must not
-    # be reaped the instant it lands
+    # ADVICE r7 (+ r8 review): a just-superseded key must survive one
+    # build with a full grace window measured FROM SUPERSESSION — a
+    # concurrent session's lazily-evaluated plan may still pin its
+    # files no matter how old the key's BUILD is. Mechanism: the first
+    # GC pass drops a _SUPERSEDED tombstone instead of deleting.
     df = prepared_frame(
         spark, str(sf_a), "gcdemo", lambda: spark.range(5), ["region"]
     )
     assert df.count() == 5
-    assert old_a_key in os.listdir(parent)  # grace: young key survives
+    assert old_a_key in os.listdir(parent)  # tombstoned, not deleted
+    assert os.path.exists(os.path.join(parent, old_a_key, "_SUPERSEDED"))
 
-    # age the superseded + legacy keys past the grace window, rebuild
-    # the key dir to trigger GC again (delete the new key so the build
-    # re-runs), then assert the aged keys are reaped
+    # age the TOMBSTONES past the grace window, rebuild the key dir to
+    # trigger GC again (delete the new key so the build re-runs), then
+    # assert the aged keys are reaped
     import time as _time
 
     from geoestate_etl_spark.plans.prepared import GC_GRACE_SECONDS
 
     aged = _time.time() - GC_GRACE_SECONDS - 60
-    for d in (old_a_key, "0123456789abcdef"):
-        os.utime(os.path.join(parent, d), (aged, aged))
+    os.utime(os.path.join(parent, old_a_key, "_SUPERSEDED"), (aged, aged))
+    # legacy key gets its tombstone on the NEXT pass; plant it aged
+    with open(os.path.join(parent, "0123456789abcdef", "_SUPERSEDED"), "w") as fh:
+        fh.write("0")
+    os.utime(os.path.join(parent, "0123456789abcdef", "_SUPERSEDED"), (aged, aged))
     a_key = os.path.basename(prepared_path(str(sf_a), "gcdemo", ["region"], 1))
     shutil.rmtree(os.path.join(parent, a_key))
     df = prepared_frame(

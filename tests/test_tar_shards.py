@@ -205,6 +205,38 @@ def test_all_null_sample_dropped_and_planted_shard_flagged(spark, tmp_path):
     assert [(r.shard, r.ok) for r in rows] == [(-1, False), (0, True)]
 
 
+def test_audit_flags_empty_and_corrupt_shards(spark, tmp_path):
+    """r8 review: a planted EMPTY tar (valid, zero members) yields no
+    member rows and must still be flagged via the directory listing;
+    a structurally CORRUPT listed shard must be REPORTED ok=false by
+    the lenient audit explode, not crash the whole verify job."""
+    import io as _io
+    import tarfile as _tarfile
+
+    out = str(tmp_path / "wds")
+    write_tar_shards(_df(spark, 10), out, 2, member_cols=MEMBERS)
+
+    # planted empty-but-valid tar: zero member rows, listing catches it
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w"):
+        pass
+    open(os.path.join(out, "shard-00077.tar"), "wb").write(buf.getvalue())
+    rows = verify_tar_shards(spark, out).orderBy("shard").collect()
+    assert [(r.shard, r.ok) for r in rows] == [(-1, False), (0, True), (1, True)]
+    os.remove(os.path.join(out, "shard-00077.tar"))
+
+    # structurally corrupt LISTED shard: truncate to garbage
+    target = os.path.join(out, "shard-00001.tar")
+    open(target, "wb").write(b"\x00garbage not a tar header")
+    rows = verify_tar_shards(spark, out).orderBy("shard").collect()
+    assert [(r.shard, r.ok) for r in rows] == [(0, True), (1, False)]
+    # the READER path keeps honest-error semantics on the same input
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_tar_shards(spark, out).count()
+
+
 def test_shard_bytes_deterministic_and_audit_catches_tamper(spark, tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     write_tar_shards(_df(spark, 25), a, 2, member_cols=MEMBERS)

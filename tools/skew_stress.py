@@ -6,9 +6,10 @@ Prints one table (and a JSON line) with, per mechanism:
 - the CANDIDATE VOLUME the quadratic stage would generate uncapped
   (exact arithmetic over bucket/cell occupancies — no need to execute
   the explosion to count it) vs the capped volume;
-- measured wall time of the capped path, and of the uncapped path
-  (guarded by ``--uncapped-timeout``; a run that exceeds it is
-  reported as the timeout floor — the explosion is the result).
+- measured wall time of the capped path, and of the uncapped path.
+  The uncapped legs are bounded at THIS tier (measured ≤1 min each on
+  local[32]); scale the generator up only with a shell-level timeout —
+  the blowup is quadratic in the hot-block size by construction.
 
 Run on an idle host: ``python tools/skew_stress.py``. Results are
 recorded in BENCH_HISTORY.md §skew. The cheap assertions live in
