@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 class MediaCorpusResult:
     n_files: int
     n_decodable: int
+    n_unseen: int  # == n_decodable when no standing table was given
     n_exact_unique: int
     n_content_unique: int
     n_semantic_dropped: int
@@ -71,6 +72,18 @@ class MediaCorpusResult:
 
     def unpersist(self) -> None:
         self.survivors.unpersist()
+
+    def content_hashes(self) -> DataFrame:
+        """This batch's surviving content hashes (column ``chash``) —
+        union into the standing ``seen_hashes`` table to make the next
+        batch incremental (the media twin of
+        ``CorpusResult.fingerprints``). A re-crawl of a byte-identical
+        payload matches regardless of path or landing time; dropped
+        re-encodes carry different bytes and are re-dropped by the
+        content tier instead."""
+        return self.survivors.select(
+            F.col("_chash").alias("chash")
+        ).distinct()
 
 
 def run_media_corpus(
@@ -83,8 +96,17 @@ def run_media_corpus(
     embed_dim: int = 64,
     glob: str | None = None,
     stream_timeout_s: int = 300,
+    seen_hashes: DataFrame | None = None,
 ) -> MediaCorpusResult:
-    """Run the full media pipeline; see module docstring for stages."""
+    """Run the full media pipeline; see module docstring for stages.
+
+    ``seen_hashes`` makes the run incremental across corpus drops: a
+    standing table of content hashes (column ``chash``) from
+    previously ingested batches — decodable files whose payload hash
+    already exists leave via a left-anti join before the in-batch
+    dedup tiers, so processing stays O(batch), not O(history).
+    Maintain the table with :meth:`MediaCorpusResult.content_hashes`.
+    """
     from geoestate_etl_spark.operators.multimodal import embed_media_stub
     from geoestate_etl_spark.operators.semantic_dedup import (
         cluster_embeddings,
@@ -145,6 +167,21 @@ def run_media_corpus(
     ).persist()
     n_decodable = decodable.count()
 
+    # incremental tier: payloads already in the standing corpus leave
+    # before any in-batch dedup work (content-addressed — a re-crawl
+    # under a new path matches its hash)
+    if seen_hashes is not None:
+        decodable_new = decodable.join(
+            seen_hashes.select(F.col("chash").alias("_chash")),
+            "_chash",
+            "left_anti",
+        ).persist()
+        n_unseen = decodable_new.count()
+        decodable.unpersist()
+        decodable = decodable_new
+    else:
+        n_unseen = n_decodable
+
     # 3. exact dedup: min-id keeper per content hash (skinny groupBy;
     #    the stats are byte-determined, so min() per group is exact).
     #    The tier's funnel count rides content_unique's materialization
@@ -170,6 +207,9 @@ def run_media_corpus(
         .groupBy("_fp")
         .agg(
             F.min("media_id").alias("media_id"),
+            # keeper's content hash rides along: content_hashes() feeds
+            # the standing seen_hashes table for incremental drops
+            F.min_by("_chash", "media_id").alias("_chash"),
             *[F.min_by(c, "media_id").alias(c) for c in meta_cols],
         )
         .drop("_fp")
@@ -242,6 +282,7 @@ def run_media_corpus(
     return MediaCorpusResult(
         n_files=n_files,
         n_decodable=n_decodable,
+        n_unseen=n_unseen,
         n_exact_unique=n_exact_unique,
         n_content_unique=n_content_unique,
         n_semantic_dropped=n_semantic_dropped,

@@ -134,6 +134,57 @@ def test_empty_landing_yields_zero_funnel(spark, tmp_path):
         res.unpersist()
 
 
+def test_seen_hashes_incremental_across_drops(spark, tmp_path):
+    """The standing content-hash table (media twin of the text
+    pipeline's ``seen`` fingerprints) makes the next corpus drop
+    incremental: re-crawled byte-identical payloads leave before the
+    in-batch dedup tiers regardless of path; new media flow through."""
+    from tests.media_corpus_fixture import (
+        generate_media_landing,
+        make_png_pattern,
+    )
+
+    land1 = str(tmp_path / "l1")
+    pred1 = generate_media_landing(
+        land1, n_unique_png=8, n_wav=2, n_exact_dup=2, n_reencode=2, n_junk=1
+    )
+    res1 = run_media_corpus(spark, land1, str(tmp_path / "w1"), n_shards=1)
+    assert res1.n_unseen == res1.n_decodable  # no standing table yet
+    assert res1.n_final == pred1.n_final
+    # detach the standing table from res1's caches before unpersist
+    seen = spark.createDataFrame(
+        [(r.chash,) for r in res1.content_hashes().collect()], "chash long"
+    )
+    res1.unpersist()
+
+    # drop 2: three re-crawls of batch-1 uniques under NEW paths plus
+    # two genuinely new images. Re-crawl indices 3..5 — uniques with
+    # NO exact-dup or re-encode twin in batch 1, so their own bytes
+    # are guaranteed to be the surviving chash (a re-encode twin can
+    # win the min-media_id keeper election, since media_id is a path
+    # hash, and then the STANDING table carries the re-encode's bytes)
+    land2 = str(tmp_path / "l2")
+    os.makedirs(land2)
+    for i in (3, 4, 5):
+        w, h = 16 + (i % 5), 12 + (i % 7)
+        with open(os.path.join(land2, f"recrawl-{i}.png"), "wb") as f:
+            f.write(make_png_pattern(w, h, off=i))
+    for i in range(2):
+        with open(os.path.join(land2, f"new-{i}.png"), "wb") as f:
+            f.write(make_png_pattern(40, 30, off=200 + i))
+    res2 = run_media_corpus(
+        spark, land2, str(tmp_path / "w2"), n_shards=1, seen_hashes=seen
+    )
+    try:
+        assert (res2.n_files, res2.n_decodable) == (5, 5)
+        assert res2.n_unseen == 2  # the three re-crawls leave here
+        assert res2.n_final == 2
+        assert res2.audit_ok
+        assert res2.shard_manifest["total_samples"] == 2
+    finally:
+        res2.unpersist()
+
+
 def test_semantic_negative_control_is_a_real_stage(spark, run):
     """The 0 semantic drops are a verified prediction, not a skipped
     stage: byte-identical payloads produce IDENTICAL stub embeddings
