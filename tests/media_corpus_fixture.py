@@ -109,11 +109,24 @@ def generate_media_landing(
             f.write(b"not a media payload " * (i + 1))
 
     n_files = n_unique_png + n_wav + n_exact_dup + n_reencode + n_junk
+    # content-tier prediction COMPUTED from the construction (still
+    # before any Spark runs): at large n_unique_png the ramp offset
+    # wraps mod 256 and two different images can share a decoded-stats
+    # triple (n_px, px_sum, px_max) — the content tier then keeps one
+    # of them, by design. Enumerating the planted triples keeps the
+    # prediction exact at every tier size instead of assuming
+    # distinctness.
+    triples = set()
+    for i in range(n_unique_png):
+        w, h = 16 + (i % 5), 12 + (i % 7)
+        vals = [(x + y + i) % 256 for y in range(h) for x in range(w)]
+        triples.add((w * h, sum(vals), max(vals)))
+    n_content = len(triples) + n_wav  # wav sample-counts are distinct
     return MediaFunnelPrediction(
         n_files=n_files,
         n_decodable=n_files - n_junk,
         n_exact_unique=n_unique_png + n_wav + n_reencode,
-        n_content_unique=n_unique_png + n_wav,
+        n_content_unique=n_content,
         n_semantic_dropped=0,
-        n_final=n_unique_png + n_wav,
+        n_final=n_content,
     )

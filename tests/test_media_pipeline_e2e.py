@@ -201,3 +201,51 @@ def test_semantic_negative_control_is_a_real_stage(spark, run):
     rows = {r.media_id: r.embedding for r in emb.collect()}
     a, b = list(rows.values())
     assert a == b  # identical bytes ⇒ identical embedding
+
+
+@pytest.mark.slow
+def test_media_pipeline_10x_scale_predicted_funnel(spark, tmp_path):
+    """10× the bench tier (4,400 landing files): the streaming ingest,
+    every dedup tier, the shard write, and the audit all hold at scale
+    with the funnel still PREDICTED exactly from the construction —
+    including the content-tier stat collisions that appear once the
+    pixel ramp wraps mod 256 (the fixture enumerates the planted
+    triples instead of assuming distinctness)."""
+    import time
+
+    land = str(tmp_path / "land10x")
+    pred = generate_media_landing(
+        land,
+        n_unique_png=2400,
+        n_wav=400,
+        n_exact_dup=800,
+        n_reencode=600,
+        n_junk=200,
+    )
+    assert pred.n_files == 4400
+    t0 = time.perf_counter()
+    res = run_media_corpus(spark, land, str(tmp_path / "work10x"), n_shards=8)
+    wall = time.perf_counter() - t0
+    try:
+        assert (
+            res.n_files,
+            res.n_decodable,
+            res.n_exact_unique,
+            res.n_content_unique,
+            res.n_semantic_dropped,
+            res.n_final,
+        ) == (
+            pred.n_files,
+            pred.n_decodable,
+            pred.n_exact_unique,
+            pred.n_content_unique,
+            pred.n_semantic_dropped,
+            pred.n_final,
+        )
+        assert res.audit_ok
+        assert res.shard_manifest["total_samples"] == pred.n_final
+        assert len(res.shard_manifest["shards"]) == 8
+        # generous wall bound: the point is no blowup, not a race
+        assert wall < 300, f"10x media pipeline took {wall:.0f}s"
+    finally:
+        res.unpersist()
