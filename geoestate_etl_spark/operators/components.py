@@ -20,6 +20,7 @@ lineage each iteration, which keeps deep iterative plans compilable.
 from __future__ import annotations
 
 import threading
+import weakref
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -34,14 +35,29 @@ from pyspark.sql import functions as F
 #: single-task. Every entrant therefore sizes from the ORIGINAL value
 #: (saved once by the first entrant), the session conf holds the MAX
 #: over all active windows (a big concurrent CC is never shrunk by a
-#: tiny one), and the last exit restores the original. Residual,
-#: documented: a concurrent NON-CC query planned inside someone
-#: else's active window sees the reduced setting — performance-only,
-#: bounded by the window's duration, and impossible at scale (a big
-#: edge set sizes to the original, making the window a no-op).
+#: tiny one), and the last exit restores the original. State is keyed
+#: PER SparkSession (weakly, so a stopped session's entry is
+#: collectable): ``spark.sql.shuffle.partitions`` is a session-scoped
+#: conf, and a process-global saved value would let a second session's
+#: window size itself from — and "restore" — the FIRST session's
+#: setting (r8 ADVICE, medium). Residuals, documented: a concurrent
+#: NON-CC query planned inside someone else's active window sees the
+#: reduced setting, and a user conf change made mid-window is
+#: overwritten on exit — both performance-only, bounded by the
+#: window's duration, and impossible at scale (a big edge set sizes
+#: to the original, making the window a no-op).
 _conf_lock = threading.Lock()
-_conf_saved: str | None = None
-_conf_active: list[int] = []
+
+
+class _WindowState:
+    __slots__ = ("saved", "active")
+
+    def __init__(self) -> None:
+        self.saved: str | None = None
+        self.active: list[int] = []
+
+
+_conf_state: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 @contextmanager
@@ -49,13 +65,17 @@ def _iteration_shuffle_window(sess, n_edges: int):
     """Temporarily size ``spark.sql.shuffle.partitions`` from the
     measured edge count (≥100k edges per partition; never raised above
     the session setting — at scale this is a no-op)."""
-    global _conf_saved
     key = "spark.sql.shuffle.partitions"
     entered = False
+    npart = 0
     with _conf_lock:
+        st = _conf_state.get(sess)
+        if st is None:
+            st = _WindowState()
+            _conf_state[sess] = st
         try:
             original = int(
-                sess.conf.get(key) if _conf_saved is None else _conf_saved
+                sess.conf.get(key) if st.saved is None else st.saved
             )
         except ValueError:  # non-numeric conf (e.g. "auto")
             original = None
@@ -65,22 +85,30 @@ def _iteration_shuffle_window(sess, n_edges: int):
             # window running beside it cannot hold the conf at 1 while
             # the large iteration plans its rounds
             npart = max(1, min(original, n_edges // 100_000 + 1))
-            if _conf_saved is None:
-                _conf_saved = str(original)
-            _conf_active.append(npart)
-            sess.conf.set(key, str(max(_conf_active)))
+            saved_before = st.saved
+            if st.saved is None:
+                st.saved = str(original)
+            st.active.append(npart)
+            try:
+                sess.conf.set(key, str(max(st.active)))
+            except Exception:
+                # undo the bookkeeping so a failed set cannot pin
+                # max(active) for every future window (r8 ADVICE, low)
+                st.active.remove(npart)
+                st.saved = saved_before
+                raise
             entered = True
     try:
         yield
     finally:
         if entered:
             with _conf_lock:
-                _conf_active.remove(npart)
-                if _conf_active:
-                    sess.conf.set(key, str(max(_conf_active)))
-                elif _conf_saved is not None:
-                    sess.conf.set(key, _conf_saved)
-                    _conf_saved = None
+                st.active.remove(npart)
+                if st.active:
+                    sess.conf.set(key, str(max(st.active)))
+                elif st.saved is not None:
+                    sess.conf.set(key, st.saved)
+                    st.saved = None
 
 
 def connected_components(

@@ -1438,7 +1438,9 @@ MEDIA_CONTENT_SCHEMA = T.StructType(
 )
 
 
-def decode_media_content(df: DataFrame) -> DataFrame:
+def decode_media_content(
+    df: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """REAL content decode over ``mapInPandas``: PNG/BMP/GIF payloads
     → exact pixel statistics (count / integer sum / max over every
     decoded subpixel), AVI payloads → the same statistics over every
@@ -1450,12 +1452,21 @@ def decode_media_content(df: DataFrame) -> DataFrame:
     tracks (H.264, no stdlib codec) yield NULL stats rows — the
     honest boundary: their CONTAINER metadata is still decoded by
     :func:`decode_media_real`.
+
+    ``passthrough`` names input columns (beyond ``media_id``/
+    ``content``) echoed verbatim onto the output — e.g. a JVM-computed
+    ``xxhash64(content)`` the streaming sink persists beside the stats
+    so a later batch read can detect in-place-modified landing files
+    (r8 ADVICE). Their types are copied from the input schema.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+            extras = [pdf[c] for c in passthrough]
+            for mid, payload, *extra in zip(
+                pdf["media_id"], pdf["content"], *extras
+            ):
                 b = bytes(payload) if payload is not None else b""
                 fmt = sniff_media(b)["format"]
                 n_px = px_sum = px_max = n_s = sq = peak = None
@@ -1486,12 +1497,14 @@ def decode_media_content(df: DataFrame) -> DataFrame:
                         s64 = s.astype(np.int64)
                         sq = int((s64 * s64).sum())
                         peak = int(np.abs(s64).max()) if s.size else None
-                rows.append((int(mid), fmt, n_px, px_sum, px_max, n_s, sq, peak))
+                rows.append(
+                    (int(mid), fmt, n_px, px_sum, px_max, n_s, sq, peak, *extra)
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "format", "n_px", "px_sum", "px_max",
-                    "n_samples", "pcm_sq_sum", "pcm_peak",
+                    "n_samples", "pcm_sq_sum", "pcm_peak", *passthrough,
                 ],
             ).astype(
                 {
@@ -1501,6 +1514,10 @@ def decode_media_content(df: DataFrame) -> DataFrame:
                 }
             )
 
+    out_schema = T.StructType(
+        MEDIA_CONTENT_SCHEMA.fields
+        + [T.StructField(c, df.schema[c].dataType) for c in passthrough]
+    )
     # .rdd is a batch-only API (raises on streaming frames); a
     # streaming micro-batch inherits the file source's packing, which
     # is already the parallelism the trigger admitted (r7 —
@@ -1509,7 +1526,7 @@ def decode_media_content(df: DataFrame) -> DataFrame:
         parallelism = min(df.sparkSession.sparkContext.defaultParallelism, 8)
         if df.rdd.getNumPartitions() < parallelism:
             df = df.repartition(parallelism)
-    return df.mapInPandas(_decode, MEDIA_CONTENT_SCHEMA)
+    return df.mapInPandas(_decode, out_schema)
 
 
 def resize_image_nearest(df: DataFrame, width: int, height: int) -> DataFrame:

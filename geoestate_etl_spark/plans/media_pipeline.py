@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class MediaCorpusResult:
     n_files: int
+    n_stale: int  # listed files whose stored decode hash ≠ current bytes
     n_decodable: int
     n_unseen: int  # == n_decodable when no standing table was given
     n_exact_unique: int
@@ -107,6 +108,8 @@ def run_media_corpus(
     dedup tiers, so processing stays O(batch), not O(history).
     Maintain the table with :meth:`MediaCorpusResult.content_hashes`.
     """
+    from pyspark.sql import Observation
+
     from geoestate_etl_spark.operators.multimodal import embed_media_stub
     from geoestate_etl_spark.operators.semantic_dedup import (
         cluster_embeddings,
@@ -139,9 +142,11 @@ def run_media_corpus(
     # into this stats table) leaves a data-file-less sink dir that
     # schema inference cannot read — the nothing-new case must yield a
     # zero funnel, not an AnalysisException (r8 review finding)
-    from geoestate_etl_spark.operators.multimodal import MEDIA_CONTENT_SCHEMA
+    from geoestate_etl_spark.streaming.media_ingest import (
+        MEDIA_STATS_SINK_SCHEMA,
+    )
 
-    stats = spark.read.schema(MEDIA_CONTENT_SCHEMA).parquet(stats_path)
+    stats = spark.read.schema(MEDIA_STATS_SINK_SCHEMA).parquet(stats_path)
 
     # 2. decodability gate over the batch listing + decoded stats.
     #    DEDUP DECISIONS RUN ON A SKINNY RELATION: (media_id, content
@@ -162,10 +167,40 @@ def run_media_corpus(
         "n_bytes",
         F.xxhash64("content").alias("_chash"),
     ).join(stats, "media_id")
-    decodable = skinny.filter(
+    # stale-stats guard: the file-stream checkpoint never re-reads a
+    # path it consumed, so a landing file MODIFIED IN PLACE pairs its
+    # fresh listing bytes with the old decode. The ingest sink stores
+    # the hash of the bytes it actually decoded (r8 ADVICE); rows
+    # whose stored hash no longer matches the listing's are flagged
+    # out here rather than silently gated/deduped on stale stats.
+    # (NULL stored hash = legacy sink rows, trusted as-was.)
+    obs_stale = Observation()
+    skinny = skinny.observe(
+        obs_stale,
+        F.sum(
+            (
+                F.col("chash").isNotNull()
+                & (F.col("chash") != F.col("_chash"))
+            ).cast("long")
+        ).alias("n_stale"),
+    ).filter(F.col("chash").isNull() | (F.col("chash") == F.col("_chash")))
+    decodable = skinny.drop("chash").filter(
         F.greatest(*[F.col(c).isNotNull() for c in stat_cols])
     ).persist()
     n_decodable = decodable.count()
+    try:
+        n_stale = int(obs_stale.get["n_stale"] or 0)
+    except Exception:
+        # driver-local-relation quirk (see corpus_pipeline) — tiny
+        # test inputs recompute directly
+        n_stale = (
+            media.select("media_id", F.xxhash64("content").alias("_c"))
+            .join(stats.select("media_id", "chash"), "media_id")
+            .filter(
+                F.col("chash").isNotNull() & (F.col("chash") != F.col("_c"))
+            )
+            .count()
+        )
 
     # incremental tier: payloads already in the standing corpus leave
     # before any in-batch dedup work (content-addressed — a re-crawl
@@ -187,8 +222,6 @@ def run_media_corpus(
     #    The tier's funnel count rides content_unique's materialization
     #    via the Observation API — no dedicated count job (the same
     #    discipline as corpus_pipeline's n_exact)
-    from pyspark.sql import Observation
-
     meta_cols = ["source_path", "n_bytes", "format", *stat_cols]
     obs_exact = Observation()
     exact = decodable.groupBy("_chash").agg(
@@ -276,11 +309,16 @@ def run_media_corpus(
 
     n_final = survivors.count()
     content_unique.unpersist()
-    with_bytes.unpersist()
+    if survivors is not with_bytes:
+        # in the zero-survivor branch survivors IS with_bytes — keep
+        # the returned frame's cache so content_hashes()/reuse does
+        # not recompute the listing+join (r8 ADVICE)
+        with_bytes.unpersist()
     if sem_dropped is not None:
         sem_dropped.unpersist()
     return MediaCorpusResult(
         n_files=n_files,
+        n_stale=n_stale,
         n_decodable=n_decodable,
         n_unseen=n_unseen,
         n_exact_unique=n_exact_unique,

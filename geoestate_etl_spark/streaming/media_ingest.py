@@ -42,15 +42,34 @@ belongs to the training-data-pipeline extension tier.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from geoestate_etl_spark.operators.multimodal import decode_media_content
+from geoestate_etl_spark.operators.multimodal import (
+    MEDIA_CONTENT_SCHEMA,
+    decode_media_content,
+)
 from geoestate_etl_spark.sources.binary_source import media_table
 
-__all__ = ["stream_binary_files", "media_stats_stream"]
+__all__ = [
+    "stream_binary_files",
+    "media_stats_stream",
+    "MEDIA_STATS_SINK_SCHEMA",
+]
 
 #: binaryFile's fixed schema — streaming sources cannot infer it.
 BINARY_FILE_SCHEMA = (
     "path string, modificationTime timestamp, length long, content binary"
+)
+
+#: What the stats sink persists: the decode stats PLUS the payload's
+#: content hash at decode time. The file-stream source never re-reads
+#: a path its checkpoint consumed, so a landing file modified IN PLACE
+#: would otherwise pair fresh listing bytes with stale decoded stats
+#: undetected — the stored hash lets the batch reader flag exactly
+#: those rows (r8 ADVICE; see plans/media_pipeline.run_media_corpus).
+MEDIA_STATS_SINK_SCHEMA = T.StructType(
+    MEDIA_CONTENT_SCHEMA.fields + [T.StructField("chash", T.LongType())]
 )
 
 
@@ -87,7 +106,8 @@ def media_stats_stream(
 ):
     """Start the streaming decode: landing dir → per-file content
     stats parquet (``media_id, format, n_px, px_sum, px_max,
-    n_samples, pcm_sq_sum, pcm_peak``), exactly-once.
+    n_samples, pcm_sq_sum, pcm_peak, chash`` —
+    ``MEDIA_STATS_SINK_SCHEMA``), exactly-once.
 
     The output stays a stateless row transform end-to-end — no joins,
     no aggregation, no watermark state. ``media_id`` is
@@ -109,7 +129,15 @@ def media_stats_stream(
         max_files_per_trigger=max_files_per_trigger,
     )
     media = media_table(files)
-    stats = decode_media_content(media.select("media_id", "content"))
+    # xxhash64 runs JVM-side BEFORE the Arrow decode kernel; the hash
+    # rides through as a passthrough column so every stats row records
+    # which payload bytes it describes (MEDIA_STATS_SINK_SCHEMA)
+    stats = decode_media_content(
+        media.select(
+            "media_id", "content", F.xxhash64("content").alias("chash")
+        ),
+        passthrough=("chash",),
+    )
     writer = (
         stats.writeStream.format("parquet")
         .option("path", out_path)

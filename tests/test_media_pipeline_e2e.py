@@ -34,6 +34,7 @@ def run(spark, landing, tmp_path_factory):
 
 def test_predicted_funnel_exact(run):
     res, pred, _ = run
+    assert res.n_stale == 0  # nothing was modified in place
     assert (
         res.n_files,
         res.n_decodable,
@@ -87,31 +88,98 @@ def test_tamper_flagged_by_audit(spark, run):
         open(target, "wb").write(bytes(blob))
 
 
-def test_incremental_catchup_decodes_only_new_files(spark, run, landing):
+def test_incremental_catchup_decodes_only_new_files(spark, run, landing, tmp_path):
     """Re-running against the SAME checkpoint after a producer drops
     new files decodes only the new arrivals (exactly-once source log),
-    and the funnel reflects the grown corpus."""
+    and the funnel reflects the grown corpus.
+
+    The source checkpoint logs ABSOLUTE landing paths, so the catch-up
+    must run against the original dirs; both mutations are rolled back
+    in ``finally`` (late files removed, work dir restored from a
+    snapshot) so later module tests never depend on this test having
+    run — or not (r8 ADVICE)."""
+    import shutil
+
     from tests.media_corpus_fixture import make_png_pattern
 
     res, pred, work = run
     d, _ = landing
-    # drop 3 genuinely new images + 1 byte-copy of an existing unique
-    for i in range(3):
-        with open(os.path.join(d, f"late-{i:04d}.png"), "wb") as f:
-            f.write(make_png_pattern(30 + i, 25, off=100 + i))
-    with open(os.path.join(d, "late-dup.png"), "wb") as f:
-        f.write(make_png_pattern(16, 12, off=0))  # == img-0000.png bytes
-
-    res2 = run_media_corpus(spark, d, work, n_shards=2)
+    snap = str(tmp_path / "work_snapshot")
+    shutil.copytree(work, snap)
+    late = [os.path.join(d, f"late-{i:04d}.png") for i in range(3)]
+    late.append(os.path.join(d, "late-dup.png"))
     try:
-        # stats parquet grew by exactly the 4 new files (no re-decode
-        # of the backlog) — the exactly-once evidence
-        stats = spark.read.parquet(os.path.join(work, "stats"))
-        assert stats.count() == pred.n_files + 4
-        assert stats.select("media_id").distinct().count() == pred.n_files + 4
-        assert res2.n_files == pred.n_files + 4
-        assert res2.n_final == pred.n_final + 3  # dup collapses
+        # drop 3 genuinely new images + 1 byte-copy of an existing unique
+        for i in range(3):
+            with open(late[i], "wb") as f:
+                f.write(make_png_pattern(30 + i, 25, off=100 + i))
+        with open(late[3], "wb") as f:
+            f.write(make_png_pattern(16, 12, off=0))  # == img-0000.png bytes
+
+        res2 = run_media_corpus(spark, d, work, n_shards=2)
+        try:
+            # stats parquet grew by exactly the 4 new files (no re-decode
+            # of the backlog) — the exactly-once evidence
+            stats = spark.read.parquet(os.path.join(work, "stats"))
+            assert stats.count() == pred.n_files + 4
+            assert stats.select("media_id").distinct().count() == pred.n_files + 4
+            assert res2.n_files == pred.n_files + 4
+            assert res2.n_final == pred.n_final + 3  # dup collapses
+            assert res2.audit_ok
+        finally:
+            res2.unpersist()
+    finally:
+        for p in late:
+            if os.path.exists(p):
+                os.remove(p)
+        shutil.rmtree(work)
+        shutil.copytree(snap, work)
+
+
+def test_inplace_modified_file_flagged_stale_not_deduped_on_old_stats(
+    spark, tmp_path
+):
+    """A landing file MODIFIED IN PLACE between runs is never re-read
+    by the source checkpoint, so its stored decode describes bytes
+    that no longer exist. The stats sink records the decoded payload's
+    hash (r8 ADVICE); the batch gate must flag the row stale and keep
+    it out of every dedup tier instead of pairing the fresh listing
+    hash with stale stats."""
+    from tests.media_corpus_fixture import make_png_pattern
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    for i in range(4):
+        with open(os.path.join(land, f"img-{i}.png"), "wb") as f:
+            f.write(make_png_pattern(20, 15, off=i))
+    work = str(tmp_path / "work")
+    res1 = run_media_corpus(spark, land, work, n_shards=1)
+    assert (res1.n_stale, res1.n_final) == (0, 4)
+    res1.unpersist()
+
+    # overwrite img-1 in place with DIFFERENT pixels (same path ⇒ same
+    # media_id; the checkpoint will not re-decode it)
+    with open(os.path.join(land, "img-1.png"), "wb") as f:
+        f.write(make_png_pattern(20, 15, off=77))
+    # and drop one genuinely new file so the catch-up batch is non-empty
+    with open(os.path.join(land, "img-new.png"), "wb") as f:
+        f.write(make_png_pattern(20, 15, off=99))
+
+    res2 = run_media_corpus(spark, land, work, n_shards=1)
+    try:
+        assert res2.n_stale == 1  # img-1: stored hash ≠ current bytes
+        assert res2.n_files == 5
+        # the stale row left before the gate: 3 originals + the new one
+        assert res2.n_decodable == 4
+        assert res2.n_final == 4
         assert res2.audit_ok
+        # and the survivor set carries neither img-1's old nor new decode
+        assert (
+            res2.survivors.filter(
+                F.col("source_path").endswith("img-1.png")
+            ).count()
+            == 0
+        )
     finally:
         res2.unpersist()
 
