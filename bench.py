@@ -202,7 +202,7 @@ def bench_media_pipeline(spark) -> float:
     landing = os.path.join(d, "landing")
     pred = generate_media_landing(
         landing, n_unique_png=240, n_wav=40, n_exact_dup=80,
-        n_reencode=60, n_junk=20,
+        n_reencode=60, n_resized=50, n_releveled=40, n_junk=20,
     )
     t0 = time.perf_counter()
     res = run_media_corpus(
@@ -211,10 +211,12 @@ def bench_media_pipeline(spark) -> float:
     dt = round(time.perf_counter() - t0, 3)
     assert (
         res.n_files, res.n_decodable, res.n_exact_unique,
-        res.n_content_unique, res.n_semantic_dropped, res.n_final,
+        res.n_content_unique, res.n_perceptual_dropped,
+        res.n_semantic_dropped, res.n_final,
     ) == (
         pred.n_files, pred.n_decodable, pred.n_exact_unique,
-        pred.n_content_unique, pred.n_semantic_dropped, pred.n_final,
+        pred.n_content_unique, pred.n_perceptual_dropped,
+        pred.n_semantic_dropped, pred.n_final,
     )
     assert res.audit_ok
     res.unpersist()

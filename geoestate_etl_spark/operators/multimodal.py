@@ -1434,8 +1434,35 @@ MEDIA_CONTENT_SCHEMA = T.StructType(
         T.StructField("n_samples", T.LongType()),
         T.StructField("pcm_sq_sum", T.LongType()),
         T.StructField("pcm_peak", T.IntegerType()),
+        # r9: 64-bit perceptual dHash over the decoded pixels (video:
+        # frame 0), NULL for audio / undecodable / sub-grid images —
+        # computed in the SAME decode pass, so the perceptual dedup
+        # tier costs zero extra passes over payload bytes
+        T.StructField("phash", T.LongType()),
     ]
 )
+
+
+def media_pixels(b: bytes, fmt: str):
+    """Decoded pixel array for a payload of a sniffed format — the one
+    dispatch both the stats kernel and the perceptual-hash kernel use:
+    ``(h, w[, c])`` uint8 for images, ``(frames, h, w, 3)`` for video,
+    None for audio / undecodable."""
+    if fmt == "png":
+        return png_pixels(b)
+    if fmt == "bmp":
+        return bmp_pixels(b)
+    if fmt == "gif":
+        return gif_pixels(b)
+    if fmt == "avi":
+        return avi_frames(b)  # (F, h, w, 3): stats over ALL frames
+    if fmt == "mp4":
+        # r6: sample-table extraction; None unless the track's codec
+        # is decodable (Motion-JPEG; r7: avc1 I_PCM via operators/h264)
+        return mp4_frames(b)
+    if fmt == "jpeg":
+        return jpeg_pixels(b)  # r6: real entropy decode
+    return None
 
 
 def decode_media_content(
@@ -1461,6 +1488,8 @@ def decode_media_content(
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geoestate_etl_spark.operators.phash import dhash64_pixels
+
         for pdf in batches:
             rows = []
             extras = [pdf[c] for c in passthrough]
@@ -1469,27 +1498,13 @@ def decode_media_content(
             ):
                 b = bytes(payload) if payload is not None else b""
                 fmt = sniff_media(b)["format"]
-                n_px = px_sum = px_max = n_s = sq = peak = None
-                if fmt == "png":
-                    px = png_pixels(b)
-                elif fmt == "bmp":
-                    px = bmp_pixels(b)
-                elif fmt == "gif":
-                    px = gif_pixels(b)
-                elif fmt == "avi":
-                    px = avi_frames(b)  # (F, h, w, 3): stats over ALL frames
-                elif fmt == "mp4":
-                    # r6: sample-table extraction; None unless the
-                    # track's codec is decodable (Motion-JPEG)
-                    px = mp4_frames(b)
-                elif fmt == "jpeg":
-                    px = jpeg_pixels(b)  # r6: real entropy decode
-                else:
-                    px = None
+                n_px = px_sum = px_max = n_s = sq = peak = ph = None
+                px = media_pixels(b, fmt)
                 if px is not None:
                     n_px = int(px.size)
                     px_sum = int(px.astype(np.int64).sum())
                     px_max = int(px.max()) if px.size else None
+                    ph = dhash64_pixels(px)
                 if fmt == "wav":
                     s = wav_samples(b)
                     if s is not None:
@@ -1498,19 +1513,23 @@ def decode_media_content(
                         sq = int((s64 * s64).sum())
                         peak = int(np.abs(s64).max()) if s.size else None
                 rows.append(
-                    (int(mid), fmt, n_px, px_sum, px_max, n_s, sq, peak, *extra)
+                    (
+                        int(mid), fmt, n_px, px_sum, px_max, n_s, sq, peak,
+                        ph, *extra,
+                    )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "format", "n_px", "px_sum", "px_max",
-                    "n_samples", "pcm_sq_sum", "pcm_peak", *passthrough,
+                    "n_samples", "pcm_sq_sum", "pcm_peak", "phash",
+                    *passthrough,
                 ],
             ).astype(
                 {
                     "n_px": "Int64", "px_sum": "Int64", "px_max": "Int32",
                     "n_samples": "Int64", "pcm_sq_sum": "Int64",
-                    "pcm_peak": "Int32",
+                    "pcm_peak": "Int32", "phash": "Int64",
                 }
             )
 

@@ -1,0 +1,235 @@
+"""Perceptual near-duplicate hashing for media (r9 — VERDICT r8 #1).
+
+The media dedup story before this tier: the exact tier catches
+byte-identical copies, the decoded-stats fingerprint catches
+re-encodes with identical pixels — but a RESIZED or REQUANTIZED copy
+(different pixel counts/sums) evaded both, and the stub-embedding
+semantic stage is a verified negative control that drops nothing by
+design. This module closes that gap with a difference hash (dHash)
+computed as PURE INTEGER arithmetic over the already-decoded pixels
+(the in-repo decoders are hash-certified, so the inputs are exact),
+plus a Hamming-neighborhood LSH join that finds all pairs within a
+bit-distance budget without a corpus self-join.
+
+Why dHash (and why this exact integer formulation):
+
+- The hash is the 64-bit sign pattern of horizontal brightness
+  gradients over an 8-row × 9-column block grid. Gradients are
+  invariant to global brightness shifts, and block aggregation is
+  invariant to uniform rescaling — the two transforms that defeat the
+  stats fingerprint.
+- Block comparison uses CROSS-MULTIPLIED integer sums
+  (``sum_r · cnt_l > sum_l · cnt_r``) instead of float means, so the
+  hash is deterministic, engine-portable, and exactly predictable by
+  an oracle that knows the planted pixels. Two exact invariances fall
+  out of the algebra (the fixture's positive controls rely on both):
+
+  * **Re-level** (every pixel + d): each block sum shifts by
+    ``d·channels·cnt``, and ``(s_l + d·c·n_l)·n_r > (s_r + d·c·n_r)·n_l``
+    reduces to the original comparison — the hash is EXACTLY unchanged
+    (absent clipping at 0/255).
+  * **Integer upscale** (k× nearest-neighbor) with grid-aligned
+    dimensions (width divisible by 9, height by 8): block boundaries
+    scale exactly, every sum and count scales by k², the comparison is
+    unchanged — the hash is EXACTLY equal. For non-aligned dims the
+    boundaries shift by <1 source pixel per block: on images with
+    smooth large-scale structure (the perceptual case) that flips only
+    a few bits, inside the Hamming budget; pure noise — which has no
+    structure a perceptual hash could preserve — is the documented
+    worst case.
+
+Scale shape: hashing is one Arrow-batched pass over payload bytes
+(fused into the ingest decode in the pipeline — zero extra decode
+passes); pair-finding is band bucketing + an equi-self-join on a
+SKINNY (id, 64-bit hash) relation. With B bands of 64/B bits, any
+pair within Hamming distance d < B differs in at most d bands and so
+SHARES at least one band exactly (pigeonhole) — the band join is a
+COMPLETE candidate generator, not an approximation; the
+``bit_count(xor)`` rescore then filters to the true distance. Hot
+buckets (e.g. flat-color crawl junk all hashing to 0) are capped with
+the audited ``cap_hot_buckets``, the same quadratic-blowup guard the
+MinHash tier carries.
+
+The reference (GeoEstate-ETL) has no media surface; this is the
+training-data extension tier. dHash itself is public knowledge
+(widely documented perceptual-hash family); implementation is
+original and integer-exact.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["dhash64_pixels", "phash_media", "phash_near_dups"]
+
+#: grid geometry: 8 rows × 9 columns ⇒ 8×8 = 64 horizontal gradients
+_ROWS, _COLS = 8, 9
+
+
+def dhash64_pixels(px) -> int | None:
+    """64-bit integer dHash of a decoded pixel array.
+
+    Accepts ``(h, w)`` grayscale, ``(h, w, c)`` multi-channel, or
+    ``(frames, h, w, c)`` video (frame 0 — frame-level perceptual
+    identity). Images smaller than the 8×9 grid return None (no
+    meaningful gradient structure). Bit ``r*8 + c`` is set iff block
+    (r, c+1) is STRICTLY brighter than block (r, c) under the
+    cross-multiplied integer comparison. Result is wrapped to a
+    signed 64-bit value so it stores in a Spark ``long`` / DuckDB
+    ``BIGINT``; band extraction ``(phash >> (i*8)) & 255`` reads the
+    same bytes under arithmetic or logical shift, so both engines
+    agree without unsigned types.
+    """
+    if px is None:
+        return None
+    a = np.asarray(px)
+    if a.ndim == 4:  # video: first frame
+        if a.shape[0] == 0:
+            return None
+        a = a[0]
+    if a.ndim == 3:
+        lum = a.astype(np.int64).sum(axis=2)  # channel-SUM luminance
+    elif a.ndim == 2:
+        lum = a.astype(np.int64)
+    else:
+        return None
+    h, w = lum.shape
+    if h < _ROWS or w < _COLS:
+        return None
+    # integral image → O(1) block sums at exact floor boundaries
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(lum, axis=0), axis=1, out=integ[1:, 1:])
+    ys = [(r * h) // _ROWS for r in range(_ROWS + 1)]
+    xs = [(c * w) // _COLS for c in range(_COLS + 1)]
+    sums = np.empty((_ROWS, _COLS), dtype=object)  # exact int sums
+    cnts = np.empty((_ROWS, _COLS), dtype=np.int64)
+    for r in range(_ROWS):
+        for c in range(_COLS):
+            s = (
+                integ[ys[r + 1], xs[c + 1]]
+                - integ[ys[r], xs[c + 1]]
+                - integ[ys[r + 1], xs[c]]
+                + integ[ys[r], xs[c]]
+            )
+            sums[r, c] = int(s)
+            cnts[r, c] = (ys[r + 1] - ys[r]) * (xs[c + 1] - xs[c])
+    bits = 0
+    for r in range(_ROWS):
+        for c in range(_COLS - 1):
+            # right block strictly brighter, count-normalized exactly
+            if sums[r, c + 1] * int(cnts[r, c]) > sums[r, c] * int(
+                cnts[r, c + 1]
+            ):
+                bits |= 1 << (r * 8 + c)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def phash_media(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, phash) for every payload whose pixels decode — one
+    Arrow-batched pass through the in-repo decoders. Audio and
+    undecodable rows yield NULL. In the media pipeline the hash is
+    instead FUSED into the ingest decode (``decode_media_content``
+    emits it) so payload bytes are read once; this standalone form
+    serves ad-hoc frames."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geoestate_etl_spark.operators.multimodal import (
+            media_pixels,
+            sniff_media,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(payload) if payload is not None else b""
+                ph = dhash64_pixels(media_pixels(b, sniff_media(b)["format"]))
+                rows.append((int(mid), ph))
+            yield pd.DataFrame(rows, columns=[id_col, "phash"]).astype(
+                {"phash": "Int64"}
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    if not df.isStreaming:
+        parallelism = min(df.sparkSession.sparkContext.defaultParallelism, 8)
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
+    return df.mapInPandas(_hash, out_schema)
+
+
+def phash_near_dups(
+    sigs: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """All pairs within Hamming distance ``max_hamming`` of their
+    64-bit perceptual hashes → ``(id_a, id_b, hamming)``.
+
+    Eight 8-bit bands; a pair within distance d ≤ 7 differs in at most
+    d bands and therefore shares ≥ 8−d bands exactly — the band
+    equi-join is COMPLETE for ``max_hamming`` ≤ 7 (require it), and
+    the ``bit_count(xor)`` rescore is exact. Hot bands (flat-color
+    junk hashing identically) are occupancy-capped with the audited
+    guard; the cap is the documented completeness trade at scale,
+    exactly like the MinHash tier's.
+    """
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("max_hamming must be in [0, 7] for 8-band LSH")
+    from geoestate_etl_spark.operators.dedup import cap_hot_buckets
+
+    h = sigs.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_pid"), F.col(hash_col).alias("_ph")
+    )
+    bands = h.select(
+        "_pid",
+        "_ph",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        F.shiftright("_ph", i * 8).bitwiseAND(F.lit(255)),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("_band"),
+    )
+    bands = cap_hot_buckets(bands, ["_band"], bucket_cap)
+    left, right = bands.alias("l"), bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._pid") < F.col("r._pid")),
+        )
+        .select(
+            F.col("l._pid").alias("id_a"),
+            F.col("r._pid").alias("id_b"),
+            F.col("l._ph").alias("_ha"),
+            F.col("r._ph").alias("_hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        .cast(T.LongType())
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from geoestate_etl_spark.functions import text as TX
 from geoestate_etl_spark.operators import dedup as DD
@@ -446,6 +447,84 @@ PQ_M, PQ_K, PQ_SEED = 8, 16, 7
 def pq_codes_path(sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(_repo_root(), "data", "derived", f"pq_codes_{tag}.parquet")
+
+
+def media_phash_path(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        _repo_root(), "data", "derived", f"media_phash_{tag}.parquet"
+    )
+
+
+def ensure_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized perceptual-hash table ``(id, phash)`` for the
+    phash variant of ``near_dup_pairs`` (r9 — VERDICT r8 #1): one
+    grayscale NOISE image per document id, hashed through the REAL
+    PNG encode → decode → dHash path (``operators/phash.phash_media``).
+    Written ONCE per sf and reused (same write-once contract as the
+    signature artifacts; drift vs current kernels is caught by
+    ``tests/test_derived_artifacts.py``).
+
+    Why synthesized noise instead of ``attach_real_media`` payloads:
+    those are ramp/flat patterns by design (closed-form pixel sums),
+    which are all perceptual near-dups of EACH OTHER — the pair set
+    would grow quadratically with corpus size. Noise patterns keep
+    distinct ids far apart in Hamming space, and the planted twins —
+    ``id % 8 == 5`` is the 2× nearest-neighbor UPSCALE of id−1's
+    pattern, ``id % 8 == 6`` is id−2's pattern re-leveled +48 (both
+    exact dHash invariances; grid-aligned dims) — give a linear,
+    deterministic positive-pair population at every scale."""
+    import numpy as np
+    import pandas as pd
+
+    from geoestate_etl_spark.operators.phash import phash_media
+
+    path = media_phash_path(sf_dir)
+    if not os.path.exists(path):
+        from geoestate_etl_spark.operators.multimodal import _encode_gray_png
+
+        def _grid(seed: int) -> "np.ndarray":
+            w, h = 9 * (2 + seed % 3), 8 * (2 + (seed // 3) % 3)
+            idx = (
+                np.uint64(seed * 1_000_003 % (1 << 64))
+                + np.arange(h, dtype=np.uint64)[:, None] * np.uint64(4099)
+                + np.arange(w, dtype=np.uint64)[None, :]
+            )
+            v = idx
+            v ^= v >> np.uint64(30)
+            v *= np.uint64(0xBF58476D1CE4E5B9)
+            v ^= v >> np.uint64(27)
+            v *= np.uint64(0x94D049BB133111EB)
+            v ^= v >> np.uint64(31)
+            return (v % np.uint64(192)).astype(np.uint8)
+
+        def _gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["media_id"].astype("int64"):
+                    i = int(i)
+                    if i % 8 == 5:
+                        g = np.kron(
+                            _grid(i - 1), np.ones((2, 2), dtype=np.uint8)
+                        )
+                    elif i % 8 == 6:
+                        g = _grid(i - 2) + np.uint8(48)
+                    else:
+                        g = _grid(i)
+                    rows.append((i, _encode_gray_png(g)))
+                yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+        ids = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast(T.LongType()).alias("media_id")
+        )
+        par = min(spark.sparkContext.defaultParallelism, 8)
+        payloads = ids.repartition(par).mapInPandas(
+            _gen, "media_id long, content binary"
+        )
+        phash_media(payloads).select(
+            F.col("media_id").alias("id"), "phash"
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def ensure_neardup_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -623,14 +623,31 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       inlined as SQL literals like ``ann_certify``), bucket self-join
       + exact cosine ≥ 0.4 (the synthetic-testdata calibration used by
       ``semantic_dedup``) in integer e4.
+    - ``phash`` (r9 — VERDICT r8 #1): perceptual dHash near-dup pairs
+      from the ``ensure_media_phash`` artifact (noise images with
+      planted 2×-upscale and +48-re-level twins, hashed through the
+      REAL PNG decode) — 8-band Hamming LSH, occupancy cap, exact
+      ``bit_count(xor)`` ≤ 6 rescore, all rebuilt in SQL.
     """
     from geoestate_etl_spark.functions.vectors import to_double_array
     from geoestate_etl_spark.operators import dedup as DD
     from geoestate_etl_spark.operators import similarity as SIM
+    from geoestate_etl_spark.operators.phash import phash_near_dups
     from geoestate_etl_spark.operators.semantic_dedup import _dot_pre
-    from geoestate_etl_spark.plans.queries_ext import ensure_neardup_sigs
+    from geoestate_etl_spark.plans.queries_ext import (
+        ensure_media_phash,
+        ensure_neardup_sigs,
+    )
 
     sigs = ensure_neardup_sigs(spark, sf_dir)
+    ph = phash_near_dups(
+        ensure_media_phash(spark, sf_dir), max_hamming=6, bucket_cap=1024
+    ).select(
+        F.lit("phash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").alias("score"),
+    )
     mh = DD.minhash_pairs_exact(sigs).select(
         F.lit("minhash").alias("method"),
         "id_a",
@@ -673,7 +690,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= 4000)
         .select(F.lit("embedding").alias("method"), "id_a", "id_b", "score")
     )
-    return mh.unionByName(sh).unionByName(ed)
+    return mh.unionByName(sh).unionByName(ed).unionByName(ph)
 
 
 def q_components_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2139,6 +2156,7 @@ def _specs() -> list[QuerySpec]:
         _WC_SQL,
         dedup_pairs_path,
         ivf_assign_path,
+        media_phash_path,
         neardup_sigs_path,
         oracle_sf_dir,
         pq_codes_path,
@@ -2356,14 +2374,32 @@ def _specs() -> list[QuerySpec]:
         "CAST(round(list_cosine_similarity(ea.v, eb.v) * 10000) AS BIGINT) "
         "AS score FROM bo a JOIN bo b "
         "ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
-        "JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id) "
+        "JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id), "
+        # phash (r9): 8-band Hamming LSH over the committed perceptual
+        # hashes — band bytes via (hash >> 8i) & 255 (identical under
+        # arithmetic or logical shift, so signed 64-bit wrap is safe),
+        # 1024 occupancy cap, exact bit_count(xor) <= 6 rescore
+        "phs AS (SELECT id, phash FROM read_parquet("
+        f"'{media_phash_path(oracle_sf)}/*.parquet') "
+        "WHERE phash IS NOT NULL), "
+        "phb AS (SELECT id, phash, CAST(i AS VARCHAR) || ':' || "
+        "CAST((phash >> (i * 8)) & 255 AS VARCHAR) AS pband "
+        "FROM phs, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i)), "
+        "pho AS (SELECT * FROM phb WHERE pband IN "
+        "(SELECT pband FROM phb GROUP BY pband HAVING count(*) <= 1024)), "
+        "php AS (SELECT DISTINCT a.id AS id_a, a.phash AS pha, "
+        "b.id AS id_b, b.phash AS phb "
+        "FROM pho a JOIN pho b ON a.pband = b.pband AND a.id < b.id) "
         "SELECT 'minhash' AS method, id_a, id_b, "
         "i * 10000 // greatest(u, 1) AS score FROM mj WHERE i * 5 >= u "
         "UNION ALL SELECT 'simhash', id_a, id_b, "
         "CAST(bit_count(xor(ha, hb)) AS BIGINT) FROM sp "
         "WHERE bit_count(xor(ha, hb)) <= 3 "
         "UNION ALL SELECT 'embedding', id_a, id_b, score FROM ep "
-        "WHERE score >= 4000"
+        "WHERE score >= 4000 "
+        "UNION ALL SELECT 'phash', id_a, id_b, "
+        "CAST(bit_count(xor(pha, phb)) AS BIGINT) FROM php "
+        "WHERE bit_count(xor(pha, phb)) <= 6"
     )
 
     vocab_sql = (

@@ -246,3 +246,43 @@ def test_committed_pq_codes_match_current_code(spark):
     twin = encode_np(x, books)
     for r, codes in zip(rows, twin):
         assert committed[r["vec_id"]] == [int(c) for c in codes]
+
+
+def test_committed_media_phash_matches_current_code(spark, tmp_path):
+    """Drift gate for the perceptual-hash artifact (r9): the
+    `near_dup_pairs` phash variant certifies everything downstream of
+    data/derived/media_phash_sf0.01.parquet, so the committed (id,
+    phash) rows must equal what the current synth→PNG-encode→decode→
+    dHash path produces."""
+    import shutil
+
+    from geoestate_etl_spark.plans import queries_ext as QE
+
+    path = QE.media_phash_path(SF_ORACLE)
+    if not os.path.exists(path):
+        pytest.skip("no committed artifact for this sf (first run writes it)")
+    committed = {
+        (r.id, r.phash) for r in spark.read.parquet(path).collect()
+    }
+    # regenerate through the real builder into a scratch sf mirror:
+    # the builder keys purely off documents.parquet + the path
+    scratch = str(tmp_path / "sf_mirror")
+    os.makedirs(scratch)
+    shutil.copy(
+        os.path.join(SF_ORACLE, "documents.parquet"),
+        os.path.join(scratch, "documents.parquet"),
+    )
+    fresh_path = QE.media_phash_path(scratch)
+    try:
+        fresh = {
+            (r.id, r.phash)
+            for r in QE.ensure_media_phash(spark, scratch).collect()
+        }
+    finally:
+        if os.path.exists(fresh_path):
+            shutil.rmtree(fresh_path)
+    assert committed == fresh, (
+        f"committed media phash drifted from current code "
+        f"({len(committed - fresh)} stale, {len(fresh - committed)} missing) — "
+        f"delete {path}, rerun near_dup_pairs, and commit the rewrite"
+    )

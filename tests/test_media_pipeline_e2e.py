@@ -35,11 +35,16 @@ def run(spark, landing, tmp_path_factory):
 def test_predicted_funnel_exact(run):
     res, pred, _ = run
     assert res.n_stale == 0  # nothing was modified in place
+    # the perceptual tier is a POSITIVE control here: the fixture
+    # plants 5 resized + 4 re-leveled copies whose dHash equals their
+    # base's EXACTLY, so the prediction is nonzero (VERDICT r8 #1)
+    assert pred.n_perceptual_dropped >= 9
     assert (
         res.n_files,
         res.n_decodable,
         res.n_exact_unique,
         res.n_content_unique,
+        res.n_perceptual_dropped,
         res.n_semantic_dropped,
         res.n_final,
     ) == (
@@ -47,6 +52,7 @@ def test_predicted_funnel_exact(run):
         pred.n_decodable,
         pred.n_exact_unique,
         pred.n_content_unique,
+        pred.n_perceptual_dropped,
         pred.n_semantic_dropped,
         pred.n_final,
     )
@@ -100,7 +106,7 @@ def test_incremental_catchup_decodes_only_new_files(spark, run, landing, tmp_pat
     run — or not (r8 ADVICE)."""
     import shutil
 
-    from tests.media_corpus_fixture import make_png_pattern
+    from tests.media_corpus_fixture import _encode_gray_png, noise_rows
 
     res, pred, work = run
     d, _ = landing
@@ -109,12 +115,14 @@ def test_incremental_catchup_decodes_only_new_files(spark, run, landing, tmp_pat
     late = [os.path.join(d, f"late-{i:04d}.png") for i in range(3)]
     late.append(os.path.join(d, "late-dup.png"))
     try:
-        # drop 3 genuinely new images + 1 byte-copy of an existing unique
+        # drop 3 genuinely new NOISE images (indices far above the
+        # fixture's base range, so sums/hashes are fresh) + 1 byte-copy
+        # of an existing unique
         for i in range(3):
             with open(late[i], "wb") as f:
-                f.write(make_png_pattern(30 + i, 25, off=100 + i))
+                f.write(_encode_gray_png(noise_rows(100 + i)))
         with open(late[3], "wb") as f:
-            f.write(make_png_pattern(16, 12, off=0))  # == img-0000.png bytes
+            f.write(_encode_gray_png(noise_rows(0)))  # == img-0000.png bytes
 
         res2 = run_media_corpus(spark, d, work, n_shards=2)
         try:
@@ -145,13 +153,13 @@ def test_inplace_modified_file_flagged_stale_not_deduped_on_old_stats(
     hash (r8 ADVICE); the batch gate must flag the row stale and keep
     it out of every dedup tier instead of pairing the fresh listing
     hash with stale stats."""
-    from tests.media_corpus_fixture import make_png_pattern
+    from tests.media_corpus_fixture import _encode_gray_png, noise_rows
 
     land = str(tmp_path / "land")
     os.makedirs(land)
     for i in range(4):
         with open(os.path.join(land, f"img-{i}.png"), "wb") as f:
-            f.write(make_png_pattern(20, 15, off=i))
+            f.write(_encode_gray_png(noise_rows(i)))
     work = str(tmp_path / "work")
     res1 = run_media_corpus(spark, land, work, n_shards=1)
     assert (res1.n_stale, res1.n_final) == (0, 4)
@@ -160,10 +168,10 @@ def test_inplace_modified_file_flagged_stale_not_deduped_on_old_stats(
     # overwrite img-1 in place with DIFFERENT pixels (same path ⇒ same
     # media_id; the checkpoint will not re-decode it)
     with open(os.path.join(land, "img-1.png"), "wb") as f:
-        f.write(make_png_pattern(20, 15, off=77))
+        f.write(_encode_gray_png(noise_rows(77)))
     # and drop one genuinely new file so the catch-up batch is non-empty
     with open(os.path.join(land, "img-new.png"), "wb") as f:
-        f.write(make_png_pattern(20, 15, off=99))
+        f.write(_encode_gray_png(noise_rows(99)))
 
     res2 = run_media_corpus(spark, land, work, n_shards=1)
     try:
@@ -194,8 +202,9 @@ def test_empty_landing_yields_zero_funnel(spark, tmp_path):
     try:
         assert (
             res.n_files, res.n_decodable, res.n_exact_unique,
-            res.n_content_unique, res.n_semantic_dropped, res.n_final,
-        ) == (0, 0, 0, 0, 0, 0)
+            res.n_content_unique, res.n_perceptual_dropped,
+            res.n_semantic_dropped, res.n_final,
+        ) == (0, 0, 0, 0, 0, 0, 0)
         assert res.shard_manifest["total_samples"] == 0
         assert res.audit_ok
     finally:
@@ -208,13 +217,15 @@ def test_seen_hashes_incremental_across_drops(spark, tmp_path):
     incremental: re-crawled byte-identical payloads leave before the
     in-batch dedup tiers regardless of path; new media flow through."""
     from tests.media_corpus_fixture import (
+        _encode_gray_png,
         generate_media_landing,
-        make_png_pattern,
+        noise_rows,
     )
 
     land1 = str(tmp_path / "l1")
     pred1 = generate_media_landing(
-        land1, n_unique_png=8, n_wav=2, n_exact_dup=2, n_reencode=2, n_junk=1
+        land1, n_unique_png=8, n_wav=2, n_exact_dup=2, n_reencode=2,
+        n_resized=2, n_releveled=1, n_junk=1,
     )
     res1 = run_media_corpus(spark, land1, str(tmp_path / "w1"), n_shards=1)
     assert res1.n_unseen == res1.n_decodable  # no standing table yet
@@ -226,20 +237,20 @@ def test_seen_hashes_incremental_across_drops(spark, tmp_path):
     res1.unpersist()
 
     # drop 2: three re-crawls of batch-1 uniques under NEW paths plus
-    # two genuinely new images. Re-crawl indices 3..5 — uniques with
-    # NO exact-dup or re-encode twin in batch 1, so their own bytes
-    # are guaranteed to be the surviving chash (a re-encode twin can
-    # win the min-media_id keeper election, since media_id is a path
-    # hash, and then the STANDING table carries the re-encode's bytes)
+    # two genuinely new images. Re-crawl indices 5..7 — uniques with
+    # NO twin of ANY tier in batch 1 (exact-dup/re-encode cover 0-1,
+    # resized 0-1, re-leveled 0), so their own bytes are guaranteed to
+    # be the surviving chash (a twin can win the min-media_id keeper
+    # election, since media_id is a path hash, and then the STANDING
+    # table carries the twin's bytes)
     land2 = str(tmp_path / "l2")
     os.makedirs(land2)
-    for i in (3, 4, 5):
-        w, h = 16 + (i % 5), 12 + (i % 7)
+    for i in (5, 6, 7):
         with open(os.path.join(land2, f"recrawl-{i}.png"), "wb") as f:
-            f.write(make_png_pattern(w, h, off=i))
+            f.write(_encode_gray_png(noise_rows(i)))
     for i in range(2):
         with open(os.path.join(land2, f"new-{i}.png"), "wb") as f:
-            f.write(make_png_pattern(40, 30, off=200 + i))
+            f.write(_encode_gray_png(noise_rows(200 + i)))
     res2 = run_media_corpus(
         spark, land2, str(tmp_path / "w2"), n_shards=1, seen_hashes=seen
     )
@@ -273,7 +284,7 @@ def test_semantic_negative_control_is_a_real_stage(spark, run):
 
 @pytest.mark.slow
 def test_media_pipeline_10x_scale_predicted_funnel(spark, tmp_path):
-    """10× the bench tier (4,400 landing files): the streaming ingest,
+    """10× the bench tier (5,300 landing files): the streaming ingest,
     every dedup tier, the shard write, and the audit all hold at scale
     with the funnel still PREDICTED exactly from the construction —
     including the content-tier stat collisions that appear once the
@@ -288,9 +299,11 @@ def test_media_pipeline_10x_scale_predicted_funnel(spark, tmp_path):
         n_wav=400,
         n_exact_dup=800,
         n_reencode=600,
+        n_resized=500,
+        n_releveled=400,
         n_junk=200,
     )
-    assert pred.n_files == 4400
+    assert pred.n_files == 5300
     t0 = time.perf_counter()
     res = run_media_corpus(spark, land, str(tmp_path / "work10x"), n_shards=8)
     wall = time.perf_counter() - t0
@@ -300,6 +313,7 @@ def test_media_pipeline_10x_scale_predicted_funnel(spark, tmp_path):
             res.n_decodable,
             res.n_exact_unique,
             res.n_content_unique,
+            res.n_perceptual_dropped,
             res.n_semantic_dropped,
             res.n_final,
         ) == (
@@ -307,6 +321,7 @@ def test_media_pipeline_10x_scale_predicted_funnel(spark, tmp_path):
             pred.n_decodable,
             pred.n_exact_unique,
             pred.n_content_unique,
+            pred.n_perceptual_dropped,
             pred.n_semantic_dropped,
             pred.n_final,
         )
