@@ -1518,18 +1518,30 @@ def decode_media_content(
                         ph, *extra,
                     )
                 )
+            # nullable int columns are built with pd.array, NOT
+            # DataFrame-inference + astype: a batch mixing ints and
+            # None infers float64, and astype("Int64") then rounds
+            # values above 2^53 — a full-width hash like phash came
+            # back off by its low bits ONLY in batches that happened
+            # to contain a None row (r9 bug, caught by the media
+            # sweep's predicted funnel)
+            names = [
+                "media_id", "format", "n_px", "px_sum", "px_max",
+                "n_samples", "pcm_sq_sum", "pcm_peak", "phash",
+                *passthrough,
+            ]
+            cols = {n: [r[k] for r in rows] for k, n in enumerate(names)}
+            nullable = {
+                "n_px": "Int64", "px_sum": "Int64", "px_max": "Int32",
+                "n_samples": "Int64", "pcm_sq_sum": "Int64",
+                "pcm_peak": "Int32", "phash": "Int64",
+            }
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "format", "n_px", "px_sum", "px_max",
-                    "n_samples", "pcm_sq_sum", "pcm_peak", "phash",
-                    *passthrough,
-                ],
-            ).astype(
                 {
-                    "n_px": "Int64", "px_sum": "Int64", "px_max": "Int32",
-                    "n_samples": "Int64", "pcm_sq_sum": "Int64",
-                    "pcm_peak": "Int32", "phash": "Int64",
+                    n: pd.array(cols[n], dtype=nullable[n])
+                    if n in nullable
+                    else cols[n]
+                    for n in names
                 }
             )
 

@@ -147,13 +147,16 @@ def phash_media(
         )
 
         for pdf in batches:
-            rows = []
+            ids, hs = [], []
             for mid, payload in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(payload) if payload is not None else b""
-                ph = dhash64_pixels(media_pixels(b, sniff_media(b)["format"]))
-                rows.append((int(mid), ph))
-            yield pd.DataFrame(rows, columns=[id_col, "phash"]).astype(
-                {"phash": "Int64"}
+                ids.append(int(mid))
+                hs.append(dhash64_pixels(media_pixels(b, sniff_media(b)["format"])))
+            # pd.array, not astype: int+None columns infer float64 and
+            # astype("Int64") rounds 64-bit hashes above 2^53 (see
+            # decode_media_content)
+            yield pd.DataFrame(
+                {id_col: ids, "phash": pd.array(hs, dtype="Int64")}
             )
 
     out_schema = T.StructType(

@@ -174,3 +174,35 @@ def test_null_hashes_excluded(spark):
     )
     got = phash_near_dups(df).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]
+
+
+def test_full_width_hash_survives_mixed_batch_exactly(spark):
+    """Regression (r9): a pandas batch mixing int hashes and None rows
+    infers float64, and astype('Int64') silently rounds values above
+    2^53 — the low bits of a 64-bit hash. Both kernels now build the
+    column with pd.array; this pins a >2^53 hash flowing EXACTLY
+    through a single mixed batch (coalesce(1) forces co-batching)."""
+    from geoestate_etl_spark.operators.multimodal import (
+        decode_media_content,
+        png_pixels,
+    )
+    from tests.media_corpus_fixture import _encode_gray_png, noise_rows
+
+    rows_px = noise_rows(1)  # hash 7767691586975978858 > 2^53
+    expected = dhash64_pixels(
+        png_pixels(_encode_gray_png(rows_px))
+    )
+    assert abs(expected) > (1 << 53)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_encode_gray_png(rows_px))),
+            (2, bytearray(b"junk, forces a None hash in the batch")),
+        ],
+        "media_id long, content binary",
+    ).coalesce(1)
+    got_media = {r.media_id: r.phash for r in phash_media(df).collect()}
+    assert got_media[1] == expected and got_media[2] is None
+    got_decode = {
+        r.media_id: r.phash for r in decode_media_content(df).collect()
+    }
+    assert got_decode[1] == expected and got_decode[2] is None
