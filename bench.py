@@ -71,6 +71,7 @@ def bench_houses_pipeline(
 
     def one_rep(path: str, tag: str, rep: int) -> dict:
         spark.catalog.clearCache()  # comparable reps: no carryover cache
+        probe = quick_probe(spark)  # per-rep drift context (r8 #3)
         t0 = time.perf_counter()
         res = run_pipeline(
             spark, path, serving_path=os.path.join(d, f"serving_{tag}{rep}")
@@ -91,6 +92,7 @@ def bench_houses_pipeline(
         assert res.n_valid == fx.n_valid
         tops.setdefault(tag, []).append(top25)
         return {
+            "probe_jvm": probe,
             "ingest_validate_write": round(t1 - t0, 3),
             "analytics": round(t2 - t1, 3),
             "total": round(t2 - t0, 3),
@@ -126,6 +128,26 @@ def bench_houses_pipeline(
         },
     }
     return median, detail
+
+
+def quick_probe(spark) -> float:
+    """~0.3s single-sample JVM probe (VERDICT r8 #3): the once-per-run
+    ``calibration`` captures between-run drift but not throttle that
+    develops DURING a 70s+ suite (r8: houses ingest reps rose
+    8.7→14.8s while the run-level probe read *faster* than the rested
+    run's). One of these interleaved before every e2e rep/sample gives
+    each long line its own drift context. Same codegen shape as
+    ``jvm_range_agg`` at 1/8 the rows so the ratio to the run-level
+    number is directly interpretable (probe ≈ jvm_range_agg / 8 on an
+    un-throttled host; a rep whose probe reads 2x that is a throttled
+    sample, not a regression)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, 25_000_000).select(
+        F.sum((F.col("id") % 1000003) * 2 + 1).alias("s")
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
 
 
 def calibration(spark) -> dict:
@@ -451,13 +473,23 @@ def main() -> None:
     # recorded 31.4s for a ~14s line). The second sample costs ~20s
     # of bench wall and removes the single-cold-sample noise the
     # best-of-2 design exists to remove.
-    timings["corpus_pipeline"] = min(
-        bench_corpus_pipeline(spark), bench_corpus_pipeline(spark)
+    def _e2e_samples(fn, n: int = 2) -> tuple[float, list[dict]]:
+        # per-sample drift probe (r8 #3): each sample records the host
+        # state it ran under, so a slow sample with a slow probe reads
+        # as throttle, and one with a fast probe reads as a real cost
+        samples = []
+        for _ in range(n):
+            probe = quick_probe(spark)
+            samples.append({"probe_jvm": probe, "total": fn(spark)})
+        return min(s["total"] for s in samples), samples
+
+    timings["corpus_pipeline"], corpus_detail = _e2e_samples(
+        bench_corpus_pipeline
     )
     # r8: the media e2e line (predicted-funnel-verified); each run
     # pays a cold checkpoint by design.
-    timings["media_pipeline"] = min(
-        bench_media_pipeline(spark), bench_media_pipeline(spark)
+    timings["media_pipeline"], media_detail = _e2e_samples(
+        bench_media_pipeline
     )
 
     total = round(sum(timings.values()), 3)
@@ -477,7 +509,15 @@ def main() -> None:
         "cold_first_run": cold_material,
         "prepare_artifacts_build": prepare_build,
         "houses_pipeline_330k_detail": houses_detail,
+        "corpus_pipeline_detail": corpus_detail,
+        "media_pipeline_detail": media_detail,
         "calibration": cal,
+        "probe_note": (
+            "probe_jvm is a ~0.3s single-sample interleaved drift probe "
+            "(same codegen shape as calibration.jvm_range_agg at 1/8 "
+            "rows); compare a rep's probe to calibration.jvm_range_agg/8 "
+            "to tell throttle from regression (VERDICT r8 #3)"
+        ),
         "variants_note": (
             "each variant sample times the tag-filtered PREPARED suite "
             "plan (plan warmed untimed before the loop); suites with "

@@ -155,6 +155,91 @@ def _funnel_check(spark, sf_dir: str, res) -> dict:
     return report
 
 
+#: r9 (VERDICT r8 #2): `python tools/scale_sweep.py media` sweeps the
+#: media-pipeline e2e across 1x/3x/10x landing zones (1x = the bench
+#: tier's 530 files), with the funnel PREDICTED by the fixture at
+#: every tier and asserted against the observation — the same
+#: predicted-funnel discipline as the corpus sf3 run. Each sample is a
+#: cold checkpoint + fresh work dir (the bench-line semantics), best
+#: of 2 per tier; a quick JVM probe before each sample records the
+#: host drift context (VERDICT r8 #3).
+MEDIA_TIERS = (1, 3, 10)
+MEDIA_BASE = dict(
+    n_unique_png=240, n_wav=40, n_exact_dup=80,
+    n_reencode=60, n_resized=50, n_releveled=40, n_junk=20,
+)
+
+
+def _quick_probe(spark) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, 25_000_000).select(
+        F.sum((F.col("id") % 1000003) * 2 + 1).alias("s")
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def media_sweep(spark) -> dict:
+    import tempfile
+
+    from tests.media_corpus_fixture import generate_media_landing
+
+    from geoestate_etl_spark.plans.media_pipeline import run_media_corpus
+
+    tiers: dict[str, dict] = {}
+    for m in MEDIA_TIERS:
+        d = tempfile.mkdtemp(prefix=f"sweep_media_{m}x_")
+        landing = os.path.join(d, "landing")
+        pred = generate_media_landing(
+            landing, **{k: v * m for k, v in MEDIA_BASE.items()}
+        )
+        samples = []
+        for rep in range(2):
+            probe = _quick_probe(spark)
+            t0 = time.perf_counter()
+            res = run_media_corpus(
+                spark, landing, os.path.join(d, f"work{rep}"),
+                n_shards=4 * m,
+            )
+            dt = round(time.perf_counter() - t0, 3)
+            observed = (
+                res.n_files, res.n_decodable, res.n_exact_unique,
+                res.n_content_unique, res.n_perceptual_dropped,
+                res.n_semantic_dropped, res.n_final,
+            )
+            expected = (
+                pred.n_files, pred.n_decodable, pred.n_exact_unique,
+                pred.n_content_unique, pred.n_perceptual_dropped,
+                pred.n_semantic_dropped, pred.n_final,
+            )
+            assert observed == expected, (m, observed, expected)
+            assert res.audit_ok
+            res.unpersist()
+            samples.append({"probe_jvm": probe, "total": dt})
+        tiers[str(m)] = {
+            "n_files": pred.n_files,
+            "funnel": {
+                "decodable": pred.n_decodable,
+                "exact_unique": pred.n_exact_unique,
+                "content_unique": pred.n_content_unique,
+                "perceptual_dropped": pred.n_perceptual_dropped,
+                "final": pred.n_final,
+            },
+            "samples": samples,
+            "best": min(s["total"] for s in samples),
+        }
+        shutil.rmtree(d, ignore_errors=True)
+    xs = [math.log(m) for m in MEDIA_TIERS]
+    ys = [math.log(tiers[str(m)]["best"]) for m in MEDIA_TIERS]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    return {"tiers": tiers, "exponent": round(b, 2)}
+
+
 def main() -> None:
     from geoestate_etl_spark.plans.corpus_pipeline import run_corpus
     from geoestate_etl_spark.plans.prepared import invalidate_artifact_key
@@ -166,6 +251,7 @@ def main() -> None:
     from geoestate_etl_spark.session import get_spark
 
     sf3_mode = len(sys.argv) > 1 and sys.argv[1] == "sf3"
+    media_mode = len(sys.argv) > 1 and sys.argv[1] == "media"
     sfs = SFS + [(SF3_DIR, 3.0)] if sf3_mode else SFS
     lines = SF3_LINES if sf3_mode else LINES
 
@@ -188,6 +274,13 @@ def main() -> None:
         .repartition(spark.sparkContext.defaultParallelism)
         .select(_warm("id"))
     )
+
+    if media_mode:
+        print(json.dumps({
+            "media_sweep": media_sweep(spark),
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        }))
+        return
 
     results: dict[str, dict[str, float]] = {}
 
