@@ -245,6 +245,47 @@ def bench_media_pipeline(spark) -> float:
     return dt
 
 
+def bench_paired_pipeline(spark) -> float:
+    """The (image, caption) VLM-shape e2e (r9 — VERDICT r8 #4): joint
+    admission gate → image edges (exact/re-encode/perceptual) + text
+    edges (exact/MinHash near-dup) → union-closure election → paired
+    WebDataset shards + audit. 300 planted pairs across every tier;
+    the fixture PREDICTS the whole funnel (independent Python dHash +
+    MinHash + union-find) and the run asserts it, so this line times a
+    verified pipeline."""
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.paired_corpus_fixture import (
+        PAIR_SCHEMA,
+        generate_paired_rows,
+    )
+
+    from geoestate_etl_spark.plans.paired_pipeline import run_paired_corpus
+
+    rows, pred = generate_paired_rows(
+        n_base=120, n_img_exact=25, n_img_reenc=20, n_img_resized=20,
+        n_img_releveled=15, n_txt_exact=25, n_txt_near=20, n_chain=10,
+        n_gate_img=15, n_gate_txt=10,
+    )
+    d = tempfile.mkdtemp(prefix="bench_paired_")
+    pairs = spark.createDataFrame(rows, PAIR_SCHEMA)
+    t0 = time.perf_counter()
+    res = run_paired_corpus(spark, pairs, os.path.join(d, "shards"), n_shards=4)
+    dt = round(time.perf_counter() - t0, 3)
+    assert (
+        res.n_pairs, res.n_gated, res.n_image_edges, res.n_text_edges,
+        res.n_joint_dropped, res.n_final,
+    ) == (
+        pred.n_pairs, pred.n_gated, pred.n_image_edges, pred.n_text_edges,
+        pred.n_joint_dropped, pred.n_final,
+    )
+    assert res.audit_ok
+    res.unpersist()
+    return dt
+
+
 def main() -> None:
     spark = get_spark("geoestate-bench")
     specs = all_queries()
@@ -491,6 +532,11 @@ def main() -> None:
     timings["media_pipeline"], media_detail = _e2e_samples(
         bench_media_pipeline
     )
+    # r9: the (image, caption) joint-dedup e2e (predicted-funnel-
+    # verified, VERDICT r8 #4)
+    timings["paired_pipeline"], paired_detail = _e2e_samples(
+        bench_paired_pipeline
+    )
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -511,6 +557,7 @@ def main() -> None:
         "houses_pipeline_330k_detail": houses_detail,
         "corpus_pipeline_detail": corpus_detail,
         "media_pipeline_detail": media_detail,
+        "paired_pipeline_detail": paired_detail,
         "calibration": cal,
         "probe_note": (
             "probe_jvm is a ~0.3s single-sample interleaved drift probe "

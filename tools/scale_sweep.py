@@ -187,6 +187,22 @@ def media_sweep(spark) -> dict:
 
     from geoestate_etl_spark.plans.media_pipeline import run_media_corpus
 
+    # untimed warmup run at 1/4 tier size: the FIRST media pipeline in
+    # a session pays streaming-engine, binaryFile-source, CC-operator
+    # and tar-writer first-use costs that bench.py's media line never
+    # sees (it runs after the full query suite). Without this the 1x
+    # tier absorbed ~35s of session setup and read ABOVE the 3x tier.
+    # Every timed tier then measures the same shape: cold checkpoint +
+    # fresh landing zone, warm session.
+    wd = tempfile.mkdtemp(prefix="sweep_media_warm_")
+    wl = os.path.join(wd, "landing")
+    generate_media_landing(
+        wl, **{k: max(v // 4, 1) for k, v in MEDIA_BASE.items()}
+    )
+    run_media_corpus(spark, wl, os.path.join(wd, "work"), n_shards=2
+                     ).unpersist()
+    shutil.rmtree(wd, ignore_errors=True)
+
     tiers: dict[str, dict] = {}
     for m in MEDIA_TIERS:
         d = tempfile.mkdtemp(prefix=f"sweep_media_{m}x_")
