@@ -138,10 +138,16 @@ _SYL = (
 
 
 def _word(i: int) -> str:
-    """Distinct synthetic 6-letter word per index; never collides with
-    any language-marker token (those are <= 3 letters or 'una')."""
+    """Distinct synthetic word per index; never collides with any
+    language-marker token (those are <= 3 letters or 'una'). Indexes
+    below 15^3 yield 6-letter words; larger indexes grow a 4th
+    syllable (8-letter words, disjoint from the 6-letter space), so
+    the vocabulary scales to sweep-tier corpora."""
     a, b, c = i % 15, (i // 15) % 15, (i // 225) % 15
-    return _SYL[a] + _SYL[b] + _SYL[c]
+    w = _SYL[a] + _SYL[b] + _SYL[c]
+    if i < 3375:
+        return w
+    return w + _SYL[(i // 3375 - 1) % 15]
 
 
 #: 23-word template, 12 filler slots, static runs <= 2 words — every
@@ -155,10 +161,10 @@ _TEMPLATE = (
 
 def make_caption(idx: int) -> str:
     """Caption ``idx``: 12 fillers from the caption's own block of the
-    synthetic vocabulary (no two captions share a filler). The
-    3375-word vocabulary is split at 3000: captions draw below it
-    (idx < 250), mutations above — no cross-tier word reuse."""
-    assert idx < 250, "caption vocabulary block exhausted"
+    synthetic vocabulary (no two captions share a filler). The 54,000
+    distinct words are split at 36,000: captions draw below (up to
+    3,000 captions), mutations above — no cross-tier word reuse."""
+    assert idx < 3000, "caption vocabulary block exhausted"
     base = idx * 12
     return _TEMPLATE.format(*[_word(base + j) for j in range(12)])
 
@@ -167,8 +173,8 @@ def mutate_caption(caption: str, idx: int) -> str:
     """Append one caption-unique word (from the reserved top block of
     the vocabulary): 22 of 23 original shingles survive, one appears —
     true Jaccard 22/23 ≈ 0.956."""
-    assert idx < 375
-    return caption + " " + _word(3000 + idx)
+    assert idx < 18_000
+    return caption + " " + _word(36_000 + idx)
 
 
 # --- fixture ----------------------------------------------------------------

@@ -235,6 +235,34 @@ def main() -> None:
         "Plan-asserted Exchange-free in tests/test_tar_shards.py.\n\n"
         f"```\n{plan.strip()}\n```\n"
     )
+    # non-registry flagship: the r9 perceptual Hamming-LSH pair join
+    # (operators/phash.py) — shown over a real parquet scan so the
+    # pruned ReadSchema and the bucket equi-join are both visible
+    from pyspark.sql import functions as F
+
+    from geoestate_etl_spark.operators.phash import phash_near_dups
+
+    sigs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("id"), F.xxhash64("text").alias("phash")
+    )
+    df = phash_near_dups(sigs, id_col="id")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    out.append(
+        "## phash_near_dups (perceptual Hamming LSH — not a registry "
+        "entry; certified via near_dup_pairs' `phash` variant)\n\n"
+        "The 64-bit dHash pair finder is an equi-self-join on 8-bit "
+        "(band, byte) buckets — complete for Hamming distance <= 7 by "
+        "pigeonhole, no CartesianProduct anywhere. Hot buckets above "
+        "the occupancy cap are anti-joined out (broadcast) BEFORE the "
+        "self-join, and the exact `bit_count(xor)` rescore runs on the "
+        "candidate pairs only. The scan reads two columns; the media "
+        "pipeline computes the hash inside the ingest decode pass, so "
+        "this join's input is always a skinny (id, hash) relation.\n\n"
+        f"```\n{plan.strip()}\n```\n"
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
 

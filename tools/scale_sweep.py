@@ -256,6 +256,88 @@ def media_sweep(spark) -> dict:
     return {"tiers": tiers, "exponent": round(b, 2)}
 
 
+#: r9: `python tools/scale_sweep.py paired` sweeps the (image,
+#: caption) paired-dedup e2e across 1x/3x/10x pair corpora (1x = the
+#: bench tier's 300 pairs), the joint funnel — including exact edge
+#: counts — PREDICTED by the fixture's independent Python
+#: dHash/MinHash/union-find at every tier and asserted. Same
+#: discipline as the media sweep: untimed warmup, best-of-2, per-
+#: sample drift probes.
+PAIRED_TIERS = (1, 3, 10)
+PAIRED_BASE = dict(
+    n_base=120, n_img_exact=25, n_img_reenc=20, n_img_resized=20,
+    n_img_releveled=15, n_txt_exact=25, n_txt_near=20, n_chain=10,
+    n_gate_img=15, n_gate_txt=10,
+)
+
+
+def paired_sweep(spark) -> dict:
+    import tempfile
+
+    from tests.paired_corpus_fixture import (
+        PAIR_SCHEMA,
+        generate_paired_rows,
+    )
+
+    from geoestate_etl_spark.plans.paired_pipeline import run_paired_corpus
+
+    def run_tier(m: int, shards_dir: str):
+        rows, pred = generate_paired_rows(
+            **{k: v * m for k, v in PAIRED_BASE.items()}
+        )
+        pairs = spark.createDataFrame(rows, PAIR_SCHEMA)
+        t0 = time.perf_counter()
+        res = run_paired_corpus(spark, pairs, shards_dir, n_shards=4 * m)
+        dt = round(time.perf_counter() - t0, 3)
+        observed = (
+            res.n_pairs, res.n_gated, res.n_image_edges,
+            res.n_text_edges, res.n_joint_dropped, res.n_final,
+        )
+        expected = (
+            pred.n_pairs, pred.n_gated, pred.n_image_edges,
+            pred.n_text_edges, pred.n_joint_dropped, pred.n_final,
+        )
+        assert observed == expected, (m, observed, expected)
+        assert res.audit_ok
+        res.unpersist()
+        return dt, pred
+
+    # untimed warmup (CC operator, tar writer, Arrow pools)
+    wd = tempfile.mkdtemp(prefix="sweep_paired_warm_")
+    run_tier(1, os.path.join(wd, "shards"))
+    shutil.rmtree(wd, ignore_errors=True)
+
+    tiers: dict[str, dict] = {}
+    for m in PAIRED_TIERS:
+        d = tempfile.mkdtemp(prefix=f"sweep_paired_{m}x_")
+        samples = []
+        for rep in range(2):
+            probe = _quick_probe(spark)
+            dt, pred = run_tier(m, os.path.join(d, f"shards{rep}"))
+            samples.append({"probe_jvm": probe, "total": dt})
+        tiers[str(m)] = {
+            "n_pairs": pred.n_pairs,
+            "funnel": {
+                "gated": pred.n_gated,
+                "image_edges": pred.n_image_edges,
+                "text_edges": pred.n_text_edges,
+                "joint_dropped": pred.n_joint_dropped,
+                "final": pred.n_final,
+            },
+            "samples": samples,
+            "best": min(s["total"] for s in samples),
+        }
+        shutil.rmtree(d, ignore_errors=True)
+    xs = [math.log(m) for m in PAIRED_TIERS]
+    ys = [math.log(tiers[str(m)]["best"]) for m in PAIRED_TIERS]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    return {"tiers": tiers, "exponent": round(b, 2)}
+
+
 def main() -> None:
     from geoestate_etl_spark.plans.corpus_pipeline import run_corpus
     from geoestate_etl_spark.plans.prepared import invalidate_artifact_key
@@ -268,6 +350,7 @@ def main() -> None:
 
     sf3_mode = len(sys.argv) > 1 and sys.argv[1] == "sf3"
     media_mode = len(sys.argv) > 1 and sys.argv[1] == "media"
+    paired_mode = len(sys.argv) > 1 and sys.argv[1] == "paired"
     sfs = SFS + [(SF3_DIR, 3.0)] if sf3_mode else SFS
     lines = SF3_LINES if sf3_mode else LINES
 
@@ -294,6 +377,12 @@ def main() -> None:
     if media_mode:
         print(json.dumps({
             "media_sweep": media_sweep(spark),
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        }))
+        return
+    if paired_mode:
+        print(json.dumps({
+            "paired_sweep": paired_sweep(spark),
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         }))
         return
