@@ -177,24 +177,22 @@ def run_paired_corpus(
 
     n_pairs = pairs.count()
 
-    # one decode pass over the payload bytes: stats + perceptual hash
-    # (decode_media_content's contract — the dHash rides the same
-    # pixel array, zero extra byte reads). The relation everything
-    # downstream of the gate touches is SKINNY: (pair_id, content
-    # hash, six stat ints, phash, caption).
-    decoded = decode_media_content(
+    # ONE decode pass over the payload bytes produces everything the
+    # gate and every edge tier needs: stats + perceptual hash from the
+    # pixels, with the JVM-computed content hash and the caption
+    # riding the Arrow batch as passthrough columns — so the input
+    # relation is scanned once here (not once per derived column) and
+    # no join is needed to assemble the skinny relation: (pair_id,
+    # content hash, six stat ints, phash, caption).
+    skinny = decode_media_content(
         pairs.select(
-            F.col(id_col).alias("media_id"), F.col(content_col)
-        )
-    ).withColumnRenamed("media_id", id_col)
-    skinny = (
-        pairs.select(
-            id_col,
+            F.col(id_col).alias("media_id"),
+            F.col(content_col),
             F.xxhash64(content_col).alias("_chash"),
             caption_col,
-        )
-        .join(decoded, id_col)
-    )
+        ),
+        passthrough=("_chash", caption_col),
+    ).withColumnRenamed("media_id", id_col)
 
     gated = skinny.filter(
         F.col("n_px").isNotNull() & caption_gate
