@@ -171,6 +171,7 @@ def run_corpus(
     # production input is left alone — collapsing a well-partitioned
     # corpus to local parallelism and reshuffling raw text would be a
     # regression at scale. The minhash stage re-spreads survivors.
+    _jd = df.sparkSession.sparkContext.setJobDescription
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
@@ -236,6 +237,7 @@ def run_corpus(
         despanned = dedup_spans(
             gated, text_col, id_col, span_dedup_delimiter, span_dedup_min_chars
         ).persist()
+        _jd("corpus: span dedup")
         n_spans_dropped = int(
             despanned.agg(F.sum("n_spans_dropped")).first()[0] or 0
         )
@@ -251,6 +253,7 @@ def run_corpus(
         with_fp = with_fp.join(
             seen.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
         )
+        _jd("corpus: unseen anti-join")
         n_unseen = with_fp.count()
     else:
         n_unseen = None  # == n_gated; resolved from the observation below
@@ -292,6 +295,7 @@ def run_corpus(
     # rescore volume, not precision.
     near_dup_kwargs.setdefault("num_hashes", 24)
     near_dup_kwargs.setdefault("bands", 8)
+    _jd("corpus: minhash+cc+survivors")
     pairs = minhash_near_dups(
         exact,
         text_col,
@@ -341,6 +345,7 @@ def run_corpus(
             clustered, semantic_threshold, id_col=id_col
         )
         sem_dropped = decisions.filter(~F.col("kept")).select(id_col).persist()
+        _jd("corpus: semantic")
         n_semantic_dropped = sem_dropped.count()
         survivors = survivors.join(sem_dropped, id_col, "left_anti")
 
@@ -380,6 +385,7 @@ def run_corpus(
             .select(F.col(id_col))
             .persist()
         )
+        _jd("corpus: decontam")
         n_decontam_dropped = flagged_ids.count()
         survivors = survivors.join(flagged_ids, id_col, "left_anti")
 
@@ -396,7 +402,9 @@ def run_corpus(
         n_exact = int(obs_exact.get["n_exact"])
     except Exception:
         n_exact = exact.count()
+    _jd("corpus: scrub+count survivors")
     n_near = clean.count()
+    _jd(None)
     # clean is materialized now, so every upstream cache can go: the
     # drop-list persists only existed to keep their counts and the
     # survivor anti-joins on one computation each
@@ -431,6 +439,7 @@ def run_corpus(
     packed = pack_sequences(
         to_pack, id_col, "n_tokens", token_budget, num_partitions=pack_parts
     )
+    _jd("corpus: pack totals")
     totals = packed.agg(
         F.sum("n_tokens").alias("toks"),
         (F.countDistinct("chunk_id")).alias("chunks"),

@@ -84,6 +84,7 @@ def validate_stage(raw: DataFrame, scalable: bool = True) -> tuple[DataFrame, in
     153-158``.
     """
     parallelism = raw.sparkSession.sparkContext.defaultParallelism
+    _jd = raw.sparkSession.sparkContext.setJobDescription
     # Evaluate the ~20-regex predicate ONCE into a cached boolean: the
     # counts agg, the range-partitioner sampling job inside
     # renumber_scalable, and the main pass would otherwise each re-run
@@ -97,11 +98,13 @@ def validate_stage(raw: DataFrame, scalable: bool = True) -> tuple[DataFrame, in
     valid = flagged.filter(F.col("_valid")).drop("_valid")
     # both counts in ONE pass (conditional aggregation) instead of two
     # filter+count scans; this action also materializes the cache
+    _jd("houses: validate counts")
     counts = flagged.agg(
         F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("v"),
         F.count("*").alias("n"),
     ).collect()[0]
     n_valid, n_invalid = int(counts.v or 0), int(counts.n) - int(counts.v or 0)
+    _jd(None)
     renumber = renumber_scalable if scalable else renumber_global
     renumbered = renumber(
         valid.withColumn("house_id", F.col("house_id").cast("int")), "house_id", "new_id"
@@ -170,6 +173,7 @@ def run_pipeline(
         from geoestate_etl_spark.sources.jdbc_sink import write_serving_table
 
         kw = {"driver": jdbc_driver} if jdbc_driver else {}
+        spark.sparkContext.setJobDescription("houses: serving write (jdbc)")
         write_serving_table(
             clean, "house_id", jdbc_url=jdbc_url, table=jdbc_table,
             mode="overwrite", **kw,
@@ -177,7 +181,9 @@ def run_pipeline(
     elif serving_path is not None:
         # replaces collect()+batched INSERT (S7): partition-parallel,
         # clustered by the MergeTree sort key
+        spark.sparkContext.setJobDescription("houses: serving write")
         write_sorted_table(clean, serving_path, "house_id")
+        spark.sparkContext.setJobDescription(None)
 
     return PipelineResult(
         clean=clean,
