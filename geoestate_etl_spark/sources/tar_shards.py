@@ -78,8 +78,20 @@ _WRITE_SCHEMA = T.StructType(
         T.StructField("n_samples", T.LongType()),
         T.StructField("n_members", T.LongType()),
         T.StructField("tar_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
     ]
 )
+
+
+def _xor64(values) -> int:
+    """Order-independent XOR of signed-64 hash values — the Python
+    twin of ``F.bit_xor`` over a LongType column (bit-identical: XOR
+    is bitwise, so two's-complement signedness is irrelevant as long
+    as the 64-bit pattern is preserved)."""
+    acc = 0
+    for v in values:
+        acc ^= int(v) & 0xFFFFFFFFFFFFFFFF
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
 
 
 def write_tar_shards(
@@ -120,13 +132,19 @@ def write_tar_shards(
         any_present = any_present | F.col(member_cols[e]).isNotNull()
     df = df.where(any_present)
 
-    # persisted: the tar-writing pass and the checksum aggregate both
-    # scan the (binary-heavy) assigned frame; shard assignment is a
-    # pure hash so there is no consistency risk, only the double scan
+    # order-independent per-shard content checksum over the SOURCE
+    # rows (not the tar bytes), computed JVM-side BEFORE the shard
+    # shuffle and XOR-folded INSIDE the tar-writing pass — one scan of
+    # the binary-heavy frame produces tars AND checksums (r9: the old
+    # shape persisted the payload frame and scanned it twice, once per
+    # aggregate — guide §2.3, decide on metadata, touch bytes once)
+    member_hash = F.xxhash64(
+        F.col(key_col), *[F.col(member_cols[e]) for e in exts]
+    )
     assigned = df.withColumn(
         "_shard",
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("long"),
-    ).persist()
+    ).withColumn("_mh", member_hash)
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["_shard"].iloc[0])
@@ -153,31 +171,17 @@ def write_tar_shards(
             fh.write(data)
         os.replace(tmp, os.path.join(path, f"shard-{shard:05d}.tar"))
         return pd.DataFrame(
-            [(shard, len(pdf), n_members, len(data))],
-            columns=["shard", "n_samples", "n_members", "tar_bytes"],
+            [(shard, len(pdf), n_members, len(data), _xor64(pdf["_mh"]))],
+            columns=["shard", "n_samples", "n_members", "tar_bytes", "checksum"],
         )
 
-    try:
-        stats = (
-            assigned.groupBy("_shard")
-            .applyInPandas(_write, _WRITE_SCHEMA)
-            .orderBy("shard")
-            .collect()
-        )
-        # order-independent per-shard content checksum over the SOURCE
-        # rows (not the tar bytes): readers re-verify decoded members
-        # without depending on tar layout details
-        member_hash = F.xxhash64(
-            F.col(key_col), *[F.col(member_cols[e]) for e in exts]
-        )
-        sums = {
-            int(r["_shard"]): int(r["checksum"])
-            for r in assigned.groupBy("_shard")
-            .agg(F.bit_xor(member_hash).alias("checksum"))
-            .collect()
-        }
-    finally:
-        assigned.unpersist()
+    stats = (
+        assigned.groupBy("_shard")
+        .applyInPandas(_write, _WRITE_SCHEMA)
+        .orderBy("shard")
+        .collect()
+    )
+    sums = {int(r.shard): int(r.checksum) for r in stats}
     manifest = {
         "format": "webdataset-tar",
         "n_shards": n_shards,
@@ -317,6 +321,44 @@ _SAMPLE_SCHEMA = T.StructType(
 )
 
 
+def _walk_samples(tars: DataFrame, lenient: bool = False) -> DataFrame:
+    """Sequential tar walk → ``(shard_path, key, members)`` sample
+    rows; consecutive members of one key form one sample (the
+    WebDataset contract the writer enforces by sorting). ``lenient``
+    is for the AUDIT path only: a structurally corrupt tar yields zero
+    sample rows (verify flags its shard via the count mismatch)
+    instead of failing the job."""
+
+    def _samples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                cur_key, cur = None, {}
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                        for m in tar:
+                            if not m.isfile():
+                                continue
+                            stem, dot, ext = m.name.rpartition(".")
+                            key = stem if dot else m.name
+                            if key != cur_key and cur_key is not None:
+                                rows.append((p, cur_key, cur))
+                                cur = {}
+                            cur_key = key
+                            cur[ext if dot else ""] = tar.extractfile(m).read()
+                except (tarfile.TarError, OSError, EOFError):
+                    if not lenient:
+                        raise
+                    cur_key = None  # drop the partial sample too
+                if cur_key is not None:
+                    rows.append((p, cur_key, cur))
+            yield pd.DataFrame(
+                rows, columns=["shard_path", "key", "members"]
+            )
+
+    return tars.mapInPandas(_samples, _SAMPLE_SCHEMA)
+
+
 def read_tar_samples(spark: SparkSession, path: str) -> DataFrame:
     """Shuffle-free sample read: ``(shard_path, key, members:
     map<ext, binary>)`` assembled DURING the sequential tar walk —
@@ -331,30 +373,7 @@ def read_tar_samples(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("path", "content")
     )
-
-    def _samples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for p, blob in zip(pdf["path"], pdf["content"]):
-                cur_key, cur = None, {}
-                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
-                    for m in tar:
-                        if not m.isfile():
-                            continue
-                        stem, dot, ext = m.name.rpartition(".")
-                        key = stem if dot else m.name
-                        if key != cur_key and cur_key is not None:
-                            rows.append((p, cur_key, cur))
-                            cur = {}
-                        cur_key = key
-                        cur[ext if dot else ""] = tar.extractfile(m).read()
-                if cur_key is not None:
-                    rows.append((p, cur_key, cur))
-            yield pd.DataFrame(
-                rows, columns=["shard_path", "key", "members"]
-            )
-
-    return tars.mapInPandas(_samples, _SAMPLE_SCHEMA)
+    return _walk_samples(tars)
 
 
 def verify_tar_shards(
@@ -368,30 +387,35 @@ def verify_tar_shards(
         manifest = json.load(fh)
     member_cols = member_cols or manifest["member_cols"]
     exts = sorted(member_cols)
-    # lenient explode: the audit must REPORT a corrupt shard, not die
-    # on it (r8 review) — zero rows from a listed shard fails its
-    # count check below
+    # lenient sample walk: the audit must REPORT a corrupt shard, not
+    # die on it (r8 review) — zero rows from a listed shard fails its
+    # count check below. Samples are assembled DURING the sequential
+    # walk (the writer sorts members by key), so the audit is ONE pass
+    # over the tar bytes with no exchange ever moving them: only the
+    # 8-byte per-sample hash reaches the per-shard aggregation (r9 —
+    # the old path re-grouped members by key, shuffling every payload
+    # byte, and executed the tar explode twice: once for the grouping,
+    # once for the shard_path rejoin).
     tars = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "shard-*.tar")
         .load(path)
         .select("path", "content")
     )
-    members = _explode_members(tars, lenient=True)
+    samples = _walk_samples(tars, lenient=True)
     # rebuild each sample row's member tuple in the writer's column
     # order; hash parity with the writer's source-row checksum holds
     # because xxhash64 hashes a string's UTF-8 bytes and a binary's
     # raw bytes identically, so a text member read back as binary
     # still matches the string column it was written from
-    samples = group_samples(members).join(
-        members.select("key", "shard_path").distinct(), "key"
-    )
     cols = [F.col("key")]
     for ext in exts:
         c = F.col("members").getItem(ext)
         cols.append(c)
     got = (
-        samples.withColumn("_h", F.xxhash64(*cols))
+        samples.select(
+            "shard_path", F.xxhash64(*cols).alias("_h")
+        )
         .groupBy("shard_path")
         .agg(
             F.count(F.lit(1)).alias("rows_read"),
