@@ -116,6 +116,7 @@ def connected_components(
     left_col: str = "id_a",
     right_col: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int | None = 100_000,
 ) -> DataFrame:
     """Resolve (id_a, id_b) edges into (id, component) where component
     is the minimum id reachable from ``id`` — deterministic labels.
@@ -123,6 +124,19 @@ def connected_components(
     Returns ONLY nodes that appear in at least one pair (singletons
     are trivially their own component; callers union them in if
     needed).
+
+    ``driver_max_edges`` (r9): an edge set at or below this bound is
+    solved with driver-side union-find instead of the iterative
+    distributed loop. The bound is exactly the iteration window's
+    one-shuffle-partition clamp (≥100k edges per partition): below
+    it every distributed round would run as a SINGLE task anyway, so
+    the loop's per-round scheduling (one localCheckpoint job per
+    round, O(log diameter) rounds) is pure overhead over a graph
+    whose deduped edges are ≤ ~1.6 MB of longs — the same
+    driver-bounded-metadata class as the k-means centroids and range
+    boundaries. Labels are the identical unique fixed point (min
+    reachable id), pinned by ``tests/test_components.py`` parity.
+    ``None`` forces the distributed loop.
     """
     # symmetrize in ONE pass over the pair plan: explode each pair into
     # both directions instead of `pairs UNION pairs-reversed`, which
@@ -158,6 +172,10 @@ def connected_components(
     # clamp leaves the session setting untouched (≥100k edges per
     # partition keeps npart == default long before memory matters).
     n_edges = edges.count()
+    if driver_max_edges is not None and n_edges <= driver_max_edges:
+        out = _cc_driver(pairs.sparkSession, edges)
+        edges.unpersist()
+        return out
     # Truncate the edge lineage AFTER the cache is materialized: the
     # checkpoint scans cached partitions (cheap, and the expensive
     # upstream already executed WITH AQE via the count above), and the
@@ -186,6 +204,46 @@ def connected_components(
     # sized-shuffle window (thread-safe, see _iteration_shuffle_window)
     with _iteration_shuffle_window(pairs.sparkSession, n_edges):
         return _cc_iterate(edges, labels, max_iter)
+
+
+def _cc_driver(spark, edges: DataFrame) -> DataFrame:
+    """Union-find over a driver-collected (small, deduped, symmetric)
+    edge set — same (id, component=min reachable id) contract as the
+    distributed loop. Union-by-min keeps every set's root at its
+    minimum member; path halving keeps finds near-constant at this
+    size."""
+    from pyspark.sql import types as T
+
+    id_type = edges.schema["src"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges.collect():
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # min id stays the root
+
+    rows = [(x, find(x)) for x in parent]
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("component", id_type),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def _cc_iterate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:

@@ -136,9 +136,13 @@ def run_media_corpus(
     stats_path = os.path.join(work_dir, "stats")
     checkpoint = os.path.join(work_dir, "_checkpoint")
     shards_path = os.path.join(work_dir, "shards")
+    # stage labels for the UI / event log (guide §1.5); thread-local,
+    # cleared before returning
+    _jd = spark.sparkContext.setJobDescription
 
     # 1. streaming ingest: exactly-once decode of files not yet seen
     #    by this checkpoint (AvailableNow = catch-up then stop)
+    _jd("media: 1 ingest stream")
     q = media_stats_stream(
         spark, landing_dir, stats_path, checkpoint, glob=glob,
         available_now=True,
@@ -170,6 +174,7 @@ def run_media_corpus(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     media = media_table(reader.option("recursiveFileLookup", "true").load(landing_dir))
+    _jd("media: 2 listing count")
     n_files = media.count()
     stat_cols = ["n_px", "px_sum", "px_max", "n_samples", "pcm_sq_sum", "pcm_peak"]
     skinny = media.select(
@@ -198,6 +203,7 @@ def run_media_corpus(
     decodable = skinny.drop("chash").filter(
         F.greatest(*[F.col(c).isNotNull() for c in stat_cols])
     ).persist()
+    _jd("media: 2 decodable gate")
     n_decodable = decodable.count()
     try:
         n_stale = int(obs_stale.get["n_stale"] or 0)
@@ -222,6 +228,7 @@ def run_media_corpus(
             "_chash",
             "left_anti",
         ).persist()
+        _jd("media: 2b unseen anti-join")
         n_unseen = decodable_new.count()
         decodable.unpersist()
         decodable = decodable_new
@@ -262,6 +269,7 @@ def run_media_corpus(
         .drop("_fp")
         .persist()
     )
+    _jd("media: 3-4 exact+content dedup")
     n_content_unique = content_unique.count()
     try:
         n_exact_unique = int(obs_exact.get["n_exact"])
@@ -294,21 +302,23 @@ def run_media_corpus(
             max_hamming=perceptual_hamming,
             bucket_cap=perceptual_cap,
         )
-        # pairs are a tiny relation; only spin up the iterative CC when
-        # there is anything to cluster
-        if ppairs.limit(1).count() > 0:
-            pdrops = (
-                connected_components(ppairs)
-                .filter(F.col("id") != F.col("component"))
-                .select(F.col("id").alias("media_id"))
-                .persist()
-            )
-            n_perceptual_dropped = pdrops.count()
-            if n_perceptual_dropped:
-                keep = content_unique.join(
-                    pdrops, "media_id", "left_anti"
-                ).persist()
-            pdrops.unpersist()
+        # CC directly: its first action materializes the pair plan and
+        # its small-graph tier solves tiny edge sets on the driver, so
+        # the old any-pairs probe job (limit(1).count) bought nothing
+        # the election doesn't already do (r9)
+        _jd("media: 4b phash pairs + cc")
+        pdrops = (
+            connected_components(ppairs)
+            .filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias("media_id"))
+            .persist()
+        )
+        n_perceptual_dropped = pdrops.count()
+        if n_perceptual_dropped:
+            keep = content_unique.join(
+                pdrops, "media_id", "left_anti"
+            ).persist()
+        pdrops.unpersist()
 
     # bytes rejoin for the embed + shard stages: one keeper equi-join
     # (AQE broadcasts the skinny side at small scale)
@@ -335,6 +345,7 @@ def run_media_corpus(
         sem_dropped = (
             decisions.filter(~F.col("kept")).select("media_id").persist()
         )
+        _jd("media: 5 semantic")
         n_semantic_dropped = sem_dropped.count()
         emb.unpersist()
         survivors = with_bytes.join(
@@ -353,13 +364,16 @@ def run_media_corpus(
             F.struct("source_path", "format", "n_bytes", *stat_cols)
         ).alias("meta"),
     )
+    _jd("media: 6 shard write")
     manifest = write_tar_shards(
         to_shard, shards_path, n_shards,
         member_cols={"bin": "content", "json": "meta"},
     )
+    _jd("media: 6 audit")
     audit = verify_tar_shards(spark, shards_path)
     audit_ok = audit.filter(~F.col("ok")).limit(1).count() == 0
 
+    _jd("media: final count")
     n_final = survivors.count()
     content_unique.unpersist()
     if keep is not content_unique:
@@ -371,6 +385,7 @@ def run_media_corpus(
         with_bytes.unpersist()
     if sem_dropped is not None:
         sem_dropped.unpersist()
+    _jd(None)
     return MediaCorpusResult(
         n_files=n_files,
         n_stale=n_stale,

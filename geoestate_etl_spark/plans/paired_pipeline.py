@@ -175,6 +175,10 @@ def run_paired_corpus(
     if caption_gate is None:
         caption_gate = quality_gate(caption_col, min_tokens=3)
 
+    # stage labels for the UI / event log (guide §1.5); thread-local,
+    # cleared before returning
+    _jd = spark.sparkContext.setJobDescription
+    _jd("paired: input count")
     n_pairs = pairs.count()
 
     # ONE decode pass over the payload bytes produces everything the
@@ -197,6 +201,7 @@ def run_paired_corpus(
     gated = skinny.filter(
         F.col("n_px").isNotNull() & caption_gate
     ).persist()
+    _jd("paired: gate (decode+quality)")
     n_gated = gated.count()
 
     # incremental tier: pairs whose image payload OR caption already
@@ -221,6 +226,7 @@ def run_paired_corpus(
                 "left_anti",
             ).drop("_tfp0")
         unseen = unseen.persist()
+        _jd("paired: unseen anti-joins")
         n_unseen = unseen.count()
         gated.unpersist()
         gated = unseen
@@ -258,18 +264,35 @@ def run_paired_corpus(
     else:
         img_perc = None
 
-    # diagnostic counts on the (tiny) edge relations; cached because
-    # the CC stage consumes the same union
+    # diagnostic counts on the (tiny) edge relations: ONE tagged union
+    # cache + ONE aggregation job computes both sides' counts (r9 —
+    # two separate caches/count jobs before), and the CC stage
+    # consumes the same cached union
     img_edges = img_exact.unionByName(img_reenc)
     if img_perc is not None:
         img_edges = img_edges.unionByName(img_perc)
-    img_edges = img_edges.distinct().persist()
-    txt_edges = txt_exact.unionByName(txt_near).distinct().persist()
-    n_image_edges = img_edges.count()
-    n_text_edges = txt_edges.count()
+    tagged_edges = (
+        img_edges.distinct()
+        .withColumn("_src", F.lit("i"))
+        .unionByName(
+            txt_exact.unionByName(txt_near)
+            .distinct()
+            .withColumn("_src", F.lit("t"))
+        )
+        .persist()
+    )
+    _jd("paired: image+text edges")
+    edge_counts = {
+        r["_src"]: r["n"]
+        for r in tagged_edges.groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_image_edges = int(edge_counts.get("i", 0))
+    n_text_edges = int(edge_counts.get("t", 0))
 
     # --- union-closure election ---
-    all_edges = img_edges.unionByName(txt_edges).distinct()
+    all_edges = tagged_edges.select("id_a", "id_b").distinct()
     if n_image_edges + n_text_edges > 0:
         drops = (
             connected_components(all_edges)
@@ -277,15 +300,15 @@ def run_paired_corpus(
             .select(F.col("id").alias(id_col))
             .persist()
         )
+        _jd("paired: cc election")
         n_joint_dropped = drops.count()
         survivors_sk = gated.join(drops, id_col, "left_anti")
     else:
         drops = None
         n_joint_dropped = 0
         survivors_sk = gated
-    # drops is now materialized, so the edge caches have served the CC
-    img_edges.unpersist()
-    txt_edges.unpersist()
+    # drops is now materialized, so the edge cache has served the CC
+    tagged_edges.unpersist()
 
     # --- paired shards: bytes re-enter via ONE keeper equi-join ---
     survivors = (
@@ -300,6 +323,7 @@ def run_paired_corpus(
             F.struct(F.col(id_col), "format", *_STAT_COLS)
         ).alias("_meta"),
     )
+    _jd("paired: shard write")
     manifest = write_tar_shards(
         to_shard,
         shards_path,
@@ -310,8 +334,10 @@ def run_paired_corpus(
             "json": "_meta",
         },
     )
+    _jd("paired: audit")
     audit = verify_tar_shards(spark, shards_path)
     audit_ok = audit.filter(~F.col("ok")).limit(1).count() == 0
+    _jd("paired: final count")
     n_final = survivors.count()
     # survivors is materialized (shard write + count) — only now are
     # the upstream caches safe to release without recompute exposure
@@ -319,6 +345,7 @@ def run_paired_corpus(
     if drops is not None:
         drops.unpersist()
 
+    _jd(None)
     return PairedCorpusResult(
         n_pairs=n_pairs,
         n_gated=n_gated,
