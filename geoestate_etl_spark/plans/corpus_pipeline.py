@@ -338,15 +338,25 @@ def run_corpus(
         )
 
         emb_surv = embeddings.join(survivors.select(id_col), id_col)
-        clustered = cluster_embeddings(
-            emb_surv, n_cells=semantic_cells, id_col=id_col
-        ).join(emb_surv, id_col)
+        # persisted for the same reason as media_pipeline's clustered:
+        # the decisions plan references this subtree ~8x (capped
+        # self-join sides, dropped distinct, decisions rejoin) and
+        # every uncached occurrence re-runs the ArrowEvalPython cell
+        # assignment (r9)
+        clustered = (
+            cluster_embeddings(
+                emb_surv, n_cells=semantic_cells, id_col=id_col
+            )
+            .join(emb_surv, id_col)
+            .persist()
+        )
         _, decisions = semantic_dedup(
             clustered, semantic_threshold, id_col=id_col
         )
         sem_dropped = decisions.filter(~F.col("kept")).select(id_col).persist()
         _jd("corpus: semantic")
         n_semantic_dropped = sem_dropped.count()
+        clustered.unpersist()
         survivors = survivors.join(sem_dropped, id_col, "left_anti")
 
     # exact-substring masking (Lee et al. 2022) on the deduped

@@ -336,9 +336,23 @@ def run_media_corpus(
         emb = embed_media_stub(
             with_bytes, dim=embed_dim, id_col="media_id"
         ).persist()
-        clustered = cluster_embeddings(
-            emb, n_cells=semantic_cells, id_col="media_id"
-        ).join(emb, "media_id")
+        # clustered is persisted because the decisions plan references
+        # it ~8 times (the capped self-join's two sides, the dropped
+        # distinct, the decisions rejoin): uncached, every occurrence
+        # re-ran the ArrowEvalPython cell-assignment over emb and the
+        # broadcast subtrees raced 3 concurrent re-executions of the
+        # embed lineage (measured 8-10s per subtree job at sf-bench,
+        # ~30s of the media line). One cache entry of (id, cell,
+        # embedding) — bounded per key — serves all of them (r9;
+        # guide §4 eliminate duplicated Python eval, TUNING persist
+        # rules).
+        clustered = (
+            cluster_embeddings(
+                emb, n_cells=semantic_cells, id_col="media_id"
+            )
+            .join(emb, "media_id")
+            .persist()
+        )
         _, decisions = semantic_dedup(
             clustered, semantic_threshold, id_col="media_id"
         )
@@ -347,6 +361,7 @@ def run_media_corpus(
         )
         _jd("media: 5 semantic")
         n_semantic_dropped = sem_dropped.count()
+        clustered.unpersist()
         emb.unpersist()
         survivors = with_bytes.join(
             sem_dropped, "media_id", "left_anti"
