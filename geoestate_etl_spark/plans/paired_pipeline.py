@@ -104,11 +104,20 @@ class PairedCorpusResult:
 
 
 def _star_edges(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
-    """(member → group-min) edges for an equality tier: one groupBy
-    shuffle + one co-partitioned join; |edges| = Σ (group − 1)."""
-    roots = df.groupBy(key_col).agg(F.min(id_col).alias("_root"))
+    """(member → group-min) edges for an equality tier as a window
+    min over the key partition — ONE shuffle of (key, id) pairs;
+    |edges| = Σ (group − 1). The groupBy-roots + equi-join
+    formulation this replaces shuffled the relation twice and spawned
+    a broadcast-future job per tier (r9; same rewrite corpus_
+    pipeline's exact tier measured at 2× in r5). Duplicate families
+    are small by nature, so the per-partition window buffer is
+    trivial."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
     return (
-        df.join(roots, key_col)
+        df.select(F.col(key_col), F.col(id_col))
+        .withColumn("_root", F.min(id_col).over(w))
         .filter(F.col(id_col) != F.col("_root"))
         .select(
             F.col("_root").alias("id_a"), F.col(id_col).alias("id_b")

@@ -232,3 +232,22 @@ def test_no_edges_short_circuit(spark, tmp_path):
         assert res.n_final == pred.n_final
     finally:
         res.unpersist()
+
+
+def test_star_edges_window_semantics(spark):
+    """_star_edges (r9: window-min formulation, one shuffle) emits
+    exactly (group-min -> member) per equal-key group, no self-edges,
+    singletons silent."""
+    from pyspark.sql import functions as F
+
+    from geoestate_etl_spark.plans.paired_pipeline import _star_edges
+
+    df = spark.createDataFrame(
+        [(1, "a"), (5, "a"), (3, "a"), (2, "b"), (9, "c"), (4, "c")],
+        "pid long, k string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in _star_edges(df, "k", "pid").collect()
+    }
+    assert got == {(1, 5), (1, 3), (4, 9)}

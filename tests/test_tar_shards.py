@@ -260,3 +260,22 @@ def test_shard_bytes_deterministic_and_audit_catches_tamper(spark, tmp_path):
     open(target, "wb").write(bytes(blob))
     ok = {r.shard: r.ok for r in verify_tar_shards(spark, a).collect()}
     assert ok[0] is True and ok[1] is False
+
+def test_xor64_matches_jvm_bit_xor(spark):
+    """The writer folds the per-row member hash executor-side with
+    ``_xor64`` (r9 single-scan write); it must stay bit-identical to
+    the JVM ``bit_xor`` it replaced, including sign-bit patterns."""
+    import pyspark.sql.functions as F
+
+    from geoestate_etl_spark.sources.tar_shards import _xor64
+
+    vals = [
+        0, 1, -1, 2**63 - 1, -(2**63), 0x1234_5678_9ABC_DEF0,
+        -0x0FED_CBA9_8765_4321, 42,
+    ]
+    jvm = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .agg(F.bit_xor("v"))
+        .first()[0]
+    )
+    assert _xor64(vals) == int(jvm)
