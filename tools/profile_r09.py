@@ -54,13 +54,42 @@ def run(which: list[str]) -> None:
     summarize(os.path.join(EVENT_DIR, app_id))
 
 
+def _iter_event_lines(log_path: str):
+    """Yield event-log JSON lines; handles the rolling v2 directory
+    layout (``eventlog_v2_<app>/events_*``) and zstd compression."""
+    paths = [log_path]
+    if os.path.isdir(log_path):
+        paths = sorted(
+            os.path.join(log_path, f)
+            for f in os.listdir(log_path)
+            if f.startswith("events_")
+        )
+    for p in paths:
+        if p.endswith(".zstd"):
+            import pyarrow as pa
+
+            with pa.CompressedInputStream(pa.OSFile(p), "zstd") as f:
+                data = f.read().decode()
+            yield from data.splitlines()
+        else:
+            with open(p) as fh:
+                yield from fh
+
+
 def summarize(log_path: str) -> None:
     """Aggregate job wall time per job description from the event log."""
     starts = {}
     agg = {}  # description -> [n_jobs, total_secs]
     order = []
-    with open(log_path) as fh:
-        for line in fh:
+    if not os.path.exists(log_path):
+        alt = os.path.join(
+            os.path.dirname(log_path),
+            "eventlog_v2_" + os.path.basename(log_path),
+        )
+        if os.path.exists(alt):
+            log_path = alt
+    if True:
+        for line in _iter_event_lines(log_path):
             ev = json.loads(line)
             et = ev.get("Event")
             if et == "SparkListenerJobStart":
