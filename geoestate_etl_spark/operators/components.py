@@ -174,8 +174,9 @@ def connected_components(
     n_edges = edges.count()
     if driver_max_edges is not None and n_edges <= driver_max_edges:
         out = _cc_driver(pairs.sparkSession, edges)
-        edges.unpersist()
-        return out
+        if out is not None:  # None = NULL ids seen; use the loop
+            edges.unpersist()
+            return out
     # Truncate the edge lineage AFTER the cache is materialized: the
     # checkpoint scans cached partitions (cheap, and the expensive
     # upstream already executed WITH AQE via the count above), and the
@@ -206,12 +207,14 @@ def connected_components(
         return _cc_iterate(edges, labels, max_iter)
 
 
-def _cc_driver(spark, edges: DataFrame) -> DataFrame:
+def _cc_driver(spark, edges: DataFrame) -> "DataFrame | None":
     """Union-find over a driver-collected (small, deduped, symmetric)
     edge set — same (id, component=min reachable id) contract as the
     distributed loop. Union-by-min keeps every set's root at its
     minimum member; path halving keeps finds near-constant at this
-    size."""
+    size. Returns None when a NULL id is present (Python cannot order
+    None against values; the caller falls back to the distributed
+    loop, whose null-key groupBy semantics are the contract)."""
     from pyspark.sql import types as T
 
     id_type = edges.schema["src"].dataType
@@ -226,6 +229,8 @@ def _cc_driver(spark, edges: DataFrame) -> DataFrame:
         return root
 
     for a, b in edges.collect():
+        if a is None or b is None:
+            return None
         if a not in parent:
             parent[a] = a
         if b not in parent:

@@ -234,3 +234,21 @@ def test_shuffle_window_failed_set_rolls_back_bookkeeping(spark):
     st = C._conf_state.get(sess)
     assert st is None or (st.active == [] and st.saved is None)
     assert spark.conf.get(key) == saved
+
+
+def test_driver_tier_null_ids_fall_back_to_loop(spark):
+    """A NULL id cannot be ordered in Python; the driver tier must
+    decline and the distributed loop's null-key semantics apply."""
+    df = spark.createDataFrame(
+        [(None, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.component for r in connected_components(df).collect()
+    }
+    want = {
+        r.id: r.component
+        for r in connected_components(
+            df, driver_max_edges=None
+        ).collect()
+    }
+    assert got == want
