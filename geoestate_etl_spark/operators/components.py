@@ -228,18 +228,25 @@ def _cc_driver(spark, edges: DataFrame) -> "DataFrame | None":
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.collect():
-        if a is None or b is None:
-            return None
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra  # min id stays the root
+    try:
+        for a, b in edges.collect():
+            if a is None or b is None:
+                return None
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # min id stays the root
+    except TypeError:
+        # ids Python can't hash or order consistently with Spark
+        # (BinaryType collects as bytearray → unhashable; float NaN
+        # breaks the min-root invariant) — fall back to the
+        # distributed loop, mirroring the NULL-id fallback (r9 ADVICE)
+        return None
 
     rows = [(x, find(x)) for x in parent]
     schema = T.StructType(

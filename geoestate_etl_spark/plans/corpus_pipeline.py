@@ -455,6 +455,10 @@ def run_corpus(
         (F.countDistinct("chunk_id")).alias("chunks"),
         F.count(F.lit(1)).alias("n_rows"),
     ).first()
+    # clear the stage label before the tail work — it would otherwise
+    # leak onto the shard write and every later job the caller runs in
+    # this session (r9 ADVICE)
+    _jd(None)
     if mix_budgets is not None:
         n_mix_selected = int(totals["n_rows"])
 

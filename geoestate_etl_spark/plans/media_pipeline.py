@@ -174,15 +174,20 @@ def run_media_corpus(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     media = media_table(reader.option("recursiveFileLookup", "true").load(landing_dir))
-    _jd("media: 2 listing count")
-    n_files = media.count()
     stat_cols = ["n_px", "px_sum", "px_max", "n_samples", "pcm_sq_sum", "pcm_peak"]
+    # the listing count rides the decodable gate's materialization of
+    # this same scan via the Observation API (r10) — observed ABOVE
+    # the stats join, so every listed row is counted exactly like the
+    # old dedicated media.count() job this replaces
+    obs_files = Observation()
     skinny = media.select(
         "media_id",
         "source_path",
         "n_bytes",
         F.xxhash64("content").alias("_chash"),
-    ).join(stats, "media_id")
+    ).observe(obs_files, F.count(F.lit(1)).alias("n_files")).join(
+        stats, "media_id"
+    )
     # stale-stats guard: the file-stream checkpoint never re-reads a
     # path it consumed, so a landing file MODIFIED IN PLACE pairs its
     # fresh listing bytes with the old decode. The ingest sink stores
@@ -205,6 +210,12 @@ def run_media_corpus(
     ).persist()
     _jd("media: 2 decodable gate")
     n_decodable = decodable.count()
+    try:
+        n_files = int(obs_files.get["n_files"])
+    except Exception:
+        # driver-local-relation quirk (see below) — recompute directly
+        _jd("media: 2 listing count")
+        n_files = media.count()
     try:
         n_stale = int(obs_stale.get["n_stale"] or 0)
     except Exception:
@@ -371,8 +382,13 @@ def run_media_corpus(
         n_semantic_dropped = 0
         survivors = with_bytes
 
-    # 6. training shards + audit readback
-    to_shard = survivors.select(
+    # 6. training shards + audit readback. The final funnel count
+    #    rides the shard write's materialization of the survivor cache
+    #    via the Observation API (r10) — no dedicated count job.
+    obs_final = Observation()
+    to_shard = survivors.observe(
+        obs_final, F.count(F.lit(1)).alias("n_final")
+    ).select(
         F.format_string("%016x", F.col("media_id")).alias("key"),
         "content",
         F.to_json(
@@ -388,8 +404,12 @@ def run_media_corpus(
     audit = verify_tar_shards(spark, shards_path)
     audit_ok = audit.filter(~F.col("ok")).limit(1).count() == 0
 
-    _jd("media: final count")
-    n_final = survivors.count()
+    try:
+        n_final = int(obs_final.get["n_final"])
+    except Exception:
+        # driver-local-relation quirk: fall back to the (cached) count
+        _jd("media: final count")
+        n_final = survivors.count()
     content_unique.unpersist()
     if keep is not content_unique:
         keep.unpersist()

@@ -111,16 +111,49 @@ def _star_edges(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
     a broadcast-future job per tier (r9; same rewrite corpus_
     pipeline's exact tier measured at 2× in r5). Duplicate families
     are small by nature, so the per-partition window buffer is
-    trivial."""
+    trivial.
+
+    Precondition: ``key_col`` must be non-null (all callers feed
+    xxhash64 / md5-of-gated-non-null keys). A nullable key would need
+    a ``isNotNull`` pre-filter to keep the old groupBy+equi-join
+    contract, where null keys never matched and were dropped — the
+    window would instead group all NULLs into one partition (r9
+    ADVICE)."""
+    return _star_edges_tagged(df, [("", key_col)], id_col).select(
+        "id_a", "id_b"
+    )
+
+
+def _star_edges_tagged(
+    df: DataFrame, tiers: list[tuple[str, str]], id_col: str
+) -> DataFrame:
+    """All equality tiers' star edges in ONE window shuffle (r10 —
+    guide §2.4): the (tag, key) pairs of every tier stack into one
+    relation and a single ``min(id) over (partition by tag, key)``
+    window elects every tier's roots — tiers' key spaces are disjoint
+    by the tag, so per-tier edges are exactly :func:`_star_edges`'s.
+    Returns ``(tag, id_a, id_b)``; shuffled bytes are the same
+    Σ (key, id) rows as the per-tier windows, in ONE exchange instead
+    of one per tier. Same non-null-key precondition as
+    :func:`_star_edges`."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col)
+    stacked = None
+    for tag, key_col in tiers:
+        part = df.select(
+            F.lit(tag).alias("_tag"),
+            F.col(key_col).cast("string").alias("_key"),
+            F.col(id_col),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    w = Window.partitionBy("_tag", "_key")
     return (
-        df.select(F.col(key_col), F.col(id_col))
-        .withColumn("_root", F.min(id_col).over(w))
+        stacked.withColumn("_root", F.min(id_col).over(w))
         .filter(F.col(id_col) != F.col("_root"))
         .select(
-            F.col("_root").alias("id_a"), F.col(id_col).alias("id_b")
+            F.col("_tag").alias("tag"),
+            F.col("_root").alias("id_a"),
+            F.col(id_col).alias("id_b"),
         )
     )
 
@@ -243,53 +276,56 @@ def run_paired_corpus(
         n_unseen = n_gated
 
     # --- edge tiers (all on the skinny relation) ---
-    img_exact = _star_edges(gated, "_chash", id_col)
+    # the three EQUALITY tiers (image exact, image re-encode, caption
+    # exact) share ONE window shuffle (r10 — guide §2.4): their
+    # (tag, key, id) rows stack into a single min-over-partition
+    # window instead of one exchange per tier
     fp = F.xxhash64(
         *[F.coalesce(F.col(c), F.lit(-1)) for c in _STAT_COLS]
     )
-    img_reenc = _star_edges(gated.withColumn("_fp", fp), "_fp", id_col)
-    txt_exact = _star_edges(
-        gated.withColumn("_tfp", fingerprint_md5(caption_col)),
-        "_tfp",
+    eq_edges = _star_edges_tagged(
+        gated.withColumn("_fp", fp).withColumn(
+            "_tfp", fingerprint_md5(caption_col)
+        ),
+        [("i", "_chash"), ("i", "_fp"), ("t", "_tfp")],
         id_col,
-    )
-    txt_near = minhash_near_dups(
-        gated.select(id_col, caption_col),
-        text_col=caption_col,
-        id_col=id_col,
-        k_shingle=k_shingle,
-        num_hashes=num_hashes,
-        bands=bands,
-        jaccard_threshold=jaccard_threshold,
-        max_bucket_size=text_bucket_cap,
-    ).select("id_a", "id_b")
-    if perceptual_hamming is not None:
-        img_perc = phash_near_dups(
-            gated.select(id_col, "phash"),
+    ).withColumnRenamed("tag", "_src")
+    txt_near = (
+        minhash_near_dups(
+            gated.select(id_col, caption_col),
+            text_col=caption_col,
             id_col=id_col,
-            max_hamming=perceptual_hamming,
-            bucket_cap=perceptual_cap,
-        ).select("id_a", "id_b")
-    else:
-        img_perc = None
+            k_shingle=k_shingle,
+            num_hashes=num_hashes,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
+            max_bucket_size=text_bucket_cap,
+        )
+        .select("id_a", "id_b")
+        .withColumn("_src", F.lit("t"))
+    )
+    edges_all = eq_edges.unionByName(txt_near)
+    if perceptual_hamming is not None:
+        img_perc = (
+            phash_near_dups(
+                gated.select(id_col, "phash"),
+                id_col=id_col,
+                max_hamming=perceptual_hamming,
+                bucket_cap=perceptual_cap,
+            )
+            .select("id_a", "id_b")
+            .withColumn("_src", F.lit("i"))
+        )
+        edges_all = edges_all.unionByName(img_perc)
 
     # diagnostic counts on the (tiny) edge relations: ONE tagged union
     # cache + ONE aggregation job computes both sides' counts (r9 —
     # two separate caches/count jobs before), and the CC stage
-    # consumes the same cached union
-    img_edges = img_exact.unionByName(img_reenc)
-    if img_perc is not None:
-        img_edges = img_edges.unionByName(img_perc)
-    tagged_edges = (
-        img_edges.distinct()
-        .withColumn("_src", F.lit("i"))
-        .unionByName(
-            txt_exact.unionByName(txt_near)
-            .distinct()
-            .withColumn("_src", F.lit("t"))
-        )
-        .persist()
-    )
+    # consumes the same cached union. The per-side dedup is ONE
+    # distinct over (_src, id_a, id_b) — tags keep the sides disjoint,
+    # so this equals the r9 shape's two per-side distincts in a single
+    # exchange (r10).
+    tagged_edges = edges_all.distinct().persist()
     _jd("paired: image+text edges")
     edge_counts = {
         r["_src"]: r["n"]
@@ -301,7 +337,10 @@ def run_paired_corpus(
     n_text_edges = int(edge_counts.get("t", 0))
 
     # --- union-closure election ---
-    all_edges = tagged_edges.select("id_a", "id_b").distinct()
+    # no distinct here (r10): connected_components symmetrizes and
+    # dedups its edge input itself, so a pre-dedup exchange of the
+    # cross-tier union bought nothing
+    all_edges = tagged_edges.select("id_a", "id_b")
     if n_image_edges + n_text_edges > 0:
         drops = (
             connected_components(all_edges)
@@ -320,11 +359,20 @@ def run_paired_corpus(
     tagged_edges.unpersist()
 
     # --- paired shards: bytes re-enter via ONE keeper equi-join ---
+    from pyspark.sql import Observation
+
     survivors = (
         survivors_sk.join(pairs.select(id_col, content_col), id_col)
         .persist()
     )
-    to_shard = survivors.select(
+    # the final funnel count rides the shard write's materialization
+    # of the survivor cache via the Observation API — no dedicated
+    # count job (r10; the corpus n_exact discipline). The write is the
+    # action that populates the cache either way.
+    obs_final = Observation()
+    to_shard = survivors.observe(
+        obs_final, F.count(F.lit(1)).alias("n_final")
+    ).select(
         F.format_string("%016x", F.col(id_col)).alias("key"),
         F.col(content_col),
         F.col(caption_col),
@@ -346,8 +394,13 @@ def run_paired_corpus(
     _jd("paired: audit")
     audit = verify_tar_shards(spark, shards_path)
     audit_ok = audit.filter(~F.col("ok")).limit(1).count() == 0
-    _jd("paired: final count")
-    n_final = survivors.count()
+    try:
+        n_final = int(obs_final.get["n_final"])
+    except Exception:
+        # driver-local-relation quirk (see corpus_pipeline): tiny test
+        # inputs fall back to the direct (cached) count
+        _jd("paired: final count")
+        n_final = survivors.count()
     # survivors is materialized (shard write + count) — only now are
     # the upstream caches safe to release without recompute exposure
     gated.unpersist()

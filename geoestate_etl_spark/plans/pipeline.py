@@ -174,16 +174,24 @@ def run_pipeline(
 
         kw = {"driver": jdbc_driver} if jdbc_driver else {}
         spark.sparkContext.setJobDescription("houses: serving write (jdbc)")
-        write_serving_table(
-            clean, "house_id", jdbc_url=jdbc_url, table=jdbc_table,
-            mode="overwrite", **kw,
-        )
+        try:
+            write_serving_table(
+                clean, "house_id", jdbc_url=jdbc_url, table=jdbc_table,
+                mode="overwrite", **kw,
+            )
+        finally:
+            # both serving branches must clear the label — it would
+            # otherwise leak onto every later job in the session (r9
+            # ADVICE)
+            spark.sparkContext.setJobDescription(None)
     elif serving_path is not None:
         # replaces collect()+batched INSERT (S7): partition-parallel,
         # clustered by the MergeTree sort key
         spark.sparkContext.setJobDescription("houses: serving write")
-        write_sorted_table(clean, serving_path, "house_id")
-        spark.sparkContext.setJobDescription(None)
+        try:
+            write_sorted_table(clean, serving_path, "house_id")
+        finally:
+            spark.sparkContext.setJobDescription(None)
 
     return PipelineResult(
         clean=clean,

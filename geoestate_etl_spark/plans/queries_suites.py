@@ -490,7 +490,6 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOKEN_WEIGHTS_MICRO,
     )
     from geoestate_etl_spark.operators.quality_model import token_margin_micro
-    from geoestate_etl_spark.operators.repetition import ngram_repetition
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
@@ -521,16 +520,69 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoestate_etl_spark.plans.prepared import prepared_frame
 
     def build_grams() -> DataFrame:
-        merged = None
-        for n in (2, 3):
-            rep = ngram_repetition(docs, n).select(
-                "doc_id",
-                F.col("n_grams").alias(f"n_grams{n}"),
-                F.col("top_gram").alias(f"top{n}_gram"),
-                F.col("top_n").alias(f"top{n}_n"),
-                F.col("dup_occ").alias(f"dup{n}"),
+        # ONE corpus scan + ONE explode computes BOTH word-gram sizes
+        # (r10 — guide §2.3/§2.4): the interpreted tokenize + gram HOFs
+        # run once, emitting (n, gram) tagged rows, and a single
+        # two-level aggregation + pivot rebuilds exactly the per-n
+        # frames the old shape produced with two scans, two explodes
+        # and a full outer join. Equivalence is pinned by
+        # tests/test_prepared_artifacts.py, which rebuilds via the
+        # per-n ngram_repetition formulation and compares rows.
+        from geoestate_etl_spark.operators.repetition import (
+            _grams,
+            _tokens,
+        )
+
+        parallelism = docs.sparkSession.sparkContext.defaultParallelism
+        spread = (
+            docs.repartition(parallelism)
+            if docs.rdd.getNumPartitions() < parallelism
+            else docs
+        )
+        toks = _tokens("text")
+
+        def tag(n: int):
+            return F.transform(
+                _grams(toks, n),
+                lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
             )
-            merged = rep if merged is None else merged.join(rep, "doc_id", "full")
+
+        gc = (
+            spread.select(
+                "doc_id", F.explode(F.concat(tag(2), tag(3))).alias("t")
+            )
+            .select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+            .groupBy("doc_id", "n", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = F.max(F.struct(F.col("c"), F.col("g")))
+        per_n = gc.groupBy("doc_id", "n").agg(
+            F.sum("c").alias("n_grams"),
+            top.getField("g").alias("top_gram"),
+            top.getField("c").alias("top_n"),
+            F.sum(F.col("c") - 1).alias("dup_occ"),
+        )
+        merged = (
+            per_n.groupBy("doc_id")
+            .pivot("n", [2, 3])
+            .agg(
+                F.first("n_grams").alias("n_grams"),
+                F.first("top_gram").alias("top_gram"),
+                F.first("top_n").alias("top_n"),
+                F.first("dup_occ").alias("dup_occ"),
+            )
+            .select(
+                "doc_id",
+                F.col("2_n_grams").alias("n_grams2"),
+                F.col("2_top_gram").alias("top2_gram"),
+                F.col("2_top_n").alias("top2_n"),
+                F.col("2_dup_occ").alias("dup2"),
+                F.col("3_n_grams").alias("n_grams3"),
+                F.col("3_top_gram").alias("top3_gram"),
+                F.col("3_top_n").alias("top3_n"),
+                F.col("3_dup_occ").alias("dup3"),
+            )
+        )
         # model=None: self-scored corpus — one shared gram pass
         lm = ngram_logprob_micro(docs, None, "doc_id", "text", 3)
         return merged.join(lm, "doc_id", "full")

@@ -325,9 +325,10 @@ def _walk_samples(tars: DataFrame, lenient: bool = False) -> DataFrame:
     """Sequential tar walk → ``(shard_path, key, members)`` sample
     rows; consecutive members of one key form one sample (the
     WebDataset contract the writer enforces by sorting). ``lenient``
-    is for the AUDIT path only: a structurally corrupt tar yields zero
-    sample rows (verify flags its shard via the count mismatch)
-    instead of failing the job."""
+    is for the AUDIT path only: a structurally corrupt tar yields only
+    the samples read before the corruption point — the in-progress
+    partial sample is dropped, and the count/checksum mismatch flags
+    the shard — instead of failing the job."""
 
     def _samples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
