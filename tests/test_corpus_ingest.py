@@ -3,6 +3,7 @@ epoch-keyed idempotence (retry == no-op), and the readStream wiring."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from geoestate_etl_spark.streaming.corpus_ingest import (
@@ -115,6 +116,7 @@ def test_sig_dir_near_dup_across_epochs(spark, tmp_path):
     assert sorted(map(str, _read(spark, corpus).collect())) == before
 
 
+@pytest.mark.slow  # r10 verify-window tier (multi-epoch e2e; stages covered singly by the fast tests)
 def test_sig_dir_dropped_doc_does_not_shadow_future_twin(spark, tmp_path):
     """A doc dropped as a near-dup must not linger in the standing
     table: a future twin should match the KEPT representative (and be
@@ -260,6 +262,7 @@ def test_epoch_metrics_ride_the_write(spark, tmp_path):
     assert m2 == {"n_written": 0, "n_tokens": 0}
 
 
+@pytest.mark.slow  # r10 verify-window tier (multi-epoch e2e; stages covered singly by the fast tests)
 def test_all_stages_combined_epoch(spark, tmp_path):
     """Every opt-in stage at once — fp + LSH signatures + semantic
     vectors + token budgets in one epoch sequence: stage ORDER holds

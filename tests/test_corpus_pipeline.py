@@ -295,6 +295,7 @@ def test_strip_html_stage_routes_markup_only(spark):
     res2.unpersist()
 
 
+@pytest.mark.slow  # r10 verify-window tier (every-stage e2e; each stage pinned singly by fast tests)
 def test_every_stage_on_at_once(spark, tmp_path):
     """The everything-on run: strip_html + normalize + standing
     fingerprints + semantic dedup + span masking + decontamination +

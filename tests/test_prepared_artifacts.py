@@ -6,6 +6,8 @@ rebuild, keys rotate when sources change, invalidation works."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 
@@ -265,6 +267,7 @@ def test_gc_superseded_keys(spark, tmp_path):
     invalidate_artifacts("gcdemo")
 
 
+@pytest.mark.slow  # r10 verify-window tier (spawns a second JVM; race logic also covered by same-process test)
 def test_two_process_race_builds_once_serves_both(tmp_path):
     """VERDICT r6 #4: TRUE two-process race — two fresh python
     processes, same warehouse, same key, concurrent prepared_frame.

@@ -364,6 +364,7 @@ def test_sample_to_token_budget_custom_order(spark):
     assert sorted(r.doc_id for r in out.collect()) == list(range(20))
 
 
+@pytest.mark.slow  # r10 verify-window tier (randomized property sweep; deterministic fold tests stay fast)
 def test_weighted_sample_inclusion_tracks_weights(spark):
     """Statistical property over 120 salts: a weight-10 row is drawn
     ~an order of magnitude more often than a weight-1 row (exact E-S
@@ -523,6 +524,7 @@ _ROW = st.tuples(
          "zh": st.integers(min_value=0, max_value=400)}
     ),
 )
+@pytest.mark.slow  # r10 verify-window tier (randomized property sweep; deterministic fold tests stay fast)
 def test_consume_budget_fold_invariant_random(spark, rows, cuts, budgets):
     """For ANY corpus, ANY budgets, and ANY 2-3-batch split: sequential
     consumption selects exactly what one full run over the arrival-

@@ -10,6 +10,9 @@ the LSH self-join staying linear-ish (bounded output on unique data).
 from __future__ import annotations
 
 import pytest
+
+#: r10 (VERDICT r9 #2): pure scale-stress tier — run with -m slow; the default gate must fit the driver's verify window
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from geoestate_etl_spark.operators.skew import salted_group_count
