@@ -129,25 +129,33 @@ def ngram_logprob_micro(
     OOV grams fall back to the smoothed floor so scoring a held-out
     batch is the same plan.
 
-    ``model=None`` (self-scoring, the registry shape) runs ONE gram
-    pass over the corpus (r10 — guide §2.3 aggregate before you
-    shuffle): the interpreted sliding-gram explode lands in a
-    per-(doc, gram) count frame that is persisted once, and BOTH the
-    model (a gram-keyed rollup of it) and the scoring consume that
-    frame — the pre-r10 shape exploded the corpus twice (once for
-    :func:`char_ngram_counts`, once for scoring) and shipped one join
-    row per gram OCCURRENCE instead of per distinct (doc, gram). The
-    per-doc-gram cache is the materialize-signatures-then-join shape
-    the MinHash tier already uses; a production pipeline writes it to
-    a table instead of caching. Scores are bit-identical: each gram's
-    micro-units are rounded FIRST and then multiplied by its exact
-    occurrence count, so ``Σ cnt·round(lp)`` equals the per-occurrence
-    ``Σ round(lp)`` by integer arithmetic. With an external ``model``
-    the classic score-against-frozen-model path is unchanged.
+    ``model=None`` (self-scoring, the registry shape) builds the model
+    here with :func:`char_ngram_counts`. Either way the MODEL is what
+    persists — it is bounded by alphabet^n (tiny next to the corpus,
+    so the cache is scale-viable, unlike caching the exploded grams)
+    and both the totals aggregate and the scoring join consume it;
+    unpersisted, its corpus explode+agg lineage would run twice.
     Persist lifetime is bounded — the cache manager dedups by analyzed
     plan, so repeated registry runs reuse one entry rather than
-    accumulating (docs/TUNING.md).
+    accumulating (docs/TUNING.md). At scale, materialize the model to
+    parquet once and pass the read-back frame.
+
+    r10 note (negative result, measured): restructuring the
+    self-scored path around a persisted per-(doc, gram) count frame —
+    one explode instead of two, model as a rollup of it — was BUILT
+    and REVERTED: the per-(doc, gram) pre-aggregation adds a full
+    high-cardinality shuffle (and a corpus-scale cache), while this
+    shape never shuffles gram-level rows at all (the model join is a
+    broadcast and the per-doc aggregate is map-side partial) —
+    measured +75% warm / +25% cold on the swap. Two cheap map-side
+    corpus explodes beat one extra wide exchange.
     """
+    if model is None:
+        model = char_ngram_counts(df, text_col, n)
+    model = model.persist()
+    totals = model.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_vocab")
+    )
     # the sliding-gram build is an interpreted HOF (the CPU stage); a
     # single-file source arrives as ONE partition — spread it first,
     # guarded so well-partitioned inputs are not collapsed (the
@@ -155,47 +163,15 @@ def ngram_logprob_micro(
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
+    grams = df.select(
+        F.col(id_col), F.explode(sliding_char_ngrams(text_col, n)).alias("gram")
+    )
     denom = F.col("_total") + F.lit(alpha) * F.col("_vocab")
     lp_micro = (
         F.round(
             F.log((F.coalesce(F.col("_cnt"), F.lit(0)) + F.lit(alpha)) / denom)
             * 1e6
         ).cast("long")
-    )
-    if model is None:
-        pergram = (
-            df.select(
-                F.col(id_col),
-                F.explode(sliding_char_ngrams(text_col, n)).alias("gram"),
-            )
-            .groupBy(id_col, "gram")
-            .agg(F.count(F.lit(1)).alias("_dc"))
-            .persist()
-        )
-        model = pergram.groupBy("gram").agg(F.sum("_dc").alias("cnt"))
-        totals = model.agg(
-            F.sum("cnt").alias("_total"), F.count("*").alias("_vocab")
-        )
-        return (
-            pergram.join(model.withColumnRenamed("cnt", "_cnt"), "gram", "left")
-            .crossJoin(F.broadcast(totals))
-            .select(
-                F.col(id_col),
-                F.col("_dc"),
-                lp_micro.alias("_lp_micro"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.sum("_dc").alias("lm_grams"),
-                F.sum(F.col("_dc") * F.col("_lp_micro")).alias("lm_sum_micro"),
-            )
-        )
-    model = model.persist()
-    totals = model.agg(
-        F.sum("cnt").alias("_total"), F.count("*").alias("_vocab")
-    )
-    grams = df.select(
-        F.col(id_col), F.explode(sliding_char_ngrams(text_col, n)).alias("gram")
     )
     return (
         grams.join(model.withColumnRenamed("cnt", "_cnt"), "gram", "left")

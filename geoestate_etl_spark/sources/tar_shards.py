@@ -175,11 +175,12 @@ def write_tar_shards(
             columns=["shard", "n_samples", "n_members", "tar_bytes", "checksum"],
         )
 
-    stats = (
-        assigned.groupBy("_shard")
-        .applyInPandas(_write, _WRITE_SCHEMA)
-        .orderBy("shard")
-        .collect()
+    # sort the ≤ n_shards stat rows on the driver: an orderBy here cost
+    # a range-partitioning exchange (+ its sampling pass) for a handful
+    # of rows (r10)
+    stats = sorted(
+        assigned.groupBy("_shard").applyInPandas(_write, _WRITE_SCHEMA).collect(),
+        key=lambda r: r.shard,
     )
     sums = {int(r.shard): int(r.checksum) for r in stats}
     manifest = {
